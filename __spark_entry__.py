@@ -1,38 +1,774 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` binds every implemented operator from SURVEY.md par.2 (plus
+the training-data-pipeline extensions) to the driver's benchmark tables;
+``oracle_sql()`` holds the DuckDB twin of each SQL-expressible query.
+
+Cross-engine determinism rules used throughout (see
+youtubeanalyzerproject_big_data__spark/functions/precision.py):
+  * SUM/AVG of doubles go through exact DECIMAL(28,6) arithmetic.
+  * Float outputs are ROUNDed (4-6 dp) identically on both sides.
+  * Every ORDER BY ... LIMIT has a deterministic tiebreak key.
+  * Hashes that appear in results are md5-derived (portable), never
+    Spark-native hash/xxhash64.
+  * Timestamp queries pin the session timezone to UTC.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_sql
+from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum
+from youtubeanalyzerproject_big_data__spark.io import load_events, load_table
+from youtubeanalyzerproject_big_data__spark.operators import (
+    aggregates as agg,
+    dedup,
+    filters,
+    graph,
+    joins,
+    multimodal,
+    recommend,
+    similarity,
+    textanalysis as text,
+    topk,
+)
+from youtubeanalyzerproject_big_data__spark.streaming import events as ev
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+def _dsum(col_expr: str) -> str:
+    return f"CAST(SUM(CAST({col_expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _davg(col_expr: str, scale: int = 6) -> str:
+    return f"ROUND({_dsum(col_expr)} / COUNT({col_expr}), {scale})"
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+# DuckDB word-shingle CTE fragment shared by the text-dedup oracles.
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc1, doc2, ROUND(n_common / (s1.n + s2.n - n_common), 6) AS jaccard
+  FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+)
+"""
+
+# DuckDB cosine fragment: exact per-element double arithmetic (matches the
+# Spark zip_with/aggregate fold in functions/vectors.py).
+def _cos_sql(a: str, b: str) -> str:
+    d = f"list_sum(list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    return f"({d} / ({na} * {nb}))"
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+QTY_BUCKETS: list[tuple[float, str]] = [(10, "q1_lt10"), (30, "q2_10to29")]
+QTY_DEFAULT = "q3_ge30"
+PRICE_BUCKETS: list[tuple[float, str]] = [
+    (50_000, "<50k"),
+    (150_000, "50k-150k"),
+    (300_000, "150k-300k"),
+    (450_000, "300k-450k"),
+]
+PRICE_DEFAULT = ">=450k"
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def q_a1(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 category statistics (YoutubeNetworkAgg_Final.py:163-179) on events."""
+    return agg.category_stats(load_events(spark, sf), "event_type", "value")
+
+
+def q_a2(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 length-bucket statistics (YoutubeNetworkAgg_Final.py:185-205)."""
+    return agg.bucket_stats(load_table(spark, sf, "lineitem"), "l_quantity", QTY_BUCKETS, QTY_DEFAULT, "l_extendedprice")
+
+
+def q_a3(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 global statistics (YoutubeNetworkAgg_Final.py:211-223)."""
+    return agg.global_stats(load_table(spark, sf, "lineitem"), "l_extendedprice")
+
+
+def q_a4(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 bucket histogram w/ lexicographic label order (YoutubeNetworkAgg_Final.py:225-239)."""
+    return agg.histogram(load_table(spark, sf, "orders"), "o_totalprice", PRICE_BUCKETS, PRICE_DEFAULT)
+
+
+def q_a5(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 out-degree distribution analog (run_netagg_job.py:32-43)."""
+    return agg.frequency_distribution(load_table(spark, sf, "lineitem"), "l_orderkey")
+
+
+def q_a6(spark: SparkSession, sf: str) -> DataFrame:
+    """A6/O4 top-K by value (Top_K_Final.py:13-17, intended semantics)."""
+    df = topk.top_k(load_table(spark, sf, "orders"), "o_totalprice", 100, tiebreak="o_orderkey")
+    return df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_a7(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 deterministic collect_list re-nesting (run_alsrecs_job.py:142-145)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.transform(F.sort_array(F.collect_list("l_partkey")), lambda x: x.cast("string"))).alias("parts_csv"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_a8(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 count actions (YoutubeNetworkAgg_Final.py:25-35) as one result set."""
+    parts = []
+    for name in ("lineitem", "orders", "customer"):
+        parts.append(load_table(spark, sf, name).agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(name).alias("tbl"), "n_rows"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def q_a9(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 distinct (run_alsrecs_job.py:102)."""
+    return agg.distinct_count(load_table(spark, sf, "orders"), "o_custkey")
+
+
+def q_f4(spark: SparkSession, sf: str) -> DataFrame:
+    """F4 conjunctive range predicate (QueryScripts_Final.py:15-18)."""
+    li = load_table(spark, sf, "lineitem")
+    out = filters.range_query(li, "l_quantity", 10, 30, extra=(F.col("l_returnflag") == "R"))
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag")
+
+
+def q_f5(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 numeric range predicate (QueryScripts_Final.py:36)."""
+    o = load_table(spark, sf, "orders")
+    return filters.range_query(o, "o_totalprice", 50_000, 150_000).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def q_f6(spark: SparkSession, sf: str) -> DataFrame:
+    """F6 dynamic predicate builder + match count (YoutubeNetworkAgg_Final.py:247-276)."""
+    li = load_table(spark, sf, "lineitem")
+    return filters.dynamic_search_count(li, [("l_returnflag", "eq", "A"), ("l_quantity", "ge", 5), ("l_quantity", "le", 40)])
+
+
+def q_j1(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 degree-preserving left join + fillna(0) (YoutubeNetworkAgg_Final.py:122-129)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(F.count(F.lit(1)).alias("n_lines"))
+    joined = joins.left_join_fill_zero(o.select("o_orderkey"), counts, "o_orderkey", ["n_lines"])
+    return topk.top_k(joined, "n_lines", 10, tiebreak="o_orderkey")
+
+
+def q_j6(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 broadcast enrichment replacing the N+1 find_one loop (PageRank_Spark_v5.py:148-156)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    top = topk.top_k(o, "o_totalprice", 50, tiebreak="o_orderkey")
+    return joins.enrich_broadcast(top, c, "o_custkey").select("o_orderkey", "o_totalprice", "c_name")
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the multi-aggregate workhorse."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue per customer (fact-fact join + broadcast dim), top 20."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(rev.cast(DEC)).cast("double"), 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    return df.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+def q_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue per nation through the full dimension chain (flagship query)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev.cast(DEC)).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_w1(spark: SparkSession, sf: str) -> DataFrame:
+    """Window top-K per group (the idiomatic upgrade flagged in SURVEY.md par.2.7)."""
+    o = load_table(spark, sf, "orders")
+    out = topk.top_k_per_group(o, "o_orderpriority", "o_totalprice", 3, tiebreak="o_orderkey")
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", F.col("rank_in_group").cast("long").alias("rank_in_group"))
+
+
+def q_w2(spark: SparkSession, sf: str) -> DataFrame:
+    """Running total window (frames) over the event stream."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 6).alias("running_value"),
+    )
+
+
+def q_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join: customers having orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.semi_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+def q_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+def q_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer keys."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    inter = c.intersect(o).withColumn("set_op", F.lit("intersect"))
+    exc = c.exceptAll(o.distinct()).distinct().withColumn("set_op", F.lit("except"))
+    return inter.unionAll(exc)
+
+
+def q_g2(spark: SparkSession, sf: str) -> DataFrame:
+    """G3-style in-degree + broadcast name join, top 20 (YoutubeNetworkAgg_Final.py:131-139)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name")
+    deg = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(F.count(F.lit(1)).alias("in_degree"))
+    out = joins.enrich_broadcast(deg, p, "p_partkey")
+    return topk.top_k(out, "in_degree", 20, tiebreak="p_partkey").select("p_partkey", "p_name", "in_degree")
+
+
+def q_g3(spark: SparkSession, sf: str) -> DataFrame:
+    """In-degree distribution (degreestat analog, run_netagg_job.py:32-43)."""
+    return agg.frequency_distribution(load_table(spark, sf, "lineitem"), "l_partkey")
+
+
+def q_e1(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming query)."""
+    _utc(spark)
+    return ev.hourly_event_stats(load_events(spark, sf))
+
+
+def q_e2(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization with 30-min gaps (lag window)."""
+    _utc(spark)
+    return ev.sessionize(load_events(spark, sf), gap_seconds=1800)
+
+
+def q_d1(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via normalized-text hash groups."""
+    return dedup.exact_duplicates(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_d2(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8)."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_d3(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidates, exact-Jaccard verified at 0.8."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"), "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8)
+
+
+def q_d4(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs, hamming <= 3, pigeonhole-blocked."""
+    return dedup.simhash_pairs(load_table(spark, sf, "documents"), "doc_id", "text", bits=32, max_hamming=3)
+
+
+def q_d5(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.46 calibrated to data)."""
+    return dedup.embedding_near_dup_pairs(load_table(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.46)
+
+
+def q_s1(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+    return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
+
+
+def q_s2(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 (rows-only; recall measured in tests vs q_s1)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", dim=64, k=5)
+    return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
+
+
+def q_t1(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_t2(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_scores(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_t3(spark: SparkSession, sf: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_t4(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprints(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_mm1(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: binary wrap -> mapInPandas feature extraction
+    (deterministic fake decode; real codecs stubbed, see operators/multimodal.py)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("blob"), "text")
+    media = multimodal.attach_media_metadata(docs, "doc_id", "blob", "text_blob")
+    feats = multimodal.extract_features(media, decode_stub="fake", feat_dim=8)
+    return feats.select("media_id", "modality", "n_bytes", F.round("feat_mean", 6).alias("feat_mean"), "feat_dim")
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
+    over the order->part bipartite graph; top-100 (O1).  Rows-only check:
+    iterative, not expressible in one oracle SQL statement."""
+    li = load_table(spark, sf, "lineitem")
+    edges = graph.edges_from_pairs(
+        li.select(F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")),
+        "src",
+        "dst",
+    )
+    ranks = graph.pagerank(edges, reset_prob=0.15, max_iter=10)
+    return graph.top_influencers(ranks, 100)
+
+
+def q_als(spark: SparkSession, sf: str) -> DataFrame:
+    """M1-M4 ALS pipeline (run_alsrecs_job.py) on (customer, part, quantity)
+    ratings; 50 users x 5 recs.  Rows-only: ALS is stochastic-but-seeded."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("string").alias("user"),
+        F.col("l_partkey").cast("string").alias("item"),
+        F.col("l_quantity").cast("double").alias("rating"),
+    )
+    ratings = recommend.build_ratings(base, "user", "item", "rating")
+    model = recommend.train_als(ratings, max_iter=10, reg_param=0.1, rank=10, seed=42)
+    return recommend.recommend_for_users(model, ratings, n_users=50, n_recs=5).select(
+        "user_idx", "user_label", F.concat_ws(",", "recommendations").alias("recs_csv")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue-per-nation over the full dimension chain at sf0.001."""
+    return q_q5(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a1_event_type_stats": q_a1,
+        "a2_quantity_bucket_stats": q_a2,
+        "a3_global_price_stats": q_a3,
+        "a4_price_histogram": q_a4,
+        "a5_order_size_distribution": q_a5,
+        "a6_top_orders_by_price": q_a6,
+        "a7_order_parts_csv": q_a7,
+        "a8_table_counts": q_a8,
+        "a9_distinct_customers": q_a9,
+        "f4_returned_mid_quantity": q_f4,
+        "f5_price_range": q_f5,
+        "f6_dynamic_search_count": q_f6,
+        "j1_orders_line_counts_top10": q_j1,
+        "j6_topk_enriched_customers": q_j6,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "q3_revenue_by_customer": q_q3,
+        "q5_revenue_by_nation": q_q5,
+        "w1_top3_orders_per_priority": q_w1,
+        "w2_user_running_value": q_w2,
+        "sj_customers_with_orders": q_semi,
+        "aj_customers_without_orders": q_anti,
+        "set_ops_custkeys": q_setops,
+        "g2_part_indegree_top20": q_g2,
+        "g3_part_indegree_distribution": q_g3,
+        "e1_events_hourly": q_e1,
+        "e2_sessionize": q_e2,
+        "d1_exact_dups": q_d1,
+        "d2_ngram_jaccard_pairs": q_d2,
+        "d3_minhash_lsh_pairs": q_d3,
+        "d4_simhash_pairs": q_d4,
+        "d5_embedding_near_dups": q_d5,
+        "s1_ann_bruteforce_top5": q_s1,
+        "s2_ann_lsh_top5": q_s2,
+        "t1_token_counts": q_t1,
+        "t2_quality_scores": q_t2,
+        "t3_language_id": q_t3,
+        "t4_fingerprints": q_t4,
+        "mm1_media_features": q_mm1,
+        "g4_pagerank_top100": q_pagerank,
+        "m1_als_recommendations": q_als,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(f"MIN({md5_int32_sql('shingle', j)}) AS h{j}" for j in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', {', '.join(f'h{b * rpb + r}' for r in range(rpb))}) AS sig FROM sig_t"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig_t AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2, j.jaccard
+FROM cand c JOIN jac j ON c.doc1 = j.doc1 AND c.doc2 = j.doc2
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS t
+    FROM documents
+  )
+),
+th AS (SELECT doc_id, {md5_int32_sql('t', 'simhash')} AS h FROM tok),
+bits_t AS (SELECT doc_id, unnest(generate_series(0, {bits - 1})) AS bit, h FROM th),
+votes AS (
+  SELECT doc_id, bit, CAST(SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM bits_t GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+blk AS (SELECT doc_id, simhash, unnest(generate_series(0, {chunks - 1})) AS chunk FROM sig),
+blk2 AS (SELECT doc_id, simhash, chunk, (simhash >> (chunk * {chunk_bits})) & {mask} AS cval FROM blk),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2, a.simhash AS s1, b.simhash AS s2
+  FROM blk2 a JOIN blk2 b ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+"""
+
+
+_MARKERS = text.LANG_MARKERS
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(_MARKERS)
+    cnts = ", ".join(
+        rf"CAST(len(regexp_extract_all(lower(text), '\b({'|'.join(_MARKERS[lang])})\b', 1)) AS BIGINT) AS c_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('c_' + lang for lang in langs)})"
+    case = " ".join(f"WHEN best > 0 AND c_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH m AS (SELECT doc_id, {cnts} FROM documents),
+b AS (SELECT doc_id, {', '.join('c_' + lang for lang in langs)}, {best} AS best FROM m)
+SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred, best AS marker_hits FROM b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = "|".join(_MARKERS["en"])
+    return {
+        "a1_event_type_stats": f"""
+            SELECT event_type, COUNT(*) AS num_rows, {_davg('value')} AS avg_value,
+                   ROUND(MAX(value), 6) AS max_value, ROUND(MIN(value), 6) AS min_value
+            FROM events GROUP BY event_type
+        """,
+        "a2_quantity_bucket_stats": f"""
+            WITH b AS (
+              SELECT CASE WHEN l_quantity < 10 THEN 'q1_lt10'
+                          WHEN l_quantity < 30 THEN 'q2_10to29'
+                          ELSE 'q3_ge30' END AS bucket, l_extendedprice
+              FROM lineitem)
+            SELECT bucket, COUNT(*) AS num_rows, {_davg('l_extendedprice')} AS avg_l_extendedprice,
+                   ROUND(MAX(l_extendedprice), 6) AS max_l_extendedprice
+            FROM b GROUP BY bucket
+        """,
+        "a3_global_price_stats": f"""
+            SELECT COUNT(l_extendedprice) AS cnt, {_davg('l_extendedprice')} AS avg_val,
+                   ROUND(stddev(l_extendedprice), 4) AS stddev_val,
+                   ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_val,
+                   ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_val,
+                   ROUND(MAX(l_extendedprice), 6) AS max_val,
+                   {_dsum('l_extendedprice')} AS sum_val
+            FROM lineitem
+        """,
+        "a4_price_histogram": """
+            SELECT CASE WHEN o_totalprice < 50000 THEN '<50k'
+                        WHEN o_totalprice < 150000 THEN '50k-150k'
+                        WHEN o_totalprice < 300000 THEN '150k-300k'
+                        WHEN o_totalprice < 450000 THEN '300k-450k'
+                        ELSE '>=450k' END AS bucket,
+                   COUNT(*) AS num_rows
+            FROM orders GROUP BY bucket
+        """,
+        "a5_order_size_distribution": """
+            WITH d AS (SELECT l_orderkey, COUNT(*) AS degree FROM lineitem GROUP BY l_orderkey)
+            SELECT degree, COUNT(*) AS num_keys FROM d GROUP BY degree
+        """,
+        "a6_top_orders_by_price": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "a7_order_parts_csv": """
+            SELECT l_orderkey, array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS parts_csv,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "a8_table_counts": """
+            SELECT 'lineitem' AS tbl, COUNT(*) AS n_rows FROM lineitem
+            UNION ALL SELECT 'orders', COUNT(*) FROM orders
+            UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        """,
+        "a9_distinct_customers": "SELECT COUNT(DISTINCT o_custkey) AS n_distinct FROM orders",
+        "f4_returned_mid_quantity": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+            FROM lineitem WHERE l_quantity BETWEEN 10 AND 30 AND l_returnflag = 'R'
+        """,
+        "f5_price_range": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            WHERE o_totalprice BETWEEN 50000 AND 150000
+        """,
+        "f6_dynamic_search_count": """
+            SELECT COUNT(*) AS num_matches FROM lineitem
+            WHERE l_returnflag = 'A' AND l_quantity >= 5 AND l_quantity <= 40
+        """,
+        "j1_orders_line_counts_top10": """
+            WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+            SELECT o_orderkey, COALESCE(n, 0) AS n_lines
+            FROM orders LEFT JOIN c ON o_orderkey = l_orderkey
+            ORDER BY n_lines DESC, o_orderkey LIMIT 10
+        """,
+        "j6_topk_enriched_customers": """
+            SELECT o_orderkey, o_totalprice, c_name
+            FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50) o
+            LEFT JOIN customer ON o.o_custkey = customer.c_custkey
+        """,
+        "tpch_q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_dsum('l_quantity')} AS sum_qty,
+                   {_dsum('l_extendedprice')} AS sum_base_price,
+                   {_dsum(_REV)} AS sum_disc_price,
+                   {_davg('l_quantity')} AS avg_qty,
+                   {_davg('l_extendedprice')} AS avg_price,
+                   {_davg('l_discount')} AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_revenue_by_customer": f"""
+            SELECT c_custkey, c_name, ROUND({_dsum(_REV)}, 4) AS revenue, COUNT(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q5_revenue_by_nation": f"""
+            SELECT r_name, n_name, ROUND({_dsum(_REV)}, 4) AS revenue,
+                   COUNT(*) AS n_lines, COUNT(DISTINCT c_custkey) AS n_customers
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "w1_top3_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rank_in_group
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders)
+            WHERE rk <= 3
+        """,
+        "w2_user_running_value": """
+            SELECT event_id, user_id,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value
+            FROM events
+        """,
+        "sj_customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "aj_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "set_ops_custkeys": """
+            SELECT c_custkey, 'intersect' AS set_op
+            FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT c_custkey, 'except' AS set_op
+            FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+        """,
+        "g2_part_indegree_top20": """
+            WITH d AS (SELECT l_partkey, COUNT(*) AS in_degree FROM lineitem GROUP BY l_partkey)
+            SELECT p_partkey, p_name, in_degree FROM d JOIN part ON l_partkey = p_partkey
+            ORDER BY in_degree DESC, p_partkey LIMIT 20
+        """,
+        "g3_part_indegree_distribution": """
+            WITH d AS (SELECT l_partkey, COUNT(*) AS degree FROM lineitem GROUP BY l_partkey)
+            SELECT degree, COUNT(*) AS num_keys FROM d GROUP BY degree
+        """,
+        "e1_events_hourly": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS num_events,
+                   {_dsum('value')} AS sum_value, {_davg('value')} AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "e2_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                               OR (CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT)) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM g)
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "d1_exact_dups": r"""
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups,
+                   array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY CAST(doc_id AS VARCHAR)), ',') AS dup_ids_csv
+            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k FROM documents)
+            GROUP BY k
+        """,
+        "d2_ngram_jaccard_pairs": f"WITH {_SHINGLES_CTE} SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8",
+        "d3_minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 0.8),
+        "d4_simhash_pairs": _simhash_oracle(32, 3),
+        "d5_embedding_near_dups": f"""
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.46
+        """,
+        "s1_ann_bruteforce_top5": f"""
+            WITH s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_cos_sql('q.embedding', 'c.embedding')} AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+            WHERE rk <= 5
+        """,
+        "t1_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS BIGINT) AS n_subword_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured
+            FROM documents
+        """,
+        "t2_quality_scores": rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                     CAST(length(regexp_replace(text, '[^\s]', '', 'g')) AS BIGINT) AS n_space,
+                     CAST(len(regexp_extract_all(lower(text), '\b({en})\b', 1)) AS BIGINT) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_chars AS n_chars_measured,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   ROUND(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+                   ROUND(n_space / greatest(n_chars, 1), 6) AS space_ratio,
+                   ROUND((len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1), 6) AS dup_token_ratio,
+                   ROUND(n_stop / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   ROUND(greatest(n_chars, 0) / greatest(len(toks), 1), 6) AS chars_per_token
+            FROM t
+        """,
+        "t3_language_id": _lang_id_oracle(),
+        "t4_fingerprints": r"""
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+                   CAST(concat('0x', substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8)) AS BIGINT) AS fingerprint32
+            FROM documents
+        """,
+        "mm1_media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id, 'text_blob' AS modality,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   ROUND(list_sum(list_transform(generate_series(1, least(strlen(text), 8)),
+                                                 i -> ascii(substring(text, i, 1))))
+                         / (255.0 * least(strlen(text), 8)), 6) AS feat_mean,
+                   CAST(8 AS INTEGER) AS feat_dim
+            FROM documents
+        """,
+        # g4_pagerank_top100, m1_als_recommendations, s2_ann_lsh_top5:
+        # intentionally omitted -> rows-only checks (iterative / ML / recall-
+        # dependent operators; see SURVEY.md par.5 item 3).
+    }

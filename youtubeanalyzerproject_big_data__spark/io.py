@@ -1,0 +1,73 @@
+"""Sources and sinks.
+
+The reference loads full MongoDB collections into DataFrames
+(PageRank_Spark_v5.py:52-58, YoutubeNetworkAgg_Final.py:60-66) and
+materialises job results as JSON cache files (run_pagerank_job.py:143-146,
+run_netagg_job.py:198-221).  The new engine is storage-agnostic behind
+``load_table``: Parquet is the primary format (columnar, predicate/projection
+pushdown, splittable -- the right at-rest layout for 100 TB), and the JSON
+"materialized view" sink is kept as an artifact writer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from youtubeanalyzerproject_big_data__spark.schema import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one benchmark table (S5 analog: full-collection scan -> DataFrame).
+
+    Plain ``spark.read.parquet``: Catalyst pushes filters and prunes columns
+    into the scan, which replaces the reference's manual
+    ``.select("_id","related")`` pruning (PageRank_Spark_v5.py:51-57).
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the events table, normalizing its nanosecond timestamps.
+
+    The synthetic events parquet stores ``ts`` as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects outright.  Read nanos as raw int64
+    (legacy conf) and rebuild a microsecond TimestampType column with
+    integer arithmetic (``DIV`` -- a double division would lose precision
+    above 2^53 ns).  Downstream semantics (hour truncation, epoch-second
+    gaps) are unaffected by the ns->us floor.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or list(TESTDATA_TABLES))}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a SQL temp view so ``spark.sql`` works verbatim."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_json_artifact(df: DataFrame, path: str) -> None:
+    """JSON cache sink (S9): the reference's materialized-view layer.
+
+    ``coalesce(1)`` mirrors the reference's single-file caches; drop it for
+    large outputs.
+    """
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

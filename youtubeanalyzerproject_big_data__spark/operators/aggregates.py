@@ -1,0 +1,102 @@
+"""Hash aggregations A1-A5 + count actions A8/A9 (SURVEY.md par.2.4).
+
+Reference semantics being reproduced:
+  * A1 category statistics  -- YoutubeNetworkAgg_Final.py:163-179
+  * A2 length-bucket stats  -- YoutubeNetworkAgg_Final.py:185-205 (CASE WHEN buckets)
+  * A3 global view stats    -- YoutubeNetworkAgg_Final.py:211-223 (count/avg/stddev/p50/p90/max)
+  * A4 view-bucket histogram-- YoutubeNetworkAgg_Final.py:225-239 (lexicographic bucket order!)
+  * A5 degree distribution  -- run_netagg_job.py:32-43
+  * A8/A9 counts/distinct   -- YoutubeNetworkAgg_Final.py:275-276, run_alsrecs_job.py:102
+
+All are single-shuffle partial+final hash aggregates (HashAggregateExec with
+map-side combine); group-key cardinality is low, so at 100 TB the shuffle
+carries only (keys x partitions) rows.  percentile is exact (sort-based) to
+stay oracle-comparable -- swap to percentile_approx for cluster runs where
+approximation is acceptable (YoutubeNetworkAgg_Final.py:218 used approx).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from youtubeanalyzerproject_big_data__spark.functions.precision import dec_avg, dec_sum
+
+
+def category_stats(df: DataFrame, key: str, value: str, extra_avgs: dict[str, str] | None = None) -> DataFrame:
+    """A1: per-category count/avg/max, ordered by group size desc.
+
+    Generic over (key, value); the reference groups videos by ``category``
+    and averages views/length/rate (YoutubeNetworkAgg_Final.py:163-179).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("num_rows"),
+        dec_avg(value, f"avg_{value}"),
+        F.round(F.max(value), 6).alias(f"max_{value}"),
+        F.round(F.min(value), 6).alias(f"min_{value}"),
+    ]
+    for col, alias in (extra_avgs or {}).items():
+        aggs.append(dec_avg(col, alias))
+    return df.groupBy(key).agg(*aggs).orderBy(F.desc("num_rows"), key)
+
+
+def bucketize(col: Column, edges: list[tuple[float, str]], default_label: str) -> Column:
+    """CASE-WHEN bucketing (YoutubeNetworkAgg_Final.py:189-194,227-234).
+
+    ``edges`` is a list of (upper_bound_exclusive, label), ascending.
+    """
+    expr: Column | None = None
+    for bound, label in edges:
+        cond = col < F.lit(bound)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    assert expr is not None
+    return expr.otherwise(default_label)
+
+
+def bucket_stats(df: DataFrame, value_col: str, edges: list[tuple[float, str]], default_label: str, metric_col: str) -> DataFrame:
+    """A2: stats per computed bucket, ordered by bucket label."""
+    b = bucketize(F.col(value_col), edges, default_label)
+    return (
+        df.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("num_rows"),
+            dec_avg(metric_col, f"avg_{metric_col}"),
+            F.round(F.max(metric_col), 6).alias(f"max_{metric_col}"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def histogram(df: DataFrame, value_col: str, edges: list[tuple[float, str]], default_label: str) -> DataFrame:
+    """A4: bucket -> count.  NB the reference orders by the *label string*
+    (lexicographic), reproduced here (FIXTURES.md invariant 6)."""
+    b = bucketize(F.col(value_col), edges, default_label)
+    return df.withColumn("bucket", b).groupBy("bucket").count().withColumnRenamed("count", "num_rows").orderBy("bucket")
+
+
+def global_stats(df: DataFrame, value_col: str) -> DataFrame:
+    """A3: one-row global summary (count/avg/stddev/median/p90/max/sum)."""
+    c = F.col(value_col)
+    return df.agg(
+        F.count(c).alias("cnt"),
+        dec_avg(value_col, "avg_val"),
+        F.round(F.stddev(c), 4).alias("stddev_val"),
+        F.round(F.percentile(c, 0.5), 4).alias("p50_val"),
+        F.round(F.percentile(c, 0.9), 4).alias("p90_val"),
+        F.round(F.max(c), 6).alias("max_val"),
+        dec_sum(value_col, "sum_val"),
+    )
+
+
+def frequency_distribution(df: DataFrame, key: str) -> DataFrame:
+    """A5: distribution of per-key frequencies (degree distribution shape):
+    group by key -> count, then group by count -> how many keys."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("degree"))
+    return per_key.groupBy("degree").agg(F.count(F.lit(1)).alias("num_keys")).orderBy("degree")
+
+
+def distinct_count(df: DataFrame, col: str) -> DataFrame:
+    """A9: exact distinct count (one row).  At cluster scale prefer
+    approx_count_distinct to avoid the distinct shuffle when tolerance allows."""
+    return df.agg(F.countDistinct(col).alias("n_distinct"))

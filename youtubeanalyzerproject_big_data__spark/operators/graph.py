@@ -1,0 +1,127 @@
+"""Graph operators G1-G4 (SURVEY.md par.2.6) as plain DataFrame programs --
+no GraphFrames jar dependency.
+
+Reference pipeline being reproduced (PageRank_Spark_v5.py:52-115,
+YoutubeNetworkAgg_Final.py:85-139):
+  edges   = explode_outer(related) -> drop null dst -> drop self-loops
+  degrees = groupBy(src/dst).count()  [in-degree keeps dangling dst ids --
+            golden degreestat sums 22.66M endpoints over 7.78M videos]
+  pagerank= damping 0.85, maxIter 10 over the densified subgraph
+
+Scale design:
+  * Degrees are single partial+final hash aggregates on the edge table.
+  * PageRank hash-partitions edges by ``src`` ONCE and reuses that
+    partitioning across all iterations (the rank side is re-shuffled each
+    round, but the 100x-larger edge table never moves -- this is the
+    co-partitioning the reference approximated with repartition(400),
+    PageRank_Spark_v5.py:94-95).
+  * localCheckpoint every few iterations truncates lineage so the plan
+    doesn't grow unboundedly (driver OOM / scheduler stalls at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edges_from_arrays(df: DataFrame, id_col: str, related_col: str) -> DataFrame:
+    """G1: (src, dst) edge list from an id + array<id> column.
+
+    explode_outer keeps empty/null-array rows as null dst, which the
+    null-filter then drops -- reference order of operations preserved
+    (PageRank_Spark_v5.py:77-92).
+    """
+    return (
+        df.select(F.col(id_col).alias("src"), F.explode_outer(related_col).alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def edges_from_pairs(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """G1 for pair-shaped inputs (e.g. fact tables as bipartite graphs)."""
+    return (
+        df.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("dst").isNotNull() & F.col("src").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """G2 (YoutubeNetworkAgg_Final.py:112)."""
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    """G3 -- includes dangling dst ids by construction (SURVEY.md par.1.3)."""
+    return edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_degree"))
+
+
+def degree_distribution(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """A5: degree -> number of vertices with that degree."""
+    deg = out_degrees(edges).withColumnRenamed("out_degree", "degree") if direction == "out" else in_degrees(edges).withColumnRenamed("in_degree", "degree")
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("num_vertices")).orderBy("degree")
+
+
+def pagerank(
+    edges: DataFrame,
+    reset_prob: float = 0.15,
+    max_iter: int = 10,
+    checkpoint_every: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """G4: iterative DataFrame PageRank, reference params resetProb=0.15
+    maxIter=10 (PageRank_Spark_v5.py:102).
+
+    Formula per iteration (classic non-normalized form, matching GraphFrames):
+        rank(v) = reset_prob + (1 - reset_prob) * sum_{u->v} rank(u) / out_deg(u)
+    Dangling vertices (no out-edges) contribute no mass; vertices with no
+    in-edges settle at reset_prob.  Returns (id, pagerank).
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # Vertices = every id seen on either side (dangling dsts get ranks too).
+    vertices = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
+
+    # Pre-join each edge with its source out-degree once, outside the loop:
+    # weight = 1/out_deg(src).  Partition by src and cache -- the loop then
+    # only shuffles the (small) rank table each iteration.
+    out_deg = out_degrees(edges)
+    weighted = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("weight"))
+        .repartition(n_part, "src")
+        .cache()
+    )
+    weighted.count()  # materialize before iterating
+
+    ranks = vertices.select("id", F.lit(1.0).alias("rank")).repartition(n_part, "id")
+
+    for i in range(max_iter):
+        contribs = (
+            weighted.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") * F.col("weight")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            vertices.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (F.lit(reset_prob) + F.lit(1.0 - reset_prob) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
+            ranks = ranks.localCheckpoint(eager=True)  # truncate lineage
+
+    result = ranks.select("id", F.round("rank", 6).alias("pagerank"))
+    weighted.unpersist()
+    return result
+
+
+def top_influencers(ranks: DataFrame, k: int = 500) -> DataFrame:
+    """O1: top-N by pagerank -- TakeOrderedAndProject, driver holds only N
+    rows (the reference's explicit optimization, PageRank_Spark_v5.py:105-115)."""
+    return ranks.orderBy(F.desc("pagerank"), F.asc("id")).limit(k)

@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media lives as opaque ``binary`` columns with typed metadata
+(modality, byte length, content hash).  Decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages -- the only place
+in this engine where Python touches row data, because codec work genuinely
+cannot be a Catalyst expression.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode kernels are stubbed: ``decode_stub='fail'`` raises
+NotImplementedError (the honest production default until codecs ship);
+``decode_stub='fake'`` produces deterministic pseudo-features derived from
+the bytes so the Spark-side plumbing (schema, batching, partitioning) is
+fully testable.
+
+Scale notes: mapInPandas streams Arrow batches, so executor memory is
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
+size distribution; repartition upstream by a content-hash so hot uploaders
+don't skew a partition full of 4K video.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Literal
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feat_mean", T.DoubleType(), True),
+        T.StructField("feat_dim", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, id_col: str, content_col: str, modality: str) -> DataFrame:
+    """Wrap a raw binary column in the typed media schema (Catalyst-only:
+    length + md5 are built-ins; no Python in this path)."""
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.col(content_col).alias("content"),
+        F.length(F.col(content_col)).cast("long").alias("n_bytes"),
+        F.md5(F.col(content_col)).alias("content_md5"),
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decode_stub: Literal["fail", "fake"] = "fail",
+    feat_dim: int = 8,
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    'fake' kernel: deterministic features from the first ``feat_dim`` bytes
+    (mean normalized to [0,1]) -- stands in for an image-embedding or
+    audio-MFCC kernel with the identical dataflow shape.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "fail":
+                raise NotImplementedError(
+                    "media codecs (PIL/librosa/ffmpeg) not available in this environment; "
+                    "use decode_stub='fake' for plumbing tests"
+                )
+            feats = []
+            for content in pdf["content"]:
+                head = bytes(content[:feat_dim]) if content is not None else b""
+                feats.append(sum(head) / (255.0 * max(len(head), 1)))
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feat_mean": feats,
+                    "feat_dim": feat_dim,
+                }
+            )
+            yield out
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024, decode_stub: Literal["fail", "fake"] = "fail") -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled 'frame'.
+
+    The fake kernel emits a row per ``every_n_bytes`` chunk with a
+    deterministic chunk hash -- the real kernel would emit decoded frames.
+    Demonstrates the 1->N mapInPandas fan-out shape (row explosion happens
+    inside Arrow batches, not via Python-row UDFs).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame_md5", T.StringType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if decode_stub == "fail":
+                raise NotImplementedError("video codecs unavailable; use decode_stub='fake'")
+            rows: list[tuple[str, int, str]] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                for i in range(0, max(len(blob), 1), every_n_bytes):
+                    chunk = blob[i : i + every_n_bytes]
+                    rows.append((mid, i // every_n_bytes, hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_md5"])
+
+    return media.mapInPandas(kernel, schema=schema)

@@ -1,0 +1,91 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All per-document map-side expressions -- zero shuffle, linear scan, fully
+inside whole-stage codegen.  At 100 TB these run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, token_count, tokens
+
+# Tiny marker-word lists per language for the n-gram/stopword heuristic.
+# (A real pipeline would use fastText/CLD3; those libs aren't in this
+# container, and the heuristic keeps the operator oracle-checkable.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "wo3"],
+}
+
+
+def _marker_count(text: Column, words: list[str]) -> Column:
+    """Count of marker-word occurrences, via one regexp over word bounds."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(1))).cast("long")
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars_measured): whitespace tokenization + a
+    BPE-ish subword proxy count (runs of letters/digits/other)."""
+    t = F.col(text_col)
+    bpe_ish = F.size(F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1))).cast("long")
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish.alias("n_subword_tokens"),
+        F.length(t).cast("long").alias("n_chars_measured"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality signals: length, mean token length, whitespace
+    ratio, alpha ratio, token-duplication ratio, stopword ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long")
+    n_space = F.length(F.regexp_replace(t, r"[^\s]", "")).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    stop = _marker_count(t, LANG_MARKERS["en"])
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_space / F.greatest(n_chars, F.lit(1)), 6).alias("space_ratio"),
+        F.round((n_tok - n_distinct) / F.greatest(n_tok, F.lit(1)), 6).alias("dup_token_ratio"),
+        F.round(stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(F.greatest(n_chars, F.lit(0)) / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language heuristic: argmax over per-language marker
+    counts, 'und' when nothing matches.  Deterministic tie-break by
+    language code order."""
+    t = F.col(text_col)
+    scores = [(lang, _marker_count(t, words)) for lang, words in sorted(LANG_MARKERS.items())]
+    # argmax via greatest + chained when (ties -> first language in sorted order)
+    best = F.greatest(*[s for _, s in scores])
+    pred: Column = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("lang_pred"), best.alias("marker_hits"))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (stable content
+    hash), plus a 64-bit prefix as integer for compact storage/joins."""
+    fp = F.md5(normalize(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 8), 16, 10).cast("long").alias("fingerprint32"),
+    )

@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+The reference hand-tunes each job's session (Kryo buffers, 8-16g heaps,
+``repartition(400)`` -- PageRank_Spark_v5.py:29-31,94-95;
+run_alsrecs_job.py:36-42).  The new engine centralises that into one factory
+with AQE enabled so runtime re-planning (coalescing, skew splitting,
+broadcast demotion/promotion) replaces hand-scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "youtubeanalyzer-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    At test scale we run ``local[N]``; at cluster scale the same settings
+    hold: AQE owns post-shuffle partition counts, so
+    ``spark.sql.shuffle.partitions`` is an upper bound, not a schedule.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # AQE: runtime coalescing of shuffle partitions, skew-join splitting,
+        # sort-merge -> broadcast conversion when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # Arrow for any toPandas()/mapInPandas boundary (multimodal, ALS export).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep parquet scans splittable at cluster scale.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,89 @@
+"""Event-stream analytics: tumbling-window aggregation and sessionization.
+
+Each operator comes in two forms with identical semantics:
+  * a batch DataFrame transform (oracle-checkable against DuckDB), and
+  * a Structured Streaming wiring (readStream + watermark) exercised in
+    tests with a file source -- at cluster scale the same code runs on
+    Kafka by swapping the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtubeanalyzerproject_big_data__spark.functions.precision import dec_avg, dec_sum
+
+
+def hourly_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window x event_type: count + value sum/avg.
+
+    Batch form uses date_trunc (equals window(ts,'1 hour').start) so the
+    oracle SQL is plain ANSI.  Streaming form: see stream_hourly_event_stats.
+    """
+    return (
+        events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            dec_sum("value", "sum_value"),
+            dec_avg("value", "avg_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def stream_hourly_event_stats(spark: SparkSession, source_dir: str, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of hourly_event_stats over a parquet file source.
+
+    Watermark bounds state: late events beyond ``watermark`` are dropped and
+    closed windows are evicted from the state store -- this is what keeps
+    unbounded streams bounded-memory at scale.
+    """
+    stream = spark.readStream.schema(spark.read.parquet(source_dir).schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "num_events", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-user session assignment: a new session starts when the gap from
+    the previous event exceeds ``gap_seconds``.
+
+    Batch form: lag window over (user_id, ts) -- one shuffle on user_id.
+    Returns (user_id, n_sessions, n_events).  The streaming twin of this
+    shape is stream_sessionize (applyInPandasWithState).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap_seconds),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def stream_sessionize(spark: SparkSession, source_dir: str, gap_seconds: int = 1800) -> DataFrame:
+    """Stateful streaming sessionization via session_window (native state
+    operator; applyInPandasWithState would be the route for custom state
+    transitions beyond gap-close semantics)."""
+    stream = spark.readStream.schema(spark.read.parquet(source_dir).schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", f"{gap_seconds} seconds").alias("sess"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
+    )
