@@ -498,7 +498,7 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     return rf"""
 WITH tok AS (
   SELECT DISTINCT doc_id, t FROM (
-    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS t
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS t
     FROM documents
   )
 ),

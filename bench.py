@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-driver of the
+bounded result).  A warmup query first absorbs JVM/session startup so the
+numbers reflect engine throughput, not cold-start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from youtubeanalyzerproject_big_data__spark.session import get_spark
+
+# Headline set: the heavy/representative queries (joins, multi-agg, window,
+# graph/PageRank, dedup families, ANN, ALS) — not the trivial filters.
+BENCH_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "q3_revenue_by_customer",
+    "q5_revenue_by_nation",
+    "a5_order_size_distribution",
+    "a7_order_parts_csv",
+    "w1_top3_orders_per_priority",
+    "w2_user_running_value",
+    "e1_events_hourly",
+    "e2_sessionize",
+    "g2_part_indegree_top20",
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_pairs",
+    "d5_embedding_near_dups",
+    "s1_ann_bruteforce_top5",
+    "g4_pagerank_top100",
+    "m1_als_recommendations",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warmup: trivial count to absorb session/JVM startup.
+    qs["a9_distinct_customers"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

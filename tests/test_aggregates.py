@@ -1,0 +1,50 @@
+"""A1-A5/A8/A9 semantics on reference-shaped fixtures (SURVEY.md par.2.4,
+FIXTURES.md invariants 1/4/5/6)."""
+
+from __future__ import annotations
+
+from youtubeanalyzerproject_big_data__spark.operators import aggregates as agg
+
+LENGTH_BUCKETS = [(240, "1_short"), (1200, "2_medium")]
+VIEW_BUCKETS = [(1_000, "<1k"), (10_000, "1k-10k"), (100_000, "10k-100k"), (1_000_000, "100k-1M")]
+
+
+def test_category_stats_groups_and_order(videos):
+    out = agg.category_stats(videos, "category", "views").collect()
+    # HTML-entity duplicate categories must NOT be normalized (invariant 4).
+    cats = [r["category"] for r in out]
+    assert "People & Blogs" in cats and "People &amp; Blogs" in cats
+    # ordered by group size desc: Music (3 rows) first
+    assert out[0]["category"] == "Music" and out[0]["num_rows"] == 3
+
+
+def test_bucket_counts_sum_to_total(videos):
+    out = agg.bucket_stats(videos, "length", LENGTH_BUCKETS, "3_long", "views").collect()
+    assert sum(r["num_rows"] for r in out) == videos.count()
+    # -1 sentinel lands in the shortest bucket (invariant: FIXTURES.md length row)
+    short = next(r for r in out if r["bucket"] == "1_short")
+    assert short["num_rows"] == 3  # v01 (100), v04 (200), v05 (-1)
+
+
+def test_histogram_lexicographic_order(videos):
+    out = agg.histogram(videos, "views", VIEW_BUCKETS, ">=1M").collect()
+    labels = [r["bucket"] for r in out]
+    assert labels == sorted(labels)  # string sort, reproducing the reference quirk
+    assert sum(r["num_rows"] for r in out) == videos.count()
+
+
+def test_sentinels_participate_in_global_stats(videos):
+    row = agg.global_stats(videos, "views").collect()[0]
+    # avg includes the -1 sentinel (invariant 5): sum = 500+1500+150000+2500000-1+25000
+    expected_avg = (500 + 1500 + 150000 + 2500000 - 1 + 25000) / 6
+    assert abs(row["avg_val"] - round(expected_avg, 6)) < 1e-6
+    assert row["cnt"] == 6
+
+
+def test_frequency_distribution(videos):
+    out = {r["degree"]: r["num_keys"] for r in agg.frequency_distribution(videos, "uploader").collect()}
+    assert out == {1: 3, 3: 1}  # alice x3; bob/carol/dave x1
+
+
+def test_distinct_count(videos):
+    assert agg.distinct_count(videos, "uploader").collect()[0]["n_distinct"] == 4

@@ -1,0 +1,76 @@
+"""Dedup family semantics on a corpus with known duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"  # 1 word differs
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, "  THE  quick brown fox jumps over the lazy dog again and again today "),  # dup after normalize
+        (4, near),  # near-dup of 1
+        (5, "completely different text about spark engines and distributed query processing systems"),
+        (6, "short text"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalized_grouping(docs):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import exact_duplicates
+
+    out = {r["keep_id"]: r for r in exact_duplicates(docs, "doc_id", "text").collect()}
+    assert out[1]["n_dups"] == 3 and out[1]["dup_ids_csv"] == "1,2,3"
+    assert out[4]["n_dups"] == 1
+
+
+def test_ngram_jaccard_exact_value(docs):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.0).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    # doc1 vs doc4: 13 tokens -> 11 shingles each, last shingle differs -> 10/12
+    assert pairs[(1, 4)] == pytest.approx(round(10 / 12, 6))
+    assert (1, 6) not in pairs  # no shared shingles
+
+
+def test_minhash_lsh_recalls_exact_and_near_dups(docs):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import minhash_lsh_pairs
+
+    got = {(r["doc1"], r["doc2"]) for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    # identical-shingle docs hash to identical signatures -> always recalled
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    # everything reported must meet the exact-jaccard threshold (verified stage)
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import ngram_jaccard_pairs
+
+    exact = {(r["doc1"], r["doc2"]) for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()}
+    assert got <= exact
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] == sigs[3]  # same token set after normalize/distinct
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in simhash_pairs(docs, "doc_id", "text").collect()}
+    assert pairs[(1, 2)] == 0
+    # near-dup differs by one token -> small distance, recalled by blocking
+    assert (1, 4) in pairs and pairs[(1, 4)] <= 3
+
+
+def test_embedding_near_dup(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id1"], r["id2"]): r["cos_sim"] for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.95).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.999

@@ -1,0 +1,67 @@
+"""G1-G4 graph semantics (SURVEY.md par.2.6, par.1.3): explode/clean rules,
+dangling in-degrees, degree-0 preservation, PageRank closed forms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtubeanalyzerproject_big_data__spark.operators import graph, joins
+
+
+def test_edges_from_arrays_cleaning(videos):
+    edges = graph.edges_from_arrays(videos, "video_id", "related")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # null-array (v05) and empty-array (v04) rows dropped; v03 self-loop removed.
+    assert ("v03", "v03") not in got
+    assert got == {
+        ("v01", "v02"), ("v01", "v03"), ("v01", "dangling1"),
+        ("v02", "v01"), ("v03", "v01"), ("v06", "v01"), ("v06", "v02"),
+    }
+
+
+def test_in_degree_includes_dangling(videos):
+    edges = graph.edges_from_arrays(videos, "video_id", "related")
+    indeg = {r["dst"]: r["in_degree"] for r in graph.in_degrees(edges).collect()}
+    assert indeg["dangling1"] == 1  # id absent from videos still counted (par.1.3)
+    assert indeg["v01"] == 3
+
+
+def test_degree_zero_preserved_by_left_join(videos):
+    edges = graph.edges_from_arrays(videos, "video_id", "related")
+    out = joins.left_join_fill_zero(
+        videos.select(F.col("video_id").alias("src")), graph.out_degrees(edges), "src", ["out_degree"]
+    )
+    deg = {r["src"]: r["out_degree"] for r in out.collect()}
+    assert deg["v04"] == 0 and deg["v05"] == 0  # invariant 2
+
+
+def test_pagerank_two_node_cycle(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    ranks = {r["id"]: r["pagerank"] for r in graph.pagerank(edges, max_iter=10).collect()}
+    # symmetric cycle: both converge to exactly 1.0
+    assert ranks == {"a": pytest.approx(1.0), "b": pytest.approx(1.0)}
+
+
+def test_pagerank_chain_closed_form(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    ranks = {r["id"]: r["pagerank"] for r in graph.pagerank(edges, max_iter=10).collect()}
+    # a has no in-links -> resetProb; b = 0.15 + 0.85*rank(a); fixpoint after 2 iters
+    assert ranks["a"] == pytest.approx(0.15)
+    assert ranks["b"] == pytest.approx(0.15 + 0.85 * 0.15)
+
+
+def test_pagerank_mass_conservation_no_dangling(spark):
+    # 3-cycle: stochastic, no dangling mass -> sum of ranks == N
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    total = sum(r["pagerank"] for r in graph.pagerank(edges, max_iter=10).collect())
+    assert total == pytest.approx(3.0, abs=1e-6)
+
+
+def test_top_influencers_shape(videos):
+    edges = graph.edges_from_arrays(videos, "video_id", "related")
+    top = graph.top_influencers(graph.pagerank(edges, max_iter=5), k=3).collect()
+    assert len(top) == 3
+    assert top[0]["pagerank"] >= top[1]["pagerank"] >= top[2]["pagerank"]
+    # v01 has the most in-links (3) -> highest rank
+    assert top[0]["id"] == "v01"

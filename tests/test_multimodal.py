@@ -1,0 +1,52 @@
+"""Multimodal plumbing: schema, Arrow batching, stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x00\x01\x02\x03" * 300), (2, b"\xff" * 10), (3, b"")],
+        "media_id long, blob binary",
+    )
+    from youtubeanalyzerproject_big_data__spark.operators.multimodal import attach_media_metadata
+
+    return attach_media_metadata(df, "media_id", "blob", "image")
+
+
+def test_metadata_schema(media):
+    row = {r["media_id"]: r for r in media.collect()}
+    assert row["1"]["n_bytes"] == 1200 and row["3"]["n_bytes"] == 0
+    assert row["2"]["modality"] == "image"
+    assert len(row["1"]["content_md5"]) == 32
+
+
+def test_fail_stub_raises(media):
+    from youtubeanalyzerproject_big_data__spark.operators.multimodal import extract_features
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(media, decode_stub="fail").collect()
+
+
+def test_fake_features_deterministic(media):
+    from youtubeanalyzerproject_big_data__spark.operators.multimodal import extract_features
+
+    a = {r["media_id"]: r["feat_mean"] for r in extract_features(media, decode_stub="fake").collect()}
+    b = {r["media_id"]: r["feat_mean"] for r in extract_features(media, decode_stub="fake").collect()}
+    assert a == b
+    assert a["1"] == pytest.approx(sum([0, 1, 2, 3, 0, 1, 2, 3]) / (255.0 * 8))
+    assert a["3"] == 0.0  # empty blob guarded
+
+
+def test_frame_sampler_row_counts(media):
+    from youtubeanalyzerproject_big_data__spark.operators.multimodal import sample_video_frames
+
+    out = sample_video_frames(media, every_n_bytes=500, decode_stub="fake").collect()
+    per = {}
+    for r in out:
+        per[r["media_id"]] = per.get(r["media_id"], 0) + 1
+    assert per["1"] == 3  # 1200 bytes / 500 -> chunks at 0,500,1000
+    assert per["2"] == 1 and per["3"] == 1

@@ -1,0 +1,48 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the executed plan (SURVEY.md par.4)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    plan = _plan(entrymod.q_f5(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_totalprice" in plan and "LessThanOrEqual(o_totalprice" in plan
+
+
+def test_column_pruning_in_scan(spark):
+    plan = _plan(entrymod.q_a6(spark, SF))
+    # only the 3 projected columns reach the scan schema
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(entrymod.q_q5(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1  # only the fact-fact join may merge
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = _plan(entrymod.q_a6(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # O1: no full sort (PageRank_Spark_v5.py:105-115)
+
+
+def test_map_only_text_query_has_no_shuffle(spark):
+    plan = _plan(entrymod.q_t2(spark, SF))
+    assert "Exchange" not in plan  # per-document scoring must stay shuffle-free
+
+
+def test_partial_aggregation_present(spark):
+    plan = _plan(entrymod.q_a1(spark, SF))
+    # partial+final hash aggregate (map-side combine) around a single hash
+    # shuffle (the second Exchange is rangepartitioning for the output sort)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -1,0 +1,50 @@
+"""ALS pipeline M1-M4: shape, determinism, dim re-attachment."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def interactions(spark):
+    rng = random.Random(42)
+    rows = []
+    for u in range(20):
+        for _ in range(15):
+            item = f"item{rng.randrange(30)}"
+            rows.append((f"user{u}", item, float(rng.randint(1, 5))))
+    return spark.createDataFrame(rows, "user string, item string, rating double")
+
+
+def test_als_pipeline_shape_and_determinism(interactions):
+    from youtubeanalyzerproject_big_data__spark.operators.recommend import build_ratings, recommend_for_users, train_als
+
+    ratings = build_ratings(interactions, "user", "item", "rating")
+    assert set(ratings.columns) >= {"user_idx", "item_idx", "rating", "user_label", "item_label"}
+
+    model = train_als(ratings, max_iter=5, seed=42)
+    recs = recommend_for_users(model, ratings, n_users=10, n_recs=5).collect()
+    assert len(recs) == 10
+    for r in recs:
+        assert len(r["recommendations"]) == 5
+        assert r["user_label"].startswith("user")
+        assert all(item.startswith("item") for item in r["recommendations"])
+
+    # seeded: second train+recommend gives identical recommendation sets
+    model2 = train_als(ratings, max_iter=5, seed=42)
+    recs2 = recommend_for_users(model2, ratings, n_users=10, n_recs=5).collect()
+    assert {(r["user_idx"], tuple(r["recommendations"])) for r in recs} == {
+        (r["user_idx"], tuple(r["recommendations"])) for r in recs2
+    }
+
+
+def test_build_ratings_drops_nulls(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.recommend import build_ratings
+
+    df = spark.createDataFrame(
+        [("u1", "i1", 3.0), (None, "i2", 4.0), ("u2", "i3", None)],
+        "user string, item string, rating double",
+    )
+    assert build_ratings(df, "user", "item", "rating").count() == 1

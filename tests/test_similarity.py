@@ -1,0 +1,50 @@
+"""ANN search: brute-force correctness and LSH recall."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """3 well-separated clusters of 10 vectors each in R^16, seeded."""
+    rng = random.Random(42)
+    rows = []
+    for c in range(3):
+        center = [0.0] * 16
+        center[c * 5] = 10.0
+        for i in range(10):
+            vec = [x + rng.gauss(0, 0.1) for x in center]
+            rows.append((c * 10 + i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_force_matches_python(clustered):
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import brute_force_topk
+
+    data = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in clustered.collect()}
+    out = brute_force_topk(clustered, clustered.where("vec_id = 0"), "vec_id", "embedding", k=3).collect()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["nn_rank"])]
+    expected = sorted((i for i in data if i != 0), key=lambda i: (-_cos(data[0], data[i]), i))[:3]
+    assert got == expected
+    # all top-3 from the same cluster as the query
+    assert all(n < 10 for n in got)
+
+
+def test_lsh_recall_on_clustered_vectors(clustered):
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import brute_force_topk, lsh_topk
+
+    queries = clustered.where("vec_id IN (0, 10, 20)")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(clustered, queries, "vec_id", "embedding", 3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(clustered, queries, "vec_id", "embedding", dim=16, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    # well-separated clusters: hyperplane LSH should recall nearly everything
+    assert recall >= 0.8, f"LSH recall too low: {recall}"

@@ -1,0 +1,79 @@
+"""Structured Streaming twins produce the same answers as their batch forms."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def event_rows():
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    for i in range(40):
+        # two users, events 13 min apart -> sessions split at >30 min gaps
+        rows.append((i, base + dt.timedelta(minutes=13 * i), i % 2, "click" if i % 3 else "view", float(i)))
+    # inject a >30-min gap for user 0
+    rows.append((100, base + dt.timedelta(hours=20), 0, "click", 1.0))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory, event_rows):
+    path = str(tmp_path_factory.mktemp("events_src"))
+    df = spark.createDataFrame(event_rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_hourly_matches_batch(spark, events_dir, tmp_path_factory):
+    from youtubeanalyzerproject_big_data__spark.streaming.events import hourly_event_stats, stream_hourly_event_stats
+
+    batch = {
+        (r["hour"], r["event_type"]): (r["num_events"], r["sum_value"])
+        for r in hourly_event_stats(spark.read.parquet(events_dir)).collect()
+    }
+    q = (
+        stream_hourly_event_stats(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (r["num_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hourly_test").collect()
+    }
+    assert got == batch
+
+
+def test_sessionize_batch_gap_splitting(spark, events_dir):
+    from youtubeanalyzerproject_big_data__spark.streaming.events import sessionize
+
+    out = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in sessionize(spark.read.parquet(events_dir), 1800).collect()}
+    # user 0: 26-min spacing (13*2) -> one session, plus the 20h-later event -> 2 sessions
+    assert out[0] == (2, 21)
+    assert out[1] == (1, 20)
+
+
+def test_stream_sessionize_runs(spark, events_dir):
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_sessionize
+
+    q = (
+        stream_sessionize(spark, events_dir, 1800)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    per_user = {}
+    for r in rows:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    assert per_user[0] == 2 and per_user[1] == 1  # session counts match batch

@@ -1,0 +1,55 @@
+"""Text analysis edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog"),  # en markers
+        (2, "el perro de la casa que ladra y muerde"),  # es markers
+        (3, ""),  # empty
+        (4, "   "),  # whitespace only
+        (5, "one-token"),
+        (6, "  Multi   space\ttabs  here  "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts_edge_cases(docs):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import token_counts
+
+    out = {r["doc_id"]: r for r in token_counts(docs, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 5
+    assert out[3]["n_tokens"] == 0 and out[4]["n_tokens"] == 0
+    assert out[6]["n_tokens"] == 4
+    assert out[5]["n_subword_tokens"] == 3  # "one", "-", "token"
+
+
+def test_language_id_markers(docs):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import language_id
+
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs, "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"  # nothing matches
+
+
+def test_quality_scores_ranges(docs):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import quality_scores
+
+    for r in quality_scores(docs, "doc_id", "text").collect():
+        for col in ("alpha_ratio", "space_ratio", "dup_token_ratio", "stopword_ratio"):
+            assert 0.0 <= r[col] <= 1.0, (r["doc_id"], col, r[col])
+    out = {r["doc_id"]: r for r in quality_scores(docs, "doc_id", "text").collect()}
+    assert out[1]["dup_token_ratio"] == pytest.approx(0.2)  # "the" twice in 5 tokens
+
+
+def test_fingerprints_normalize(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import fingerprints
+
+    df = spark.createDataFrame([(1, "Hello  World"), (2, "hello world"), (3, "other")], "doc_id long, text string")
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df, "doc_id", "text").collect()}
+    assert out[1] == out[2] != out[3]

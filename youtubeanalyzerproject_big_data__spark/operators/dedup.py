@@ -169,7 +169,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("token"),
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("token"),
     ).where(F.col("token") != "")
     hashed = toks.select("doc_id", md5_int32(F.col("token"), seed="simhash").alias("th"))
     bits_df = hashed.select(
@@ -246,11 +246,17 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str, threshol
     The LSH-bucketed path in similarity.py is the 100 TB route; this exact
     variant doubles as its verification oracle.
     """
-    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    from youtubeanalyzerproject_big_data__spark.functions.vectors import dot_arrow, norm
+
+    # Norms once per row (n rows, Catalyst fold); per-pair work is a single
+    # Arrow-batched numpy dot (see vectors.dot_arrow for why not the
+    # interpreted built-in fold on the n^2 path).
+    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), norm(F.col(vec_col)).alias("n1"))
+    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), norm(F.col(vec_col)).alias("n2"))
     pairs = a.join(b, F.col("id1") < F.col("id2"))
+    d = dot_arrow()
     return (
-        pairs.withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        pairs.withColumn("cos_sim", d(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
         .where(F.col("cos_sim") >= threshold)
         .select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
     )

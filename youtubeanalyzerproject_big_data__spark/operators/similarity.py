@@ -18,10 +18,11 @@ runs with no RNG state.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
 from youtubeanalyzerproject_big_data__spark.functions.vectors import cosine, dot
 
 
@@ -32,11 +33,15 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col
     ``queries`` is expected small (it is broadcast); corpus scan stays
     shuffle-free until the final per-query top-k window on query_id.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    from youtubeanalyzerproject_big_data__spark.functions.vectors import dot_arrow, norm
+
+    # Norms once per row; per-pair work is one Arrow-batched numpy dot.
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn"))
+    d = dot_arrow()
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", d(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -46,14 +51,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col
     )
 
 
+def _plane_component(p: int, c: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): the same
+    md5-derivation as functions.hashing.md5_int32(str(c), seed=f'plane{p}'),
+    evaluated driver-side so the plan carries plain float literals instead
+    of thousands of constant md5 expressions (which constant-fold slowly)."""
+    h = int(hashlib.md5(f"plane{p}:{c}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
+
+
 def _hyperplane_signature(vec_col: str, dim: int, num_planes: int) -> F.Column:
     """LSH signature: bit p = (v . plane_p) >= 0, planes md5-derived."""
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
-        # plane_p[c] = md5_int32(f"{p}:{c}") scaled to [-1, 1)
-        plane = F.array(
-            *[((md5_int32(F.lit(str(c)), seed=f"plane{p}") / F.lit(2147483648.0)) - F.lit(1.0)) for c in range(dim)]
-        )
+        plane = F.array(*[F.lit(_plane_component(p, c)) for c in range(dim)])
         bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig + F.shiftleft(bit, p)
     return sig
