@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_sql
+from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_lane_sql, md5_int32_sql
 from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum
 from youtubeanalyzerproject_big_data__spark.io import load_events, load_table
 from youtubeanalyzerproject_big_data__spark.operators import (
@@ -401,7 +401,9 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_als(spark: SparkSession, sf: str) -> DataFrame:
     """M1-M4 ALS pipeline (run_alsrecs_job.py) on (customer, part, quantity)
-    ratings; 50 users x 5 recs.  Rows-only: ALS is stochastic-but-seeded."""
+    ratings; 10pc Bernoulli sample seed=42 mirroring the reference's S11
+    (run_alsrecs_job.py:55); 50 users x 5 recs.  Rows-only: ALS is
+    stochastic-but-seeded."""
     li = load_table(spark, sf, "lineitem")
     o = load_table(spark, sf, "orders")
     base = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -409,7 +411,7 @@ def q_als(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_partkey").cast("string").alias("item"),
         F.col("l_quantity").cast("double").alias("rating"),
     )
-    ratings = recommend.build_ratings(base, "user", "item", "rating")
+    ratings = recommend.build_ratings(base, "user", "item", "rating", sample_fraction=0.1)
     model = recommend.train_als(ratings, max_iter=10, reg_param=0.1, rank=10, seed=42)
     return recommend.recommend_for_users(model, ratings, n_users=50, n_recs=5).select(
         "user_idx", "user_label", F.concat_ws(",", "recommendations").alias("recs_csv")
@@ -472,7 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
     rpb = num_hashes // bands
-    mins = ", ".join(f"MIN({md5_int32_sql('shingle', j)}) AS h{j}" for j in range(num_hashes))
+    # Hash j = lane j%4 of md5 digest seeded j//4 (four 32-bit lanes per
+    # digest -- mirrors functions.hashing.md5_int32_lanes).
+    mins = ", ".join(f"MIN({md5_int32_lane_sql('shingle', j // 4, j % 4)}) AS h{j}" for j in range(num_hashes))
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('_', {', '.join(f'h{b * rpb + r}' for r in range(rpb))}) AS sig FROM sig_t"
         for b in range(bands)

@@ -27,9 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
+from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32, md5_int32_lanes
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, word_ngrams
-from youtubeanalyzerproject_big_data__spark.functions.vectors import cosine
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -52,53 +51,131 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-n-gram shingles."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+    """(doc_id, shingle) exploded distinct word-n-gram shingles.
+
+    Repartitions the input first: shingling is the CPU-heavy per-document
+    step, and a compact parquet source may arrive in a handful of partitions
+    -- without this, one task shingles the whole corpus while every other
+    core idles.  The shuffle moves only (id, text), far cheaper than the
+    compute it parallelizes.
+    """
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(word_ngrams(F.col("_text"), n)).alias("shingle"))
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8) -> DataFrame:
+def _ordered_pairs(arr):
+    """All (x, y) pairs with x before y from a sorted array column, as an
+    array of structs (doc1, doc2) -- pure Catalyst, no self-join."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
+        )
+    )
+
+
+def _pairs_from_groups(keyed: DataFrame, group_cols: list[str], max_group: int | None = None) -> DataFrame:
+    """Candidate (doc1, doc2) pairs of doc_ids sharing a group key.
+
+    One shuffle (groupBy the key) + in-array pair expansion; groups of one
+    emit nothing, so non-shared keys -- the overwhelming majority in a real
+    corpus -- cost nothing.  ``max_group`` caps pathological hot keys
+    (stop-shingle cut, standard in web-scale dedup); None = exact.
+    """
+    groups = keyed.groupBy(*group_cols).agg(F.sort_array(F.collect_set("doc_id")).alias("ds")).where(F.size("ds") >= 2)
+    if max_group is not None:
+        groups = groups.where(F.size("ds") <= max_group)
+    return groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p")).select("p.doc1", "p.doc2").distinct()
+
+
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, sh int64): shingles as 64-bit hashes -- narrow shuffle keys;
+    the hash choice never reaches results (only counts do)."""
+    return _shingles(df, id_col, text_col, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
+
+
+def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for given candidate pairs from hashed-shingle rows.
+
+    Shingle sets are collected once per doc (distinct by construction), then
+    each candidate pair costs one array_intersect -- verification work is
+    O(candidates), not O(all overlapping pairs).
+    """
+    sets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
+    return (
+        pairs.join(sets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("h1")), "doc1")
+        .join(sets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("h2")), "doc2")
+        .withColumn("n_common", F.size(F.array_intersect("h1", "h2")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.size("h1") + F.size("h2") - F.col("n_common")), 6),
+        )
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8, max_df: int | None = None
+) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (doc1 < doc2, jaccard >= t).
 
-    Inverted-index self-join: docs only pair up when they share a shingle,
-    then |A intersect B| is a count per pair and |A u B| = |A|+|B|-inter.
-    At scale, frequent shingles create hot keys -- callers should pre-filter
-    stop-shingles (df_top-frequency cut) the way web-dedup pipelines do;
-    at benchmark scale the skew is negligible.
+    Inverted-index semantics without the classic self-join: co-occurring
+    pairs come from one groupBy(shingle_hash) + in-array pair expansion, and
+    because shingles are distinct per doc, the MULTIPLICITY of each emitted
+    pair is exactly |A intersect B| -- so one groupBy(doc1, doc2).count()
+    yields the intersection and |A u B| = n1 + n2 - inter closes the
+    Jaccard.  Shingles that appear in a single doc emit nothing, so the
+    non-shared majority of the index costs nothing.  At scale, frequent
+    shingles create hot groups -- ``max_df`` applies the standard
+    stop-shingle frequency cut (pairs whose only shared shingles are
+    stop-shingles are then missed -- the documented trade-off wherever this
+    cut is used); default None = exact.
     """
-    sh = _shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    sh = _hashed_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    groups = sh.groupBy("sh").agg(F.sort_array(F.collect_set("doc_id")).alias("ds")).where(F.size("ds") >= 2)
+    if max_df is not None:
+        groups = groups.where(F.size("ds") <= max_df)
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc1") < F.col("doc2"))
+        groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
+        .select("p.doc1", "p.doc2")
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), "doc1")
-        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), "doc2")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
         .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16) -> DataFrame:
     """(doc_id, minhash array<long>[num_hashes]) from word-n-gram shingles.
 
-    minhash_j(doc) = min over shingles of md5_int32(shingle, seed=j).
-    Computed as one explode + single groupBy with num_hashes min() aggregates
-    (one shuffle keyed by doc_id, map-side combined).
+    minhash_j(doc) = min over shingles of lane (j%4) of md5(seed=j//4 digest)
+    -- one 128-bit digest feeds four 32-bit hash lanes, so K minhashes cost
+    ceil(K/4) md5 evaluations per shingle (md5_int32_lanes).  Computed as one
+    explode + single groupBy with num_hashes min() aggregates (one shuffle
+    keyed by doc_id, map-side combined).
     """
-    sh = _shingles(df, id_col, text_col, n)
-    hashed = sh.select(
-        "doc_id", *[md5_int32(F.col("shingle"), seed=j).alias(f"h{j}") for j in range(num_hashes)]
-    )
+    return _minhash_sigs_from_shingles(_shingles(df, id_col, text_col, n), num_hashes)
+
+
+def _minhash_sigs_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    cols = []
+    for s in range((num_hashes + 3) // 4):
+        lanes = md5_int32_lanes(F.col("shingle"), seed=s, lanes=min(4, num_hashes - 4 * s))
+        cols.extend(lane.alias(f"h{4 * s + j}") for j, lane in enumerate(lanes))
+    hashed = sh.select("doc_id", *cols)
     aggs = [F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
     sigs = hashed.groupBy("doc_id").agg(*aggs)
     return sigs.select("doc_id", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("minhash"))
@@ -118,11 +195,15 @@ def minhash_lsh_pairs(
     Banding: num_hashes/bands rows per band; docs sharing any full band
     signature become candidates (groupBy on the band key -- candidates meet
     in a bucket, never an O(n^2) cross join).  Candidates are then verified
-    with exact n-gram Jaccard >= threshold, so output = ngram_jaccard_pairs
-    restricted to LSH-recalled pairs.  Returns (doc1, doc2, jaccard).
+    with exact n-gram Jaccard >= threshold -- computed per-candidate from
+    hashed shingle sets (array_intersect), NOT by materializing all
+    overlapping pairs.  Returns (doc1, doc2, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # Shingle once (CPU-heavy), reuse for both the signature path and the
+    # exact-verification sets.
+    sh_rows = _shingles(df, id_col, text_col, n).cache()
+    sigs = _minhash_sigs_from_shingles(sh_rows, num_hashes)
 
     band_rows = sigs.select(
         "doc_id",
@@ -141,22 +222,9 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
 
-    left = band_rows.select("band", "sig", F.col("doc_id").alias("doc1"))
-    right = band_rows.select("band", "sig", F.col("doc_id").alias("doc2"))
-    candidates = (
-        left.join(right, ["band", "sig"])
-        .where(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
-    verified = (
-        candidates.join(exact, ["doc1", "doc2"])
-        .where(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
-    )
-    return verified
+    candidates = _pairs_from_groups(band_rows, ["band", "sig"])
+    sh = sh_rows.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    return _jaccard_for_pairs(candidates, sh).where(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -164,34 +232,28 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
 
     bit_b(simhash) = 1 iff sum over distinct tokens of
     (+1 if bit_b(md5_int32(token)) else -1) > 0.
-    One explode over (token x bit) -- ~64 x tokens rows -- then a single
-    groupBy(doc_id); entirely Catalyst expressions.
+    One token explode, then a SINGLE groupBy(doc_id) carrying ``bits``
+    conditional-sum aggregates -- no (token x bit) row blow-up; the vote
+    matrix lives in agg buffers, map-side combined, one narrow shuffle.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("token"),
-    ).where(F.col("token") != "")
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        # Same rationale as _shingles: parallelize per-doc compute even when
+        # the source parquet arrives in one partition.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("_text"))), r"\s+"))).alias("token"))
+        .where(F.col("token") != "")
+    )
     hashed = toks.select("doc_id", md5_int32(F.col("token"), seed="simhash").alias("th"))
-    bits_df = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "th",
-    ).select(
-        "doc_id",
-        "bit",
-        # shiftright builtin needs a literal shift; use the SQL form for a
-        # column-valued shift amount.
-        F.when(F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)).alias("vote"),
+    votes = [
+        F.sum(F.when(F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    sig = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(bits)),
+        start=F.lit(0).cast("long"),
     )
-    bit_votes = bits_df.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return (
-        bit_votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0).cast("long"))
-            ).cast("long").alias("simhash")
-        )
-    )
+    return hashed.groupBy("doc_id").agg(*votes).select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3) -> DataFrame:
@@ -204,12 +266,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32, max
     """
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
-    sigs = simhash_signatures(df, id_col, text_col, bits).cache()
+    sigs = simhash_signatures(df, id_col, text_col, bits)
 
     mask = (1 << chunk_bits) - 1
     blocked = sigs.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("ds_elem"),
         F.explode(
             F.array(
                 *[
@@ -221,14 +282,21 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32, max
                 ]
             )
         ).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk", "ck.cval")
+    ).select("ck.chunk", "ck.cval", "ds_elem")
 
-    left = blocked.select("chunk", "cval", F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1"))
-    right = blocked.select("chunk", "cval", F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2"))
+    # Same one-shuffle bucket pair generation as the shingle path: structs
+    # sort by doc_id first, so doc1 < doc2 holds inside every pair.
+    groups = (
+        blocked.groupBy("chunk", "cval").agg(F.sort_array(F.collect_set("ds_elem")).alias("ds")).where(F.size("ds") >= 2)
+    )
     cands = (
-        left.join(right, ["chunk", "cval"])
-        .where(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2", "s1", "s2")
+        groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
+        .select(
+            F.col("p.doc1.doc_id").alias("doc1"),
+            F.col("p.doc1.simhash").alias("s1"),
+            F.col("p.doc2.doc_id").alias("doc2"),
+            F.col("p.doc2.simhash").alias("s2"),
+        )
         .distinct()
     )
     xor = F.col("s1").bitwiseXOR(F.col("s2"))
@@ -239,24 +307,58 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32, max
     )
 
 
-def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95) -> DataFrame:
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, num_blocks: int = 4
+) -> DataFrame:
     """Embedding-cosine near-dup pairs (id1 < id2, cosine >= threshold).
 
-    Brute-force all-pairs baseline; correct at any scale but O(n^2) compute.
-    The LSH-bucketed path in similarity.py is the 100 TB route; this exact
-    variant doubles as its verification oracle.
+    Exact all-pairs via BLOCK matrix product: rows hash into ``num_blocks``
+    blocks; every unordered block pair (g1 <= g2) becomes one applyInPandas
+    group whose task runs a single float64 GEMM over the two blocks.  Each
+    row is replicated num_blocks times (the standard all-pairs-similarity
+    replication cost), the O(n^2) flops run inside BLAS, and no O(n^2) rows
+    ever materialize -- only pairs above threshold leave the task.  At
+    cluster scale, size num_blocks so a block pair (2 * n/num_blocks
+    vectors) fits one task's memory; the LSH-bucketed route in similarity.py
+    remains the sub-quadratic path.
     """
-    from youtubeanalyzerproject_big_data__spark.functions.vectors import dot_arrow, norm
+    import numpy as np
+    import pandas as pd
 
-    # Norms once per row (n rows, Catalyst fold); per-pair work is a single
-    # Arrow-batched numpy dot (see vectors.dot_arrow for why not the
-    # interpreted built-in fold on the n^2 path).
-    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), norm(F.col(vec_col)).alias("n1"))
-    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), norm(F.col(vec_col)).alias("n2"))
-    pairs = a.join(b, F.col("id1") < F.col("id2"))
-    d = dot_arrow()
-    return (
-        pairs.withColumn("cos_sim", d(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
+    id_type = dict(emb.dtypes)[id_col]
+    blocked = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_blocks)).cast("int").alias("blk"),
     )
+    replicated = blocked.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("partner"),
+    ).select("id", "v", "blk", F.least("blk", "partner").alias("g1"), F.greatest("blk", "partner").alias("g2"))
+
+    def score_block(key, pdf):
+        g1, g2 = key
+        a = pdf[pdf["blk"] == g1]
+        b = a if g1 == g2 else pdf[pdf["blk"] == g2]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
+        ma = np.stack(a["v"].to_numpy()).astype(np.float64)
+        mb = ma if g1 == g2 else np.stack(b["v"].to_numpy()).astype(np.float64)
+        sims = (ma @ mb.T) / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1))
+        ii, jj = np.nonzero(sims >= threshold)
+        ida, idb = a["id"].to_numpy()[ii], b["id"].to_numpy()[jj]
+        if g1 == g2:
+            # within-block: the matrix holds both (i,j) and (j,i) + diagonal
+            keep = ida < idb
+            id1, id2 = ida[keep], idb[keep]
+            cos = sims[ii[keep], jj[keep]]
+        else:
+            # cross-block: each unordered pair appears once; orient by id
+            id1, id2 = np.minimum(ida, idb), np.maximum(ida, idb)
+            cos = sims[ii, jj]
+        return pd.DataFrame({"id1": id1, "id2": id2, "cos_sim": cos})
+
+    pairs = replicated.groupBy("g1", "g2").applyInPandas(score_block, f"id1 {id_type}, id2 {id_type}, cos_sim double")
+    return pairs.select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))

@@ -78,16 +78,21 @@ def pagerank(
         rank(v) = reset_prob + (1 - reset_prob) * sum_{u->v} rank(u) / out_deg(u)
     Dangling vertices (no out-edges) contribute no mass; vertices with no
     in-edges settle at reset_prob.  Returns (id, pagerank).
+
+    Loop shape: the rank table is maintained ONLY over vertices that have
+    in-edges (everything a contribution can reach).  A vertex with no
+    in-edges holds rank 1.0 before the first iteration and exactly
+    reset_prob after it, so the per-iteration join coalesces missing src
+    ranks to that constant instead of materializing a full vertex table --
+    one join + one aggregation per iteration, nothing else.
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # Vertices = every id seen on either side (dangling dsts get ranks too).
-    vertices = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
-
     # Pre-join each edge with its source out-degree once, outside the loop:
     # weight = 1/out_deg(src).  Partition by src and cache -- the loop then
-    # only shuffles the (small) rank table each iteration.
+    # only shuffles the (small) rank table each iteration; the edge-sized
+    # table never moves again.
     out_deg = out_degrees(edges)
     weighted = (
         edges.join(out_deg, "src")
@@ -97,26 +102,48 @@ def pagerank(
     )
     weighted.count()  # materialize before iterating
 
-    ranks = vertices.select("id", F.lit(1.0).alias("rank")).repartition(n_part, "id")
-
+    ranks = None  # None => every vertex still at the initial rank of 1.0
+    absent_rank = 1.0  # rank of any src missing from `ranks` (no in-edges)
     for i in range(max_iter):
-        contribs = (
-            weighted.join(ranks.withColumnRenamed("id", "src"), "src")
-            .select("dst", (F.col("rank") * F.col("weight")).alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("contrib"))
-        )
-        ranks = (
-            vertices.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (F.lit(reset_prob) + F.lit(1.0 - reset_prob) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+        if ranks is None:
+            # First iteration: all ranks are the constant 1.0 -- no join.
+            contribs = weighted.groupBy("dst").agg(F.sum("weight").alias("contrib"))
+        else:
+            contribs = (
+                weighted.join(ranks.withColumnRenamed("id", "src"), "src", "left")
+                .select(
+                    "dst",
+                    (F.coalesce(F.col("rank"), F.lit(absent_rank)) * F.col("weight")).alias("contrib"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("contrib"))
             )
+        ranks = contribs.select(
+            F.col("dst").alias("id"),
+            (F.lit(reset_prob) + F.lit(1.0 - reset_prob) * F.col("contrib")).alias("rank"),
         )
+        absent_rank = reset_prob
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
             ranks = ranks.localCheckpoint(eager=True)  # truncate lineage
 
-    result = ranks.select("id", F.round("rank", 6).alias("pagerank"))
+    if ranks is None:  # max_iter == 0: everything at the initial rank
+        vertices = weighted.select(F.col("src").alias("id")).union(weighted.select("dst")).distinct()
+        result = vertices.select("id", F.lit(1.0).alias("pagerank")).localCheckpoint(eager=True)
+        weighted.unpersist()
+        return result
+
+    # Vertices that only ever appear as src (no in-edges) sit at reset_prob.
+    src_only = (
+        weighted.select(F.col("src").alias("id"))
+        .distinct()
+        .join(ranks.select("id"), "id", "left_anti")
+        .select("id", F.lit(reset_prob).alias("rank"))
+    )
+    result = (
+        ranks.unionByName(src_only)
+        .select("id", F.round("rank", 6).alias("pagerank"))
+        .localCheckpoint(eager=True)  # pin before releasing the edge cache
+    )
     weighted.unpersist()
     return result
 

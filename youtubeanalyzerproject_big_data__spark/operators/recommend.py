@@ -35,6 +35,9 @@ def build_ratings(df: DataFrame, user_col: str, item_col: str, rating_col: str, 
     clean = df.na.drop(subset=[user_col, rating_col]).select(user_col, item_col, rating_col)
     if sample_fraction:
         clean = clean.sample(fraction=sample_fraction, seed=seed)  # S11
+    # Each StringIndexer.fit is a full scan; cache the cleaned input so the
+    # two fits + downstream transform don't re-run the upstream join/sample.
+    clean = clean.cache()
     idx_u = StringIndexer(inputCol=user_col, outputCol="user_idx", handleInvalid="skip")
     idx_i = StringIndexer(inputCol=item_col, outputCol="item_idx", handleInvalid="skip")
     out = idx_u.fit(clean).transform(clean)
