@@ -1,0 +1,84 @@
+"""S1-S4 XML ingest: typed coercion with -1 sentinels, related-array
+extraction, duplicate-tolerant sink (YoutubeDataset_loader_final.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from youtubeanalyzerproject_big_data__spark.schema import USERS_SCHEMA, VIDEOS_SCHEMA
+from youtubeanalyzerproject_big_data__spark.sources import xml_ingest
+
+VIDEOS_XML = """<?xml version="1.0"?>
+<dataset>
+  <video id="v01" uploader="alice" category="Music" age="408" length="212"
+         views="5147" rate="4.5" ratings="16" comments="8"
+         size_bytes="1048576" bitrate_kbps="320">
+    <related><id ref="v02"/><id ref="zz9"/></related>
+  </video>
+  <video id="v02" uploader="bob" category="Comedy" age="junk" length=""
+         views="10" rate="oops" ratings="2" comments="0"
+         size_bytes="2048" bitrate_kbps="128">
+    <related/>
+  </video>
+  <video id="v03" uploader="carol" category="Music" views="77" rate="3.0"/>
+</dataset>
+"""
+
+USERS_XML = """<?xml version="1.0"?>
+<dataset>
+  <user id="alice" uploads="3" watches="120" friends="9"/>
+  <user id="bob" uploads="bad" friends="-1"/>
+</dataset>
+"""
+
+
+@pytest.fixture(scope="module")
+def xml_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xml")
+    v = d / "videos.xml"
+    u = d / "users.xml"
+    v.write_text(VIDEOS_XML)
+    u.write_text(USERS_XML)
+    return str(v), str(u)
+
+
+def test_videos_schema_and_sentinels(spark, xml_files):
+    vpath, _ = xml_files
+    df = xml_ingest.read_videos_xml(spark, [vpath])
+    assert [f.name for f in df.schema.fields] == [f.name for f in VIDEOS_SCHEMA.fields]
+    assert [f.dataType for f in df.schema.fields] == [f.dataType for f in VIDEOS_SCHEMA.fields]
+    rows = {r.video_id: r for r in df.collect()}
+    assert len(rows) == 3
+    # clean row: everything typed through
+    assert rows["v01"].age == 408 and rows["v01"].views == 5147 and rows["v01"].rate == 4.5
+    # S3: related extracted in document order, dangling ids kept
+    assert rows["v01"].related == ["v02", "zz9"]
+    # S2: malformed int -> -1 sentinel (YoutubeDataset_loader_final.py:29-34)
+    assert rows["v02"].age == -1 and rows["v02"].length == -1
+    # malformed rate -> null (documented divergence: reference raises)
+    assert rows["v02"].rate is None
+    # empty <related/> -> empty array, no <related> at all -> empty array
+    assert rows["v02"].related == []
+    assert rows["v03"].related == []
+    # missing attributes -> -1 sentinel (int(None) also failed in reference)
+    assert rows["v03"].age == -1 and rows["v03"].size_bytes == -1
+
+
+def test_users_schema_and_sentinels(spark, xml_files):
+    _, upath = xml_files
+    df = xml_ingest.read_users_xml(spark, [upath])
+    assert [f.name for f in df.schema.fields] == [f.name for f in USERS_SCHEMA.fields]
+    rows = {r.user_id: r for r in df.collect()}
+    assert rows["alice"].uploads == 3 and rows["alice"].friends == 9
+    assert rows["bob"].uploads == -1  # malformed
+    assert rows["bob"].watches == -1  # missing
+    assert rows["bob"].friends == -1  # literal -1 passes through
+
+
+def test_dedup_sink_is_duplicate_tolerant(spark, xml_files, tmp_path):
+    vpath, _ = xml_files
+    df = xml_ingest.read_videos_xml(spark, [vpath, vpath])  # same file twice
+    assert df.count() == 6
+    out = str(tmp_path / "videos_parquet")
+    xml_ingest.write_dedup_parquet(df, out, ["video_id"])
+    assert spark.read.parquet(out).count() == 3  # S4: dup keys collapsed

@@ -77,3 +77,25 @@ def test_stream_sessionize_runs(spark, events_dir):
     for r in rows:
         per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
     assert per_user[0] == 2 and per_user[1] == 1  # session counts match batch
+
+
+def test_stream_user_totals_matches_batch(spark, events_dir):
+    """applyInPandasWithState custom stateful operator == batch groupBy."""
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_user_totals, user_totals
+
+    batch = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in user_totals(spark.read.parquet(events_dir)).collect()}
+    q = (
+        stream_user_totals(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a row per micro-batch; the LAST row per user is the total
+    rows = spark.sql("SELECT * FROM totals_test").collect()
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
+    assert got == batch

@@ -76,6 +76,50 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def user_totals(events: DataFrame) -> DataFrame:
+    """Batch twin of stream_user_totals: per-user event count + value sum."""
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value"))
+        .orderBy("user_id")
+    )
+
+
+def stream_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running (n_events, sum_value) accumulator that survives across
+    micro-batches.
+
+    This is the escape hatch for state transitions Spark's native operators
+    can't express (native window/session_window cover the common cases --
+    see stream_hourly_event_stats / stream_sessionize).  State is one tiny
+    tuple per user, partitioned by the group key, so state-store size grows
+    with |users|, not |events|; pair with a timeout
+    (GroupStateTimeout.ProcessingTimeTimeout) to expire idle keys on
+    unbounded key spaces.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(spark.read.parquet(source_dir).schema).parquet(source_dir)
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [total]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n_events long, sum_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(spark: SparkSession, source_dir: str, gap_seconds: int = 1800) -> DataFrame:
     """Stateful streaming sessionization via session_window (native state
     operator; applyInPandasWithState would be the route for custom state
