@@ -68,7 +68,7 @@ def pagerank(
     edges: DataFrame,
     reset_prob: float = 0.15,
     max_iter: int = 10,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 5,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """G4: iterative DataFrame PageRank, reference params resetProb=0.15
