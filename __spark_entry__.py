@@ -360,6 +360,14 @@ def q_s2(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_s3(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-5 (rows-only; recall measured in tests vs q_s1).  The
+    inverted-file route: probe nprobe/num_cells of the corpus per query."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5, num_cells=16, nprobe=4)
+    return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
+
+
 def q_t1(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_counts(load_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -458,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_near_dups": q_d5,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
+        "s3_ann_ivf_top5": q_s3,
         "t1_token_counts": q_t1,
         "t2_quality_scores": q_t2,
         "t3_language_id": q_t3,

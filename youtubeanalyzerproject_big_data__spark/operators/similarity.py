@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Two paths:
+Three paths:
   * brute_force_topk -- exact cosine top-k per query.  Query set is
     broadcast (small side), so the corpus never shuffles: each corpus
     partition scores its rows against every query and keeps a local top-k
@@ -8,8 +8,14 @@ Two paths:
   * lsh_topk -- random-hyperplane LSH: 16-bit signatures from md5-seeded
     deterministic hyperplanes; query and corpus meet only inside matching
     buckets (multi-probe over b-bit bands), then exact cosine re-ranks.
-    This is the 100 TB path: bucketing turns all-pairs into per-bucket
-    joins; recall is tunable via bands/rows.
+    Bucketing turns all-pairs into per-bucket joins; recall is tunable via
+    bands/rows.
+  * ivf_topk -- inverted-file index: corpus partitioned into cells around
+    centroids; queries probe only the ``nprobe`` nearest cells.  The
+    centroid table is a tiny model (num_cells x dim), trained once and
+    broadcast in UDF closures; scan cost per query drops by
+    ~num_cells/nprobe.  This is how vector stores scale scans at billions
+    of rows.
 
 Deterministic "random" hyperplanes: component c of plane p is
 (md5_int32(p:c) / 2^31) - 1  in [-1, 1) -- reproducible across engines and
@@ -118,6 +124,91 @@ def lsh_topk(
         .distinct()
     )
     scored = cands.withColumn("cos_sim", cosine(F.col("query_v"), F.col("neighbor_v")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
+    )
+
+
+def _centroids(corpus: DataFrame, id_col: str, vec_col: str, num_cells: int, refine_iters: int = 1):
+    """Deterministic centroid model: seed with the num_cells corpus vectors
+    of smallest xxhash64(id) (a seedless, order-stable pseudo-random
+    sample), then run ``refine_iters`` Lloyd step(s) driver-side over a
+    bounded sample.  Returns a unit-normalized numpy array (num_cells x d).
+
+    The model is tiny and train-once -- same lifecycle as the ALS model;
+    at 100 TB you train on a sample and broadcast, never on the full scan.
+    """
+    import numpy as np
+
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(num_cells)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if refine_iters:
+        # bounded, deterministic refinement sample (first 4096 by hash order)
+        sample = (
+            corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+            .orderBy("h")
+            .limit(4096)
+            .collect()
+        )
+        X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        for _ in range(refine_iters):
+            assign = np.argmax(Xn @ cents.T, axis=1)
+            for c in range(len(cents)):
+                members = Xn[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    norm = np.linalg.norm(m)
+                    if norm > 0:
+                        cents[c] = m / norm
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index.
+
+    Corpus rows are assigned to their nearest centroid cell (one
+    Arrow-batched argmax GEMM per batch); each query probes its ``nprobe``
+    nearest cells and re-ranks exactly inside them.  The cell equi-join
+    replaces the all-pairs product with a 1/(num_cells/nprobe) slice of it.
+    Output schema matches brute_force_topk so recall is directly
+    measurable.
+    """
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_nearest_cell, make_probe_cells
+
+    cents = _centroids(corpus, id_col, vec_col, num_cells)
+    nearest_cell = make_nearest_cell(cents)
+    probe_cells = make_probe_cells(cents, nprobe)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
+        "cell", nearest_cell("cv")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(probe_cells("qv")))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
