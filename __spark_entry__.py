@@ -160,6 +160,16 @@ def q_a9(spark: SparkSession, sf: str) -> DataFrame:
     return agg.distinct_count(load_table(spark, sf, "orders"), "o_custkey")
 
 
+def q_a10(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP subtotals (idiomatic grouping-sets upgrade; not in reference)."""
+    return agg.rollup_stats(load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice")
+
+
+def q_a11(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over priority x status."""
+    return agg.cube_stats(load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice")
+
+
 def q_f4(spark: SparkSession, sf: str) -> DataFrame:
     """F4 conjunctive range predicate (QueryScripts_Final.py:15-18)."""
     li = load_table(spark, sf, "lineitem")
@@ -321,6 +331,22 @@ def q_e2(spark: SparkSession, sf: str) -> DataFrame:
     return ev.sessionize(load_events(spark, sf), gap_seconds=1800)
 
 
+def q_e3(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of backward join (attribution): each purchase matched to the same
+    user's most recent at-or-before view.  Merge-union + running last
+    implementation -- one shuffle, no range-join explosion."""
+    ev = load_events(spark, sf)
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    right = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    out = joins.asof_join_backward(left, right, "user_id", "ts", ["event_id", "value"], "event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("prior_view_id"),
+        F.col("value_asof").alias("prior_view_value"),
+    )
+
+
 def q_d1(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup via normalized-text hash groups."""
     return dedup.exact_duplicates(load_table(spark, sf, "documents"), "doc_id", "text")
@@ -442,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_order_parts_csv": q_a7,
         "a8_table_counts": q_a8,
         "a9_distinct_customers": q_a9,
+        "a10_rollup_order_stats": q_a10,
+        "a11_cube_order_stats": q_a11,
         "f4_returned_mid_quantity": q_f4,
         "f5_price_range": q_f5,
         "f6_dynamic_search_count": q_f6,
@@ -459,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_part_indegree_distribution": q_g3,
         "e1_events_hourly": q_e1,
         "e2_sessionize": q_e2,
+        "e3_asof_attribution": q_e3,
         "d1_exact_dups": q_d1,
         "d2_ngram_jaccard_pairs": q_d2,
         "d3_minhash_lsh_pairs": q_d3,
@@ -609,6 +638,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'customer', COUNT(*) FROM customer
         """,
         "a9_distinct_customers": "SELECT COUNT(DISTINCT o_custkey) AS n_distinct FROM orders",
+        "a10_rollup_order_stats": f"""
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS num_rows,
+                   {_dsum("o_totalprice")} AS sum_o_totalprice
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "a11_cube_order_stats": f"""
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS num_rows,
+                   {_dsum("o_totalprice")} AS sum_o_totalprice
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
         "f4_returned_mid_quantity": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
             FROM lineitem WHERE l_quantity BETWEEN 10 AND 30 AND l_returnflag = 'R'
@@ -715,6 +754,28 @@ def oracle_sql() -> dict[str, str]:
               FROM g)
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        # As-of oracle: same merge-union + running-last shape, with ts
+        # truncated to MICROSECONDS to match the engine's nanos->us events
+        # normalization (io.load_events) -- ordering must agree exactly.
+        "e3_asof_attribution": """
+            WITH u AS (
+              SELECT event_id, user_id, CAST(floor(epoch_ns(ts)/1000) AS BIGINT) AS tsu,
+                     1 AS side, CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS DOUBLE) AS r_value
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT event_id, user_id, CAST(floor(epoch_ns(ts)/1000) AS BIGINT),
+                     0, event_id, value
+              FROM events WHERE event_type = 'view'
+            ),
+            w AS (
+              SELECT event_id, user_id, side,
+                     last_value(r_event_id IGNORE NULLS) OVER win AS prior_view_id,
+                     last_value(r_value IGNORE NULLS) OVER win AS prior_view_value
+              FROM u
+              WINDOW win AS (PARTITION BY user_id ORDER BY tsu, side, event_id ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_id, user_id, prior_view_id, prior_view_value FROM w WHERE side = 1
         """,
         "d1_exact_dups": r"""
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups,

@@ -100,3 +100,25 @@ def distinct_count(df: DataFrame, col: str) -> DataFrame:
     """A9: exact distinct count (one row).  At cluster scale prefer
     approx_count_distinct to avoid the distinct shuffle when tolerance allows."""
     return df.agg(F.countDistinct(col).alias("n_distinct"))
+
+
+def rollup_stats(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (absent from the reference --
+    SURVEY.md par.2.7 'not present' list -- but the idiomatic Spark upgrade
+    for report-style aggregates).  One Expand + single hash aggregate:
+    subtotal rows cost one extra expand multiple, not extra passes."""
+    return (
+        df.rollup(*keys)
+        .agg(F.count(F.lit(1)).alias("num_rows"), dec_sum(value, f"sum_{value}"))
+        .orderBy(*[F.col(k).asc_nulls_first() for k in keys])
+    )
+
+
+def cube_stats(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """All grouping-set combinations via CUBE; same Expand-based single
+    aggregate as rollup_stats."""
+    return (
+        df.cube(*keys)
+        .agg(F.count(F.lit(1)).alias("num_rows"), dec_sum(value, f"sum_{value}"))
+        .orderBy(*[F.col(k).asc_nulls_first() for k in keys])
+    )

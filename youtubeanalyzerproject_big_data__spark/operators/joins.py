@@ -14,7 +14,7 @@ plan deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,3 +36,52 @@ def semi_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """NOT EXISTS anti-join."""
     return left.join(right, key, "left_anti")
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_vals: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """As-of (backward) join: each left row enriched with the LATEST right
+    row of the same ``key`` whose ``ts`` is at-or-before the left row's.
+
+    Spark has no native as-of join; the naive range join explodes.  This is
+    the merge-union formulation: tag sides, union, and take a running
+    ``last(ignorenulls)`` of the right payload over
+    (key, ORDER BY ts, side, tiebreak) -- ONE shuffle on the key, O(n log n)
+    per partition, no row multiplication.  Right rows sort before left rows
+    at equal ts (side 0 < 1), giving the <= semantics; ``tiebreak`` (a
+    column present in both inputs) makes the winner among equal-ts right
+    rows deterministic.
+
+    Output: all left columns + each right payload column as ``<col>_asof``
+    (null when no right row precedes the left row).
+    """
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    lcols = left.columns
+    l2 = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"{c}_asof") for c in right_vals],
+    )
+    r2 = right.select(
+        *[F.col(c) if c in (key, ts, tiebreak) else F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}_asof") for c in right_vals],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts), F.col("_side"), F.col(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l2.unionByName(r2)
+    out = u.select(
+        *lcols,
+        "_side",
+        *[F.last(f"{c}_asof", ignorenulls=True).over(w).alias(f"{c}_asof") for c in right_vals],
+    )
+    return out.where(F.col("_side") == 1).drop("_side")
