@@ -65,3 +65,13 @@ def test_top_influencers_shape(videos):
     assert top[0]["pagerank"] >= top[1]["pagerank"] >= top[2]["pagerank"]
     # v01 has the most in-links (3) -> highest rank
     assert top[0]["id"] == "v01"
+
+
+def test_densify_min_related_filter(videos):
+    """F1: the pre-graph densification filter (PageRank_Spark_v5.py:61)."""
+    kept2 = {r["video_id"] for r in graph.densify(videos, "related", 2).collect()}
+    all_ids = {r["video_id"] for r in videos.collect()}
+    sizes = {r["video_id"]: r["n"] for r in videos.select("video_id", F.size("related").alias("n")).collect()}
+    assert kept2 == {v for v in all_ids if sizes[v] is not None and sizes[v] >= 2}
+    # null related arrays -> size is null (Spark 4 non-legacy) -> filtered out
+    assert graph.densify(videos, "related", 0).count() == sum(1 for v in all_ids if sizes[v] is not None)

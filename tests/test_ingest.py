@@ -82,3 +82,14 @@ def test_dedup_sink_is_duplicate_tolerant(spark, xml_files, tmp_path):
     out = str(tmp_path / "videos_parquet")
     xml_ingest.write_dedup_parquet(df, out, ["video_id"])
     assert spark.read.parquet(out).count() == 3  # S4: dup keys collapsed
+
+
+def test_json_artifact_roundtrip(spark, tmp_path):
+    """S9 sink + S10 source: the reference's materialized-view layer."""
+    from youtubeanalyzerproject_big_data__spark.io import read_json_artifact, write_json_artifact
+
+    df = spark.createDataFrame([("Music", 10, 4.2), ("Comedy", 7, 3.9)], "category string, n long, avg_rate double")
+    path = str(tmp_path / "cache_json")
+    write_json_artifact(df, path)
+    back = read_json_artifact(spark, path)
+    assert {(r["category"], r["n"], r["avg_rate"]) for r in back.collect()} == {("Music", 10, 4.2), ("Comedy", 7, 3.9)}

@@ -46,3 +46,18 @@ def test_partial_aggregation_present(spark):
     # shuffle (the second Exchange is rangepartitioning for the output sort)
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """e3: the merge-union as-of formulation must not plan a join at all --
+    no SortMergeJoin, no range/cartesian explosion; one window pass."""
+    plan = _plan(entrymod.q_e3(spark, SF))
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_rollup_plans_single_expand_aggregate(spark):
+    """a10: ROLLUP compiles to Expand + hash aggregate, not N passes."""
+    plan = _plan(entrymod.q_a10(spark, SF))
+    assert "Expand" in plan

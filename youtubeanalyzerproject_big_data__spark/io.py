@@ -66,6 +66,13 @@ def write_json_artifact(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").json(path)
 
 
+def read_json_artifact(spark: SparkSession, path: str) -> DataFrame:
+    """JSON cache source (S10): the reference's Phase-2 GUI reads its cache
+    files back for interactive serving (guiV5.py:66-78,108-119); here that
+    round-trip is spark.read.json over the artifact directory."""
+    return spark.read.json(path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("overwrite")
     if partition_by:

@@ -25,6 +25,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def densify(df: DataFrame, related_col: str, min_related: int = 5) -> DataFrame:
+    """F1: keep only rows whose related-array has >= min_related entries --
+    the reference's graph-densification filter applied BEFORE the expensive
+    graph build (PageRank_Spark_v5.py:61), a filter-early design choice
+    worth keeping at any scale."""
+    return df.where(F.size(related_col) >= min_related)
+
+
 def edges_from_arrays(df: DataFrame, id_col: str, related_col: str) -> DataFrame:
     """G1: (src, dst) edge list from an id + array<id> column.
 
