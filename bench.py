@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "w2_user_running_value",
     "e1_events_hourly",
     "e2_sessionize",
+    "e3_asof_attribution",
     "g2_part_indegree_top20",
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",

@@ -61,3 +61,16 @@ def test_rollup_plans_single_expand_aggregate(spark):
     """a10: ROLLUP compiles to Expand + hash aggregate, not N passes."""
     plan = _plan(entrymod.q_a10(spark, SF))
     assert "Expand" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """Partition-layout round trip: a filter on the partition column must
+    become a PartitionFilters entry (directory pruning), not a row filter."""
+    from youtubeanalyzerproject_big_data__spark.io import load_table, write_parquet
+
+    out = str(tmp_path_factory.mktemp("part") / "orders_by_status")
+    write_parquet(load_table(spark, SF, "orders"), out, partition_by=["o_orderstatus"])
+    df = spark.read.parquet(out).where("o_orderstatus = 'F'").select("o_orderkey")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split("PartitionFilters:")[1][:200]
