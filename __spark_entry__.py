@@ -446,7 +446,9 @@ def q_als(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("rating"),
     )
     ratings = recommend.build_ratings(base, "user", "item", "rating", sample_fraction=0.1)
-    model = recommend.train_als(ratings, max_iter=10, reg_param=0.1, rank=10, seed=42)
+    # 10% sample leaves ~rows/10 ratings; 4 blocks ~= rows/20k at sf0.1
+    # (train_als docstring) -- fewer stages, same factorization.
+    model = recommend.train_als(ratings, max_iter=10, reg_param=0.1, rank=10, seed=42, num_blocks=4)
     return recommend.recommend_for_users(model, ratings, n_users=50, n_recs=5).select(
         "user_idx", "user_label", F.concat_ws(",", "recommendations").alias("recs_csv")
     )

@@ -52,8 +52,22 @@ def build_ratings(df: DataFrame, user_col: str, item_col: str, rating_col: str, 
     return strip_metadata(out)
 
 
-def train_als(ratings: DataFrame, max_iter: int = 10, reg_param: float = 0.1, rank: int = 10, seed: int = 42):
-    """M3: reference hyper-params (run_alsrecs_job.py:84-93) + fixed seed."""
+def train_als(
+    ratings: DataFrame,
+    max_iter: int = 10,
+    reg_param: float = 0.1,
+    rank: int = 10,
+    seed: int = 42,
+    num_blocks: int | None = None,
+):
+    """M3: reference hyper-params (run_alsrecs_job.py:84-93) + fixed seed.
+
+    ``num_blocks`` controls ALS's user/item blocking (default 10): each
+    iteration runs one stage per block pair, so oversized block counts on
+    small ratings matrices are pure scheduling overhead, while undersized
+    ones cap parallelism on big ones.  Rule of thumb: rows / ~20k, clamped
+    to the cluster's parallelism.
+    """
     from pyspark.ml.recommendation import ALS
 
     als = ALS(
@@ -66,6 +80,8 @@ def train_als(ratings: DataFrame, max_iter: int = 10, reg_param: float = 0.1, ra
         coldStartStrategy="drop",
         seed=seed,
     )
+    if num_blocks is not None:
+        als = als.setNumUserBlocks(num_blocks).setNumItemBlocks(num_blocks)
     return als.fit(ratings.select("user_idx", "item_idx", "rating"))
 
 
