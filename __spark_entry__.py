@@ -6,7 +6,8 @@ the training-data-pipeline extensions) to the driver's benchmark tables;
 
 Cross-engine determinism rules used throughout (see
 youtubeanalyzerproject_big_data__spark/functions/precision.py):
-  * SUM/AVG of doubles go through exact DECIMAL(28,6) arithmetic.
+  * SUM/AVG of doubles go through exact DECIMAL(18,6)-input arithmetic
+    (long-backed fast path; sum buffers auto-widen, staying exact).
   * Float outputs are ROUNDed (4-6 dp) identically on both sides.
   * Every ORDER BY ... LIMIT has a deterministic tiebreak key.
   * Hashes that appear in results are md5-derived (portable), never
@@ -43,7 +44,7 @@ from youtubeanalyzerproject_big_data__spark.streaming import events as ev
 # ---------------------------------------------------------------------------
 
 def _dsum(col_expr: str) -> str:
-    return f"CAST(SUM(CAST({col_expr} AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def _davg(col_expr: str, scale: int = 6) -> str:
@@ -709,7 +710,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w2_user_running_value": """
             SELECT event_id, user_id,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value
             FROM events
