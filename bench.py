@@ -56,6 +56,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # Per-query isolation: operators cache intermediates (shingles,
+        # edge tables) scoped to their own run; leftover cache blocks from
+        # earlier queries only add memory pressure to later ones.
+        spark.catalog.clearCache()
         t0 = time.time()
         rows = qs[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

@@ -4,12 +4,9 @@ actually appear in the executed plan (SURVEY.md par.4)."""
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
+from youtubeanalyzerproject_big_data__spark.plans.inspect import executed_plan as _plan
 
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_filter_pushed_to_parquet_scan(spark):
