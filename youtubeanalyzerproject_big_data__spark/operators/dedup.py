@@ -289,7 +289,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32, max
     groups = (
         blocked.groupBy("chunk", "cval").agg(F.sort_array(F.collect_set("ds_elem")).alias("ds")).where(F.size("ds") >= 2)
     )
-    cands = (
+    xor = F.col("s1").bitwiseXOR(F.col("s2"))
+    return (
         groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
         .select(
             F.col("p.doc1.doc_id").alias("doc1"),
@@ -297,13 +298,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32, max
             F.col("p.doc2.doc_id").alias("doc2"),
             F.col("p.doc2.simhash").alias("s2"),
         )
-        .distinct()
-    )
-    xor = F.col("s1").bitwiseXOR(F.col("s2"))
-    return (
-        cands.withColumn("hamming", F.bit_count(xor).cast("long"))
+        # Filter BEFORE dedup: the hamming check is a map-side expression,
+        # so rejecting far pairs here shrinks the distinct's shuffle to
+        # only the (much rarer) true near-dups.
+        .withColumn("hamming", F.bit_count(xor).cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
+        .distinct()
     )
 
 
