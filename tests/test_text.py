@@ -53,3 +53,16 @@ def test_fingerprints_normalize(spark):
     df = spark.createDataFrame([(1, "Hello  World"), (2, "hello world"), (3, "other")], "doc_id long, text string")
     out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df, "doc_id", "text").collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_char_ngrams_function(spark):
+    """char_ngrams: normalized, deduplicated character shingles."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import char_ngrams
+
+    df = spark.createDataFrame([("abcab",), ("  A  b ",), ("ab",)], "t string")
+    out = [r["g"] for r in df.select(char_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert out[0] == ["abc", "bca", "cab"]  # 'abc' appears once (distinct)
+    assert out[1] == ["a b"]  # lowered + whitespace-collapsed to 'a b'
+    assert out[2] == []  # shorter than n -> empty, not sequence-down bug
