@@ -420,6 +420,15 @@ def q_mm1(spark: SparkSession, sf: str) -> DataFrame:
     return feats.select("media_id", "modality", "n_bytes", F.round("feat_mean", 6).alias("feat_mean"), "feat_dim")
 
 
+def q_mm2(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal 1->N fan-out: per-blob frame sampling via mapInPandas
+    (fake kernel, deterministic chunk hashes).  Oracle: DuckDB md5 over the
+    same byte chunks."""
+    docs = load_table(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    media = multimodal.attach_media_metadata(docs, "doc_id", "blob", "video")
+    return multimodal.sample_video_frames(media, every_n_bytes=256, decode_stub="fake")
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
     over the order->part bipartite graph; top-100 (O1).  Rows-only check:
@@ -504,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_language_id": q_t3,
         "t4_fingerprints": q_t4,
         "mm1_media_features": q_mm1,
+        "mm2_frame_samples": q_mm2,
         "g4_pagerank_top100": q_pagerank,
         "m1_als_recommendations": q_als,
     }
@@ -845,7 +855,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS INTEGER) AS feat_dim
             FROM documents
         """,
-        # g4_pagerank_top100, m1_als_recommendations, s2_ann_lsh_top5:
-        # intentionally omitted -> rows-only checks (iterative / ML / recall-
-        # dependent operators; see SURVEY.md par.5 item 3).
+        # Frame sampling: one md5 per 256-byte chunk; documents are pure
+        # ASCII (verified), so VARCHAR substring == byte slicing and
+        # md5(VARCHAR) == md5 of the utf-8 bytes.  Empty text -> one empty
+        # chunk, mirroring the kernel's max(len, 1).
+        "mm2_frame_samples": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(i AS INTEGER) AS frame_no,
+                   md5(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_md5
+            FROM documents,
+                 unnest(generate_series(0, CAST(floor((greatest(length(text), 1) - 1) / 256) AS BIGINT))) AS t(i)
+        """,
+        # g4_pagerank_top100, m1_als_recommendations, s2_ann_lsh_top5,
+        # s3_ann_ivf_top5: intentionally omitted -> rows-only checks
+        # (iterative / ML / recall-dependent operators; SURVEY.md par.5 item 3).
     }
