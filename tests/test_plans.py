@@ -71,3 +71,38 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on the join key must sort-merge join with ZERO
+    Exchange operators -- the pre-paid-shuffle (co-located join) strategy."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table, write_bucketed
+    from youtubeanalyzerproject_big_data__spark.plans.inspect import operator_counts
+
+    base = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "li_b", str(base / "li"), ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_b", str(base / "o"), ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    thresholds = ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    try:
+        # disable broadcast so the tiny test tables exercise the co-located
+        # sort-merge path (the strategy that matters when BOTH sides are big)
+        for k in thresholds:
+            spark.conf.set(k, "-1")
+        joined = spark.table("li_b").join(spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        assert joined.count() > 0
+        counts = operator_counts(joined)
+        assert counts["Exchange"] == 0, f"bucketed join still shuffles: {counts}"
+        assert counts["SortMergeJoin"] >= 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
