@@ -373,6 +373,22 @@ def q_d5(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(load_table(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.46)
 
 
+def q_d7(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup clustering: near-dup pairs (d2 semantics) -> connected
+    components -> every document labeled with its duplicate-cluster id
+    (smallest doc_id in the cluster; singletons label themselves).  The
+    step a training-data pipeline runs after pair generation to pick one
+    representative per group."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = graph.connected_components(pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
+    return (
+        docs.select(F.col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+
+
 def q_s1(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 10."""
     emb = load_table(spark, sf, "embeddings")
@@ -505,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh_pairs": q_d3,
         "d4_simhash_pairs": q_d4,
         "d5_embedding_near_dups": q_d5,
+        "d7_dup_clusters": q_d7,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
         "s3_ann_ivf_top5": q_s3,
@@ -798,6 +815,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d2_ngram_jaccard_pairs": f"WITH {_SHINGLES_CTE} SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8",
         "d3_minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 0.8),
+        # Components via recursive transitive closure (pair graphs from
+        # dedup are tiny relative to the corpus, so closure is affordable
+        # oracle-side; the engine itself uses iterative min-label
+        # propagation, graph.connected_components).
+        "d7_dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            p AS (SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8),
+            e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+            ),
+            comp AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a)
+            SELECT d.doc_id, CAST(COALESCE(LEAST(c.doc_id, c.mn), d.doc_id) AS BIGINT) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        """,
         "d4_simhash_pairs": _simhash_oracle(32, 3),
         "d5_embedding_near_dups": f"""
             SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -75,3 +75,14 @@ def test_densify_min_related_filter(videos):
     assert kept2 == {v for v in all_ids if sizes[v] is not None and sizes[v] >= 2}
     # null related arrays -> size is null (Spark 4 non-legacy) -> filtered out
     assert graph.densify(videos, "related", 0).count() == sum(1 for v in all_ids if sizes[v] is not None)
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation: chains converge to the smallest member."""
+    edges = spark.createDataFrame(
+        # component {1,2,3,4} as a chain; component {10,11}; {20,21,22} star
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (22, 20)],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["component"] for r in graph.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -158,6 +158,52 @@ def pagerank(
     return result
 
 
+def connected_components(edges: DataFrame, max_iter: int = 20, num_partitions: int | None = None) -> DataFrame:
+    """Connected components by min-label propagation: every vertex converges
+    to the smallest vertex id reachable from it (undirected).
+
+    The dedup pipeline's clustering step: near-dup PAIRS (d2/d3/d4 output)
+    become duplicate GROUPS.  Each round is one join + one aggregation over
+    the symmetrized edge table (cached, hash-partitioned once, like
+    pagerank); the loop stops early when a round changes no label, so
+    runtime is O(component diameter) rounds -- small for dedup clusters.
+    Returns (id, component) for every vertex WITH an edge; isolated
+    vertices are their own component by definition (callers left-join).
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(n_part, "src")
+        .cache()
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nbr"), "dst")
+            .groupBy("src")
+            .agg(F.min("nbr").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", F.least("component", F.coalesce("nbr", "component")).alias("component"))
+            .localCheckpoint(eager=True)  # flat lineage; also feeds the change count
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def top_influencers(ranks: DataFrame, k: int = 500) -> DataFrame:
     """O1: top-N by pagerank -- TakeOrderedAndProject, driver holds only N
     rows (the reference's explicit optimization, PageRank_Spark_v5.py:105-115)."""
