@@ -161,6 +161,26 @@ def q_a9(spark: SparkSession, sf: str) -> DataFrame:
     return agg.distinct_count(load_table(spark, sf, "orders"), "o_custkey")
 
 
+def q_f9(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sample (~10%): membership is a pure function of
+    the key, so the sampled SET is reproducible across engines/partitions/
+    re-runs -- unlike RNG df.sample, this is fully oracle-checkable."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import hash_sample
+
+    o = load_table(spark, sf, "orders")
+    return hash_sample(o, "o_orderkey", 0.10, seed="s1").select("o_orderkey", "o_totalprice")
+
+
+def q_f10(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling: rebalance strata (keep all URGENT,
+    10% of LOW) -- the corpus-rebalancing step of training-data curation."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import stratified_hash_sample
+
+    o = load_table(spark, sf, "orders")
+    out = stratified_hash_sample(o, "o_orderkey", "o_orderpriority", {"1-URGENT": 1.0, "5-LOW": 0.10}, seed="s2")
+    return out.select("o_orderkey", "o_orderpriority")
+
+
 def q_a10(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP subtotals (idiomatic grouping-sets upgrade; not in reference)."""
     return agg.rollup_stats(load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice")
@@ -411,6 +431,13 @@ def q_s3(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_t5(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary statistics: top-200 tokens by document frequency with
+    smoothed IDF (the stop-word / TF-IDF prerequisite)."""
+    out = text.term_document_frequency(load_table(spark, sf, "documents"), "doc_id", "text")
+    return out.orderBy(F.desc("df"), "token").limit(200)
+
+
 def q_t1(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_counts(load_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -501,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_returned_mid_quantity": q_f4,
         "f5_price_range": q_f5,
         "f6_dynamic_search_count": q_f6,
+        "f9_hash_sample": q_f9,
+        "f10_stratified_sample": q_f10,
         "j1_orders_line_counts_top10": q_j1,
         "j6_topk_enriched_customers": q_j6,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -529,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_quality_scores": q_t2,
         "t3_language_id": q_t3,
         "t4_fingerprints": q_t4,
+        "t5_term_df": q_t5,
         "mm1_media_features": q_mm1,
         "mm2_frame_samples": q_mm2,
         "g4_pagerank_top100": q_pagerank,
@@ -668,6 +698,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'customer', COUNT(*) FROM customer
         """,
         "a9_distinct_customers": "SELECT COUNT(DISTINCT o_custkey) AS n_distinct FROM orders",
+        "f9_hash_sample": f"""
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s1")}) % 1000000 < 100000
+        """,
+        "f10_stratified_sample": f"""
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE (o_orderpriority = '1-URGENT'
+                   AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 1000000)
+               OR (o_orderpriority = '5-LOW'
+                   AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 100000)
+        """,
         "a10_rollup_order_stats": f"""
             SELECT o_orderpriority, o_orderstatus, COUNT(*) AS num_rows,
                    {_dsum("o_totalprice")} AS sum_o_totalprice
@@ -855,6 +896,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS BIGINT) AS n_subword_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_measured
             FROM documents
+        """,
+        "t5_term_df": r"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t AS token FROM (
+                SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS t
+                FROM documents)
+            ),
+            n AS (SELECT COUNT(*) AS nd FROM documents),
+            d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token)
+            SELECT token, df, ROUND(ln((nd + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+            FROM d, n ORDER BY df DESC, token LIMIT 200
         """,
         "t2_quality_scores": rf"""
             WITH t AS (

@@ -1,0 +1,31 @@
+"""Deterministic hash sampling: stability properties RNG sampling lacks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtubeanalyzerproject_big_data__spark.functions.sampling import hash_sample, stratified_hash_sample
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in hash_sample(df, "k", 0.1, seed="t").collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(13), "k", 0.1, seed="t").collect()}
+    assert a == b  # membership is a pure function of the key
+    assert 0.08 < len(a) / 20000 < 0.12
+
+
+def test_hash_sample_stable_under_growth(spark):
+    small = spark.range(0, 5000).select(F.col("id").alias("k"))
+    big = spark.range(0, 20000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in hash_sample(small, "k", 0.1, seed="t").collect()}
+    b = {r["k"] for r in hash_sample(big, "k", 0.1, seed="t").collect()}
+    assert a == {k for k in b if k < 5000}  # once sampled, always sampled
+
+
+def test_stratified_fractions(spark):
+    df = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s"))
+    out = stratified_hash_sample(df, "k", "s", {"true": 1.0, "false": 0.2}, seed="t")
+    counts = {r["s"]: r["c"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts["true"] == 5000
+    assert 800 < counts["false"] < 1200

@@ -89,3 +89,25 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 8), 16, 10).cast("long").alias("fingerprint32"),
     )
+
+
+def term_document_frequency(df: DataFrame, id_col: str, text_col: str, min_df: int = 1) -> DataFrame:
+    """(token, df, idf): document frequency + smoothed IDF per distinct
+    lower-cased token -- the vocabulary statistics a TF-IDF or stop-word
+    pipeline needs.  One explode of per-doc DISTINCT tokens and one hash
+    aggregate; at corpus scale the shuffle carries (token, partial count)
+    pairs thanks to map-side combine.  idf = ln((N+1)/(df+1)) + 1
+    (sklearn-style smoothing), rounded for cross-engine comparison."""
+    n_docs = df.count()  # one cheap metadata-ish scan; the N in IDF
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("token"),
+    )
+    out = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out.select(
+        "token",
+        "df",
+        F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6).alias("idf"),
+    )
