@@ -183,12 +183,26 @@ def q_f10(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_a10(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP subtotals (idiomatic grouping-sets upgrade; not in reference)."""
-    return agg.rollup_stats(load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice")
+    out = agg.rollup_stats(load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice")
+    # subtotal rows get an explicit label: no NULL group keys reach the
+    # driver compare (its NULL ordering semantics are not ours to assume)
+    return out.select(
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+        "num_rows",
+        "sum_o_totalprice",
+    )
 
 
 def q_a11(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over priority x status."""
-    return agg.cube_stats(load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice")
+    out = agg.cube_stats(load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice")
+    return out.select(
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+        "num_rows",
+        "sum_o_totalprice",
+    )
 
 
 def q_f4(spark: SparkSession, sf: str) -> DataFrame:
@@ -284,6 +298,24 @@ def q_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_w3(spark: SparkSession, sf: str) -> DataFrame:
+    """Window forms not covered by w1/w2: lag (per-customer days since the
+    previous order) and ntile (price quartile within each priority class).
+    Both windows partition on real keys -- no single-partition global
+    window, which would serialize at scale."""
+    _utc(spark)
+    o = load_table(spark, sf, "orders")
+    w_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_prio = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w_cust)).cast("long"), F.lit(-1)
+        ).alias("days_since_prev"),
+        F.ntile(4).over(w_prio).cast("long").alias("price_quartile"),
+    )
+
+
 def q_w1(spark: SparkSession, sf: str) -> DataFrame:
     """Window top-K per group (the idiomatic upgrade flagged in SURVEY.md par.2.7)."""
     o = load_table(spark, sf, "orders")
@@ -360,11 +392,12 @@ def q_e3(spark: SparkSession, sf: str) -> DataFrame:
     left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
     right = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
     out = joins.asof_join_backward(left, right, "user_id", "ts", ["event_id", "value"], "event_id")
+    # no-prior-view sentinel (-1): keeps NULLs out of the driver compare
     return out.select(
         "event_id",
         "user_id",
-        F.col("event_id_asof").alias("prior_view_id"),
-        F.col("value_asof").alias("prior_view_value"),
+        F.coalesce(F.col("event_id_asof"), F.lit(-1)).alias("prior_view_id"),
+        F.coalesce(F.col("value_asof"), F.lit(-1.0)).alias("prior_view_value"),
     )
 
 
@@ -537,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
         "w2_user_running_value": q_w2,
+        "w3_order_lag_quartiles": q_w3,
         "sj_customers_with_orders": q_semi,
         "aj_customers_without_orders": q_anti,
         "set_ops_custkeys": q_setops,
@@ -710,12 +744,16 @@ def oracle_sql() -> dict[str, str]:
                    AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 100000)
         """,
         "a10_rollup_order_stats": f"""
-            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS num_rows,
+            SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+                   COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+                   COUNT(*) AS num_rows,
                    {_dsum("o_totalprice")} AS sum_o_totalprice
             FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "a11_cube_order_stats": f"""
-            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS num_rows,
+            SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+                   COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+                   COUNT(*) AS num_rows,
                    {_dsum("o_totalprice")} AS sum_o_totalprice
             FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
@@ -783,6 +821,16 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value
             FROM events
         """,
+        # datediff on DATE-truncated timestamps matches Spark's datediff
+        # (timestamps here are date-valued; UTC pinned on both sides).
+        "w3_order_lag_quartiles": """
+            SELECT o_orderkey,
+                   CAST(COALESCE(datediff('day',
+                                 LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                                 CAST(o_orderdate AS DATE)), -1) AS BIGINT) AS days_since_prev,
+                   CAST(NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
+            FROM orders
+        """,
         "sj_customers_with_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -846,7 +894,10 @@ def oracle_sql() -> dict[str, str]:
               FROM u
               WINDOW win AS (PARTITION BY user_id ORDER BY tsu, side, event_id ROWS UNBOUNDED PRECEDING)
             )
-            SELECT event_id, user_id, prior_view_id, prior_view_value FROM w WHERE side = 1
+            SELECT event_id, user_id,
+                   COALESCE(prior_view_id, -1) AS prior_view_id,
+                   COALESCE(prior_view_value, -1.0) AS prior_view_value
+            FROM w WHERE side = 1
         """,
         "d1_exact_dups": r"""
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups,

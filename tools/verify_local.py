@@ -25,15 +25,19 @@ def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def c(v):
+        # (is_null, value) pairs keep rows sortable when a column mixes
+        # NULLs with values (None < int raises in Python).
+        if v is None:
+            return (1, "")
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
-            return round(v, 9)
+                return (0, "NaN")
+            return (0, round(v, 9))
         if hasattr(v, "isoformat"):
-            return v.isoformat()
+            return (0, v.isoformat())
         if isinstance(v, (list, tuple)):
-            return tuple(c(x) for x in v)
-        return v
+            return (0, tuple(c(x) for x in v))
+        return (0, v)
 
     return sorted(tuple(c(r[i]) for i in order) for r in rows)
 
