@@ -1,0 +1,66 @@
+"""Property-based invariants (hypothesis): relationships that must hold for
+ANY input, not just the fixtures.
+
+Each property runs few examples (Spark jobs are ~seconds each); the value
+is the generator exploring corpus shapes the hand-written fixtures miss
+(empty docs, one-token docs, full-duplicate corpora, singleton strata).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+SLOW = settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(texts=doc_strategy)
+@SLOW
+def test_lsh_pairs_subset_of_exact_pairs(spark, texts):
+    """MinHash+LSH output is verified with exact Jaccard, so it can never
+    contain a pair the exact detector would reject (no false positives)."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    exact = {(r["doc1"], r["doc2"]) for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    lsh = {(r["doc1"], r["doc2"]) for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    assert lsh <= exact
+
+
+@given(texts=doc_strategy)
+@SLOW
+def test_exact_dup_groups_partition_the_corpus(spark, texts):
+    """Exact-dup groups are a partition: every doc in exactly one group."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    members = [m for r in groups for m in r["dup_ids_csv"].split(",")]
+    assert sorted(int(m) for m in members) == list(range(len(texts)))
+    assert sum(r["n_dups"] for r in groups) == len(texts)
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=20))
+@SLOW
+def test_connected_components_fixpoint(spark, edges):
+    """Components are a fixpoint: each vertex's label equals the component
+    min, and both endpoints of every edge share a label."""
+    from youtubeanalyzerproject_big_data__spark.operators.graph import connected_components
+
+    e = spark.createDataFrame([(a, b) for a, b in edges if a != b] or [(0, 1)], "src long, dst long")
+    labels = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    for a, b in [(r["src"], r["dst"]) for r in e.collect()]:
+        assert labels[a] == labels[b]
+    for v, c in labels.items():
+        assert c <= v  # label is the min of the component, so never above v
+        assert labels[c] == c  # the representative labels itself
