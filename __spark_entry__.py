@@ -442,6 +442,16 @@ def q_d7(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_d8(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus dedup: incoming batch (source='src0') filtered against
+    the rest of the corpus -- the incremental-ingestion contamination check.
+    Only cross-side pairs are generated."""
+    docs = load_table(spark, sf, "documents")
+    new = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return dedup.cross_corpus_near_dups(new, corpus, "doc_id", "text", n=3, threshold=0.8)
+
+
 def q_s1(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 10."""
     emb = load_table(spark, sf, "embeddings")
@@ -585,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash_pairs": q_d4,
         "d5_embedding_near_dups": q_d5,
         "d7_dup_clusters": q_d7,
+        "d8_cross_corpus_dups": q_d8,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
         "s3_ann_ivf_top5": q_s3,
@@ -925,6 +936,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "d4_simhash_pairs": _simhash_oracle(32, 3),
+        # Cross-corpus: same shingle machinery, sides split by source and
+        # only cross-side pairs counted.
+        "d8_cross_corpus_dups": f"""
+            WITH {_SHINGLES_CTE.replace("FROM documents", "FROM documents")},
+            side AS (SELECT doc_id, (source = 'src0') AS is_new FROM documents),
+            xj AS (
+              SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS n_common
+              FROM sh a JOIN side sa ON a.doc_id = sa.doc_id
+              JOIN sh b ON a.shingle = b.shingle
+              JOIN side sb ON b.doc_id = sb.doc_id
+              WHERE sa.is_new AND NOT sb.is_new
+              GROUP BY 1, 2
+            )
+            SELECT new_id, corpus_id,
+                   ROUND(n_common / (s1.n + s2.n - n_common), 6) AS jaccard
+            FROM xj JOIN sizes s1 ON new_id = s1.doc_id JOIN sizes s2 ON corpus_id = s2.doc_id
+            WHERE ROUND(n_common / (s1.n + s2.n - n_common), 6) >= 0.8
+        """,
+
         "d5_embedding_near_dups": f"""
             SELECT a.vec_id AS id1, b.vec_id AS id2,
                    ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim

@@ -74,3 +74,24 @@ def test_embedding_near_dup(spark):
     got = {(r["id1"], r["id2"]): r["cos_sim"] for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.95).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] > 0.999
+
+
+def test_cross_corpus_near_dups_only_cross_pairs(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import cross_corpus_near_dups
+
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "completely different text about nothing at all here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (101, "the quick brown fox jumps over the lazy cat now"),  # near 1
+            (102, "unrelated corpus document with other words entirely thanks"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["new_id"], r["corpus_id"]): r["jaccard"] for r in cross_corpus_near_dups(new, corpus, "doc_id", "text", threshold=0.5).collect()}
+    assert out[(1, 100)] == 1.0
+    assert (1, 101) in out and out[(1, 101)] < 1.0
+    assert all(k[0] in (1, 2) and k[1] >= 100 for k in out)  # cross-side only

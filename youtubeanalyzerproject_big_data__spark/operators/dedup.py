@@ -363,3 +363,40 @@ def embedding_near_dup_pairs(
 
     pairs = replicated.groupBy("g1", "g2").applyInPandas(score_block, f"id1 {id_type}, id2 {id_type}, cos_sim double")
     return pairs.select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def cross_corpus_near_dups(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dups of an INCOMING batch against an EXISTING corpus -- the
+    incremental-ingestion contamination/dedup filter (drop new documents
+    that duplicate what the training set already holds).
+
+    Inverted-index join across sides only: new-side shingles meet
+    corpus-side shingles on the hash, so within-side pairs are never
+    generated, and the shuffle keys are 8-byte hashes.  With shingles
+    distinct per doc, pair multiplicity equals the intersection size.
+    Returns (new_id, corpus_id, jaccard).
+    """
+    sh_new = _hashed_shingles(new_docs, id_col, text_col, n).cache()
+    sh_old = _hashed_shingles(corpus_docs, id_col, text_col, n).cache()
+    n_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
+    n_old = sh_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
+    inter = (
+        sh_new.select(F.col("doc_id").alias("new_id"), "sh")
+        .join(sh_old.select(F.col("doc_id").alias("corpus_id"), "sh"), "sh")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(n_new.select(F.col("doc_id").alias("new_id"), "n1"), "new_id")
+        .join(n_old.select(F.col("doc_id").alias("corpus_id"), "n2"), "corpus_id")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
