@@ -401,6 +401,26 @@ def q_e3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_e4(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON property extraction (from_json with an explicit schema -- the
+    typed path, not string get_json_object) + per-type stats over the
+    extracted field.  Covers the JSON-functions family flagged 'not
+    present' in the reference (SURVEY.md par.2.7)."""
+    ev_df = load_events(spark, sf)
+    parsed = ev_df.withColumn("k", F.from_json("props", "k BIGINT").getField("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_d1(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup via normalized-text hash groups."""
     return dedup.exact_duplicates(load_table(spark, sf, "documents"), "doc_id", "text")
@@ -589,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_events_hourly": q_e1,
         "e2_sessionize": q_e2,
         "e3_asof_attribution": q_e3,
+        "e4_json_props_stats": q_e4,
         "d1_exact_dups": q_d1,
         "d2_ngram_jaccard_pairs": q_d2,
         "d3_minhash_lsh_pairs": q_d3,
@@ -884,6 +905,14 @@ def oracle_sql() -> dict[str, str]:
               FROM g)
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "e4_json_props_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # As-of oracle: same merge-union + running-last shape, with ts
         # truncated to MICROSECONDS to match the engine's nanos->us events
