@@ -892,6 +892,10 @@ def oracle_sql() -> dict[str, str]:
                    {_dsum('value')} AS sum_value, {_davg('value')} AS avg_value
             FROM events GROUP BY 1, 2
         """,
+        # Gap compares integer MICROSECONDS on both sides (engine:
+        # unix_micros; here: nanos floor-divided to micros, matching the
+        # engine's nanos->us normalization in io.load_events) -- second-level
+        # epoch() rounds vs truncates differently across engines.
         "e2_sessionize": """
             WITH g AS (
               SELECT user_id, ts, event_id,
@@ -900,7 +904,8 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT user_id,
                      CASE WHEN prev_ts IS NULL
-                               OR (CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT)) > 1800
+                               OR (CAST(floor(epoch_ns(ts)/1000) AS BIGINT)
+                                   - CAST(floor(epoch_ns(prev_ts)/1000) AS BIGINT)) > 1800000000
                           THEN 1 ELSE 0 END AS new_session
               FROM g)
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
@@ -1042,12 +1047,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(concat('0x', substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8)) AS BIGINT) AS fingerprint32
             FROM documents
         """,
+        # COALESCE + greatest(..., 1) mirror the kernel's max(len, 1) guard:
+        # an empty document yields feat_mean 0.0, not NULL (no-NULLs-in-
+        # outputs invariant).
         "mm1_media_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id, 'text_blob' AS modality,
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
-                   ROUND(list_sum(list_transform(generate_series(1, least(strlen(text), 8)),
-                                                 i -> ascii(substring(text, i, 1))))
-                         / (255.0 * least(strlen(text), 8)), 6) AS feat_mean,
+                   ROUND(COALESCE(list_sum(list_transform(generate_series(1, least(strlen(text), 8)),
+                                                          i -> ascii(substring(text, i, 1)))), 0)
+                         / (255.0 * greatest(least(strlen(text), 8), 1)), 6) AS feat_mean,
                    CAST(8 AS INTEGER) AS feat_dim
             FROM documents
         """,

@@ -47,9 +47,6 @@ def main() -> None:
     only = set(sys.argv[2:])
     spark = get_spark("verify-local")
     con = duckdb.connect()
-    for name in entrymod.queries():
-        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT 1")  # placeholder cleanup safety
-    con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 

@@ -181,6 +181,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20, num_partitions: i
     )
     labels = sym.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nbr"), "dst")
@@ -201,6 +202,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20, num_partitions: i
         if changed == 0:
             break
     sym.unpersist()
+    if changed > 0:
+        # Silent truncation would hand back WRONG cluster ids (a chain with
+        # diameter > max_iter leaves labels unconverged) -- fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use "
+            "connected_components_star (O(log n) rounds)"
+        )
     return labels
 
 

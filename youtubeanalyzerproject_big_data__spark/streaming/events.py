@@ -59,13 +59,21 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     Batch form: lag window over (user_id, ts) -- one shuffle on user_id.
     Returns (user_id, n_sessions, n_events).  The streaming twin of this
     shape is stream_sessionize (applyInPandasWithState).
+
+    Gaps compare integer MICROSECONDS (unix_micros), not unix_timestamp
+    seconds: second-truncation rounds the two sides of a near-1800s gap
+    differently from an oracle that rounds-to-nearest, flipping the
+    new-session decision on one side only.  Micros are the native precision
+    of the events table (io.load_events), so both engines compare the same
+    integers.
     """
+    gap_us = gap_seconds * 1_000_000
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     gaps = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
         F.when(
             F.col("prev_ts").isNull()
-            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap_seconds),
+            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > gap_us),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
