@@ -537,8 +537,9 @@ def q_mm2(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
-    over the order->part bipartite graph; top-100 (O1).  Rows-only check:
-    iterative, not expressible in one oracle SQL statement."""
+    over the order->part bipartite graph; top-100 (O1).  Oracle: 10 unrolled
+    CTE iterations replaying the engine's integer-quantized contribution
+    sums (_pagerank_oracle) -- exact match, no tolerance."""
     li = load_table(spark, sf, "lineitem")
     edges = graph.edges_from_pairs(
         li.select(F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")),
@@ -635,6 +636,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+def _pagerank_oracle(edges_sql: str, reset: float = 0.15, max_iter: int = 10, k: int = 100, scale: float = 1e9) -> str:
+    """DuckDB replay of graph.pagerank's integer-quantized iterations.
+
+    Both engines compute, per edge and iteration, the IDENTICAL IEEE double
+    rank*weight*scale (multiplication is deterministic given identical
+    inputs; only summation order is not), quantize it with round -> int64,
+    and sum integers -- exact in any order.  So the unrolled CTEs below are
+    bit-for-bit the engine's arithmetic, and the final ROUND(...,6) matches
+    without tolerance.  Literals go through repr() so the oracle parses the
+    exact doubles the Spark plan carries.
+    """
+    r = f"CAST({reset!r} AS DOUBLE)"
+    d = f"CAST({1.0 - reset!r} AS DOUBLE)"
+    s = f"CAST({int(scale)} AS DOUBLE)"
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src)",
+        "w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.dg AS wt FROM edges e JOIN deg ON e.src = deg.src)",
+        # iteration 1: every rank is the constant 1.0 -> contribution = wt
+        f"r1 AS (SELECT dst AS id, {r} + {d} * (SUM(CAST(round(wt * {s}) AS BIGINT)) / {s}) AS rank FROM w GROUP BY dst)",
+    ]
+    for i in range(2, max_iter + 1):
+        # absent src ranks coalesce to reset (a vertex with no in-edges
+        # settles there after iteration 1) -- mirrors the engine loop.
+        ctes.append(
+            f"r{i} AS (SELECT w.dst AS id, {r} + {d} * "
+            f"(SUM(CAST(round(COALESCE(p.rank, {r}) * w.wt * {s}) AS BIGINT)) / {s}) AS rank "
+            f"FROM w LEFT JOIN r{i - 1} p ON w.src = p.id GROUP BY w.dst)"
+        )
+    last = f"r{max_iter}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+allr AS (
+  SELECT id, rank FROM {last}
+  UNION ALL
+  SELECT src AS id, {r} AS rank FROM (SELECT DISTINCT src FROM edges) so
+  WHERE src NOT IN (SELECT id FROM {last})
+)
+SELECT id, ROUND(rank, 6) AS pagerank FROM allr ORDER BY pagerank DESC, id LIMIT {k}
+"""
+
+
+_PAGERANK_EDGES_SQL = (
+    "SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS src, 'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem"
+)
+
 
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
     rpb = num_hashes // bands
@@ -1070,7 +1119,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  unnest(generate_series(0, CAST(floor((greatest(length(text), 1) - 1) / 256) AS BIGINT))) AS t(i)
         """,
-        # g4_pagerank_top100, m1_als_recommendations, s2_ann_lsh_top5,
-        # s3_ann_ivf_top5: intentionally omitted -> rows-only checks
-        # (iterative / ML / recall-dependent operators; SURVEY.md par.5 item 3).
+        "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
+        # m1_als_recommendations: intentionally omitted -> rows-only check
+        # (ALS is stochastic-but-seeded; no engine-independent oracle exists).
     }

@@ -78,6 +78,7 @@ def pagerank(
     max_iter: int = 10,
     checkpoint_every: int = 5,
     num_partitions: int | None = None,
+    contrib_scale: float = 1e9,
 ) -> DataFrame:
     """G4: iterative DataFrame PageRank, reference params resetProb=0.15
     maxIter=10 (PageRank_Spark_v5.py:102).
@@ -93,6 +94,16 @@ def pagerank(
     reset_prob after it, so the per-iteration join coalesces missing src
     ranks to that constant instead of materializing a full vertex table --
     one join + one aggregation per iteration, nothing else.
+
+    Determinism: each edge contribution is quantized to an INTEGER number of
+    1/contrib_scale units (round(rank*weight*scale) as long) and the
+    per-vertex sum runs over longs, which is exact and order-independent --
+    the result is bit-identical across partition counts, executor counts,
+    AQE decisions, and engines (the DuckDB oracle replays the same integer
+    arithmetic).  Double-summing contributions instead would make the output
+    depend on partitioning (float addition is not associative).  The 1e-9
+    quantum is ~7 orders below the 1e-6 output rounding, so it never costs
+    ranking precision; long sums also map-side combine cheaper than doubles.
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -112,25 +123,26 @@ def pagerank(
         .cache()
     )
 
+    scale = F.lit(contrib_scale)
+    damp = 1.0 - reset_prob
     ranks = None  # None => every vertex still at the initial rank of 1.0
     absent_rank = 1.0  # rank of any src missing from `ranks` (no in-edges)
     for i in range(max_iter):
         if ranks is None:
             # First iteration: all ranks are the constant 1.0 -- no join.
-            contribs = weighted.groupBy("dst").agg(F.sum("weight").alias("contrib"))
+            ci = F.round(F.col("weight") * scale).cast("long")
+            contribs = weighted.select("dst", ci.alias("ci")).groupBy("dst").agg(F.sum("ci").alias("ci"))
         else:
+            ci = F.round(F.coalesce(F.col("rank"), F.lit(absent_rank)) * F.col("weight") * scale).cast("long")
             contribs = (
                 weighted.join(ranks.withColumnRenamed("id", "src"), "src", "left")
-                .select(
-                    "dst",
-                    (F.coalesce(F.col("rank"), F.lit(absent_rank)) * F.col("weight")).alias("contrib"),
-                )
+                .select("dst", ci.alias("ci"))
                 .groupBy("dst")
-                .agg(F.sum("contrib").alias("contrib"))
+                .agg(F.sum("ci").alias("ci"))
             )
         ranks = contribs.select(
             F.col("dst").alias("id"),
-            (F.lit(reset_prob) + F.lit(1.0 - reset_prob) * F.col("contrib")).alias("rank"),
+            (F.lit(reset_prob) + F.lit(damp) * (F.col("ci") / scale)).alias("rank"),
         )
         absent_rank = reset_prob
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
