@@ -48,3 +48,18 @@ def test_build_ratings_drops_nulls(spark):
         "user string, item string, rating double",
     )
     assert build_ratings(df, "user", "item", "rating").count() == 1
+
+
+def test_recommend_dims_semi_reduced_before_broadcast(interactions):
+    """The enrichment joins must broadcast REDUCED dims: each dim is first
+    left-semi-joined against the (tiny, broadcast) exploded rec keys.
+    Broadcasting the full distinct item/user dims silently OOMs at scale --
+    the plan must carry two LeftSemi broadcast joins below the enrichment."""
+    from youtubeanalyzerproject_big_data__spark.operators.recommend import build_ratings, recommend_for_users, train_als
+    from youtubeanalyzerproject_big_data__spark.plans.inspect import executed_plan
+
+    ratings = build_ratings(interactions, "user", "item", "rating")
+    model = train_als(ratings, max_iter=1, seed=42)
+    out = recommend_for_users(model, ratings, n_users=5, n_recs=3)
+    plan = executed_plan(out)
+    assert plan.count("LeftSemi, BuildRight") >= 2, plan

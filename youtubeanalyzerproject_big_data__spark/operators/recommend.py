@@ -97,8 +97,24 @@ def recommend_for_users(model, ratings: DataFrame, n_users: int = 500, n_recs: i
     exploded = recs.select("user_idx", F.explode("recommendations").alias("rec")).select(
         "user_idx", F.col("rec.item_idx").alias("item_idx"), F.col("rec.rating").alias("score")
     )
-    user_dim = ratings.select("user_idx", "user_label").distinct()
-    item_dim = ratings.select("item_idx", "item_label").distinct()
+    # Reused three times below (two key extractions + the final join);
+    # bounded at n_users * n_recs rows, so caching is cheap and avoids
+    # re-running the model transform.
+    exploded = exploded.cache()
+    # Broadcast DIRECTION matters at scale: the full user/item dims are
+    # distinct over ALL ratings -- unbounded -- while the exploded rec side
+    # is n_users * n_recs rows.  Broadcasting the dims works at bench scale
+    # and OOMs at 100x.  Instead broadcast the SMALL key sets into a
+    # left-semi reduction of each dim, then the reduced dims (<= n_users *
+    # n_recs rows each) are safely broadcastable into the enrichment joins.
+    item_keys = exploded.select("item_idx").distinct()
+    user_keys = exploded.select("user_idx").distinct()
+    item_dim = (
+        ratings.select("item_idx", "item_label").join(F.broadcast(item_keys), "item_idx", "left_semi").distinct()
+    )
+    user_dim = (
+        ratings.select("user_idx", "user_label").join(F.broadcast(user_keys), "user_idx", "left_semi").distinct()
+    )
     enriched = exploded.join(F.broadcast(item_dim), "item_idx", "left").join(
         F.broadcast(user_dim), "user_idx", "left"
     )
