@@ -480,7 +480,9 @@ def q_s1(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_s2(spark: SparkSession, sf: str) -> DataFrame:
-    """Hyperplane-LSH ANN top-5 (rows-only; recall measured in tests vs q_s1)."""
+    """Hyperplane-LSH ANN top-5.  Oracle: _lsh_ann_oracle replays the
+    md5-derived hyperplane signatures + banding + exact re-rank in DuckDB
+    (recall vs q_s1 is additionally measured in tests)."""
     emb = load_table(spark, sf, "embeddings")
     out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", dim=64, k=5)
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
@@ -683,6 +685,54 @@ SELECT id, ROUND(rank, 6) AS pagerank FROM allr ORDER BY pagerank DESC, id LIMIT
 _PAGERANK_EDGES_SQL = (
     "SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS src, 'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem"
 )
+
+
+def _lsh_ann_oracle(dim: int = 64, num_planes: int = 16, bands: int = 4, k: int = 5) -> str:
+    """DuckDB replay of similarity.lsh_topk's hyperplane-LSH candidates.
+
+    The hyperplanes are deterministic md5 derivations evaluated driver-side
+    (similarity._plane_component), so the oracle inlines the SAME float
+    literals (repr round-trips to identical doubles) and replays the
+    engine's signature fold: each dot product is the sequential left-assoc
+    chain 0.0 + x1*p1 + ... + xd*pd, bit-identical to Catalyst's
+    aggregate/zip_with fold, so bucket membership matches exactly.
+    Candidates = any shared band value; exact cosine re-rank on candidates.
+    """
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import _plane_component
+
+    bits_per_band = num_planes // bands
+    band_exprs = []
+    bit_sql = []
+    for p in range(num_planes):
+        terms = " + ".join(
+            f"CAST(embedding[{c + 1}] AS DOUBLE) * CAST({_plane_component(p, c)!r} AS DOUBLE)" for c in range(dim)
+        )
+        bit_sql.append(f"(CASE WHEN CAST(0.0 AS DOUBLE) + {terms} >= 0 THEN 1 ELSE 0 END)")
+    for b in range(bands):
+        band_exprs.append(
+            " + ".join(f"{bit_sql[b * bits_per_band + r]} * {1 << r}" for r in range(bits_per_band))
+            + f" AS b{b}"
+        )
+    band_cols = ",\n         ".join(band_exprs)
+    any_band = " OR ".join(f"q.b{b} = c.b{b}" for b in range(bands))
+    cos = _cos_sql("qv", "cv")
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {band_cols}
+  FROM embeddings
+),
+cand AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv, c.vec_id AS neighbor_id, c.embedding AS cv
+  FROM sig q JOIN sig c
+    ON q.vec_id != c.vec_id AND ({any_band})
+  WHERE q.vec_id < 10
+),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+WHERE rk <= {k}
+"""
 
 
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
@@ -1119,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  unnest(generate_series(0, CAST(floor((greatest(length(text), 1) - 1) / 256) AS BIGINT))) AS t(i)
         """,
+        "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
         # m1_als_recommendations: intentionally omitted -> rows-only check
         # (ALS is stochastic-but-seeded; no engine-independent oracle exists).
