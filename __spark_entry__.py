@@ -489,10 +489,16 @@ def q_s2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_s3(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN top-5 (rows-only; recall measured in tests vs q_s1).  The
-    inverted-file route: probe nprobe/num_cells of the corpus per query."""
+    """IVF ANN top-5 -- the inverted-file route: probe nprobe/num_cells of
+    the corpus per query.  Catalyst variant with a deterministic md5-seeded
+    centroid model so the FULL index pipeline (seeding, normalization, cell
+    assignment, probing, re-rank) is replayed by the DuckDB oracle
+    (_ivf_ann_oracle); the Arrow GEMM variant (similarity.ivf_topk) is the
+    throughput path, recall-tested vs q_s1 in tests."""
     emb = load_table(spark, sf, "embeddings")
-    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5, num_cells=16, nprobe=4)
+    out = similarity.ivf_topk_catalyst(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5, num_cells=16, nprobe=4
+    )
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
@@ -727,6 +733,64 @@ cand AS (
   FROM sig q JOIN sig c
     ON q.vec_id != c.vec_id AND ({any_band})
   WHERE q.vec_id < 10
+),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+WHERE rk <= {k}
+"""
+
+
+def _ivf_ann_oracle(dim: int = 64, num_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """DuckDB replay of similarity.ivf_topk_catalyst -- the full IVF index
+    pipeline, not just the re-rank.
+
+    The centroid model is reconstructed IN SQL: seeds = the num_cells
+    vectors of smallest (md5_int32(vec_id, 'ivf'), vec_id), normalized with
+    the same sequential square-sum chain the engine computes driver-side
+    (_centroids_exact), so centroid components are bit-identical.  Cell
+    assignment replays the per-cell sequential dot fold with the same
+    (dot DESC, cell ASC) tiebreak; probing, candidate join, and exact
+    cosine re-rank then mirror the engine plan.
+    """
+    normchain = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(dim)
+    )
+    dotchain = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + CAST(v.embedding[{i + 1}] AS DOUBLE) * c.cv[{i + 1}]" for i in range(dim)
+    )
+    h = md5_int32_sql("CAST(vec_id AS VARCHAR)", "ivf")
+    cos = _cos_sql("qv", "cv2")
+    return f"""
+WITH ordered AS (
+  SELECT vec_id, embedding, sqrt({normchain}) AS nrm,
+         ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rn
+  FROM embeddings
+),
+cents AS (
+  SELECT rn - 1 AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS cv
+  FROM ordered WHERE rn <= {num_cells}
+),
+assign AS (
+  SELECT v.vec_id, v.embedding, c.cell, {dotchain} AS dp
+  FROM embeddings v CROSS JOIN cents c
+),
+cellof AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell ASC) AS rn
+    FROM assign) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell ASC) AS rn
+    FROM assign WHERE vec_id < 10) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, p.qv, s.vec_id AS neighbor_id, s.embedding AS cv2
+  FROM probes p JOIN cellof s USING (cell)
+  WHERE p.query_id != s.vec_id
 ),
 scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
@@ -1170,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(0, CAST(floor((greatest(length(text), 1) - 1) / 256) AS BIGINT))) AS t(i)
         """,
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
+        "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),
         "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
         # m1_als_recommendations: intentionally omitted -> rows-only check
         # (ALS is stochastic-but-seeded; no engine-independent oracle exists).

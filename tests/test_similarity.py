@@ -69,3 +69,24 @@ def test_ivf_output_shape(clustered):
     ranks = sorted(r["nn_rank"] for r in out)
     assert ranks == [1, 2, 3]
     assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_ivf_catalyst_recall_and_shape(clustered):
+    """The oracle-checkable Catalyst IVF variant: same IVF semantics, so with
+    nprobe == num_cells it must EQUAL brute force (every cell probed), and
+    with 1 probe on separated clusters recall stays high."""
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import brute_force_topk, ivf_topk_catalyst
+
+    queries = clustered.where("vec_id IN (0, 10, 20)")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(clustered, queries, "vec_id", "embedding", 3).collect()}
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_catalyst(clustered, queries, "vec_id", "embedding", k=3, num_cells=3, nprobe=3).collect()
+    }
+    assert full == exact  # all cells probed == exhaustive search
+    one = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_catalyst(clustered, queries, "vec_id", "embedding", k=3, num_cells=3, nprobe=1).collect()
+    }
+    recall = len(exact & one) / len(exact)
+    assert recall >= 0.8, f"catalyst IVF recall too low: {recall}"

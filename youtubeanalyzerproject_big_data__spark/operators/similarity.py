@@ -29,6 +29,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
 from youtubeanalyzerproject_big_data__spark.functions.vectors import cosine, dot
 
 
@@ -171,6 +172,95 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, num_cells: int, ref
                     if norm > 0:
                         cents[c] = m / norm
     return cents
+
+
+def _centroids_exact(
+    corpus: DataFrame, id_col: str, vec_col: str, num_cells: int, hash_seed: str = "ivf"
+) -> list[list[float]]:
+    """Driver-side centroid model with ENGINE-PORTABLE arithmetic.
+
+    Seeds are the ``num_cells`` corpus vectors of smallest
+    (md5_int32(id), id) -- an order-stable pseudo-random sample any engine
+    can reproduce.  Normalization is a sequential scalar fold
+    (0.0 + x1*x1 + ... then sqrt, then per-component divide), NOT numpy --
+    numpy's pairwise/SIMD reductions are library-specific, while this exact
+    IEEE sequence is what the DuckDB oracle's SQL chain computes, so
+    centroid components are bit-identical across engines.  Bounded collect:
+    num_cells rows (same model lifecycle as _centroids).
+    """
+    import math
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", md5_int32(F.col("id").cast("string"), seed=hash_seed))
+        .orderBy("h", "id")
+        .limit(num_cells)
+        .collect()
+    )
+    cents = []
+    for r in rows:
+        acc = 0.0
+        for x in r["v"]:
+            xd = float(x)
+            acc = acc + xd * xd
+        nrm = math.sqrt(acc)
+        cents.append([float(x) / nrm for x in r["v"]])
+    return cents
+
+
+def ivf_topk_catalyst(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN with the whole index pipeline expressed in Catalyst -- the
+    oracle-checkable twin of :func:`ivf_topk`.
+
+    Same inverted-file shape (assign corpus rows to nearest centroid cell,
+    probe nprobe cells per query, exact re-rank inside them), but cell
+    assignment is a per-cell sequential dot fold over centroid LITERALS
+    (deterministic md5-seeded model, _centroids_exact) instead of an Arrow
+    argmax GEMM.  Every arithmetic step is a defined IEEE sequence that the
+    DuckDB oracle replays bit-for-bit, so cell membership -- not just the
+    re-ranked output -- is verified cross-engine.  Use ivf_topk (Arrow) when
+    throughput matters more than oracle checkability; both scale the same
+    way (probe cost ~ nprobe/num_cells of the corpus).
+    """
+    cents = _centroids_exact(corpus, id_col, vec_col, num_cells)
+
+    def cell_rank(vec: str) -> F.Column:
+        # struct sort: (dot DESC, -cell DESC == cell ASC) -- ties on
+        # bit-identical dots break to the smallest cell on both engines.
+        entries = [
+            F.struct(
+                dot(F.col(vec), F.array(*[F.lit(comp) for comp in cent])).alias("d"),
+                F.lit(-c).cast("int").alias("nc"),
+            )
+            for c, cent in enumerate(cents)
+        ]
+        return F.sort_array(F.array(*entries), asc=False)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
+        "cell", -F.element_at(cell_rank("cv"), 1).getField("nc")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "cell", F.explode(F.transform(F.slice(cell_rank("qv"), 1, nprobe), lambda s: -s.getField("nc")))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
+    )
 
 
 def ivf_topk(
