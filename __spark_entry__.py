@@ -54,7 +54,17 @@ def _davg(col_expr: str, scale: int = 6) -> str:
 _REV = "l_extendedprice * (1 - l_discount)"
 
 # DuckDB word-shingle CTE fragment shared by the text-dedup oracles.
-_SHINGLES_CTE = r"""
+# ``max_df`` mirrors the engine's stop-shingle cut (dedup.DEFAULT_MAX_DF):
+# intersections count only shingles with document frequency <= max_df,
+# while Jaccard denominators (sizes) stay exact -- same semantics as
+# ngram_jaccard_pairs.  None = exact (the d3 verification twin).
+def _shingles_cte(max_df: int | None) -> str:
+    if max_df is None:
+        shf = "shf AS (SELECT doc_id, shingle FROM sh),"
+    else:
+        shf = f"""shc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}),
+shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN shc USING (shingle)),"""
+    return rf"""
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
   FROM documents
@@ -66,9 +76,10 @@ sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+{shf}
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -799,7 +810,9 @@ WHERE rk <= {k}
 """
 
 
-def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+def _minhash_lsh_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int | None = None
+) -> str:
     rpb = num_hashes // bands
     # Hash j = lane j%4 of md5 digest seeded j//4 (four 32-bit lanes per
     # digest -- mirrors functions.hashing.md5_int32_lanes).
@@ -808,13 +821,20 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         f"SELECT doc_id, {b} AS band, concat_ws('_', {', '.join(f'h{b * rpb + r}' for r in range(rpb))}) AS sig FROM sig_t"
         for b in range(bands)
     )
+    # Band-bucket cap mirrors the engine's max_bucket (one row per (doc,
+    # band) -> COUNT(*) == distinct docs in the bucket); the verification
+    # jaccard stays EXACT (max_df=None), like _jaccard_for_pairs.
+    bucket_cap = "" if max_bucket is None else f"HAVING COUNT(*) <= {max_bucket}"
     return f"""
-WITH {_SHINGLES_CTE},
+WITH {_shingles_cte(None)},
 sig_t AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
+bok AS (SELECT band, sig FROM bands GROUP BY band, sig {bucket_cap}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  FROM bands a
+  JOIN bok ON a.band = bok.band AND a.sig = bok.sig
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
 SELECT c.doc1, c.doc2, j.jaccard
 FROM cand c JOIN jac j ON c.doc1 = j.doc1 AND c.doc2 = j.doc2
@@ -1113,14 +1133,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k FROM documents)
             GROUP BY k
         """,
-        "d2_ngram_jaccard_pairs": f"WITH {_SHINGLES_CTE} SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8",
-        "d3_minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 0.8),
+        "d2_ngram_jaccard_pairs": f"WITH {_shingles_cte(dedup.DEFAULT_MAX_DF)} SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8",
+        "d3_minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 0.8, max_bucket=dedup.DEFAULT_MAX_BUCKET),
         # Components via recursive transitive closure (pair graphs from
         # dedup are tiny relative to the corpus, so closure is affordable
         # oracle-side; the engine itself uses iterative min-label
         # propagation, graph.connected_components).
         "d7_dup_clusters": f"""
-            WITH RECURSIVE {_SHINGLES_CTE},
+            WITH RECURSIVE {_shingles_cte(dedup.DEFAULT_MAX_DF)},
             p AS (SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8),
             e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
             reach(a, b) AS (
@@ -1136,12 +1156,12 @@ def oracle_sql() -> dict[str, str]:
         # Cross-corpus: same shingle machinery, sides split by source and
         # only cross-side pairs counted.
         "d8_cross_corpus_dups": f"""
-            WITH {_SHINGLES_CTE.replace("FROM documents", "FROM documents")},
+            WITH {_shingles_cte(dedup.DEFAULT_MAX_DF)},
             side AS (SELECT doc_id, (source = 'src0') AS is_new FROM documents),
             xj AS (
               SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS n_common
-              FROM sh a JOIN side sa ON a.doc_id = sa.doc_id
-              JOIN sh b ON a.shingle = b.shingle
+              FROM shf a JOIN side sa ON a.doc_id = sa.doc_id
+              JOIN shf b ON a.shingle = b.shingle
               JOIN side sb ON b.doc_id = sb.doc_id
               WHERE sa.is_new AND NOT sb.is_new
               GROUP BY 1, 2

@@ -2,17 +2,23 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "n": runs, "spread": {q: [min, max]}, "sf": ...}
 
 Each query is timed end-to-end (plan + execute + collect-to-driver of the
-bounded result).  A warmup query first absorbs JVM/session startup so the
-numbers reflect engine throughput, not cold-start.
+bounded result), $SPARK_GRAFT_BENCH_N times (default 3); ``queries`` holds
+per-query MEDIANS and ``value`` their sum -- this box swings +/-10-20% run
+to run (CLAUDE.md), so single-run numbers are noise, and ``spread`` records
+the min/max so a regression can be told from a swing.  A warmup query first
+absorbs JVM/session startup so the numbers reflect engine throughput, not
+cold-start.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,16 +60,22 @@ def main() -> None:
     # Warmup: trivial count to absorb session/JVM startup.
     qs["a9_distinct_customers"](spark, sf_dir).collect()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        # Per-query isolation: operators cache intermediates (shingles,
-        # edge tables) scoped to their own run; leftover cache blocks from
-        # earlier queries only add memory pressure to later ones.
-        spark.catalog.clearCache()
-        t0 = time.time()
-        rows = qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        assert rows is not None
+        samples = []
+        for _ in range(n_runs):
+            # Per-query isolation: operators cache intermediates (shingles,
+            # edge tables) scoped to their own run; leftover cache blocks
+            # from earlier queries only add memory pressure to later ones.
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = qs[name](spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+            assert rows is not None
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,6 +85,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n": n_runs,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

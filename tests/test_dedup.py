@@ -95,3 +95,42 @@ def test_cross_corpus_near_dups_only_cross_pairs(spark):
     assert out[(1, 100)] == 1.0
     assert (1, 101) in out and out[(1, 101)] < 1.0
     assert all(k[0] in (1, 2) and k[1] >= 100 for k in out)  # cross-side only
+
+
+def test_hot_shingle_cap_bounds_groups(spark):
+    """Stop-shingle cut: a boilerplate phrase shared corpus-wide must not
+    produce quadratic pair groups.  With max_df below the hot shingle's df,
+    the hot shingle contributes nothing to intersections (pairs overlapping
+    ONLY through it disappear), while pairs sharing rare shingles survive
+    with their Jaccard computed over exact denominators."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the site"
+    rows = [(i, f"{boiler} unique{i} text{i} filler{i}") for i in range(40)]
+    # one true near-dup pair: identical long tail, so jaccard == 1.0
+    rows += [(100, "alpha beta gamma delta epsilon zeta"), (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # boiler pairs share 4 of their 7 shingles: jaccard 4/10 = 0.4
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_df=10).collect()
+    assert {(r["doc1"], r["doc2"]) for r in capped} == {(100, 101)}
+    assert capped[0]["jaccard"] == 1.0
+
+    # exact mode still sees all 40*39/2 boilerplate-driven pairs
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_df=None).collect()
+    assert len(exact) == 40 * 39 // 2 + 1
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """max_bucket: documents identical up to a trailing token land in the
+    same band buckets; capping below the bucket size drops those candidate
+    pairs entirely (the degenerate-bucket guard), while exact mode finds
+    them."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import minhash_lsh_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(i, text) for i in range(12)], "doc_id long, text string")
+    exact = minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.8, max_bucket=None).collect()
+    assert len(exact) == 12 * 11 // 2
+    capped = minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.8, max_bucket=5).collect()
+    assert capped == []

@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32, md5_int32_lanes
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, word_ngrams
 
+# Default hot-key caps (shared with the driver oracles, which mirror the
+# same cuts so capped results stay hash-exact cross-engine).  A key shared
+# by g docs expands to g*(g-1)/2 candidate pairs inside one task, so
+# uncapped hot keys are quadratic time bombs at corpus scale.
+DEFAULT_MAX_DF = 1000  # docs per shingle before it's treated as a stop-shingle
+DEFAULT_MAX_BUCKET = 2000  # docs per LSH band bucket before the bucket is dropped
+
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (after normalization) documents.
@@ -81,13 +88,18 @@ def _ordered_pairs(arr):
     )
 
 
-def _pairs_from_groups(keyed: DataFrame, group_cols: list[str], max_group: int | None = None) -> DataFrame:
+def _pairs_from_groups(keyed: DataFrame, group_cols: list[str], max_group: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Candidate (doc1, doc2) pairs of doc_ids sharing a group key.
 
     One shuffle (groupBy the key) + in-array pair expansion; groups of one
     emit nothing, so non-shared keys -- the overwhelming majority in a real
-    corpus -- cost nothing.  ``max_group`` caps pathological hot keys
-    (stop-shingle cut, standard in web-scale dedup); None = exact.
+    corpus -- cost nothing.  ``max_group`` caps pathological hot keys: a
+    group of g docs expands to g*(g-1)/2 in-task pairs, so one hot bucket
+    (say a boilerplate band signature shared by 10^6 docs) is a 5*10^11-pair
+    task that never finishes.  The default finite cap is the standard
+    stop-key cut of web-scale dedup (pairs co-occurring ONLY in dropped
+    buckets are missed -- the documented trade-off); pass None for exact
+    oracle twins.
     """
     groups = keyed.groupBy(*group_cols).agg(F.sort_array(F.collect_set("doc_id")).alias("ds")).where(F.size("ds") >= 2)
     if max_group is not None:
@@ -122,7 +134,7 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8, max_df: int | None = None
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8, max_df: int | None = DEFAULT_MAX_DF
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (doc1 < doc2, jaccard >= t).
 
@@ -132,11 +144,15 @@ def ngram_jaccard_pairs(
     pair is exactly |A intersect B| -- so one groupBy(doc1, doc2).count()
     yields the intersection and |A u B| = n1 + n2 - inter closes the
     Jaccard.  Shingles that appear in a single doc emit nothing, so the
-    non-shared majority of the index costs nothing.  At scale, frequent
-    shingles create hot groups -- ``max_df`` applies the standard
-    stop-shingle frequency cut (pairs whose only shared shingles are
-    stop-shingles are then missed -- the documented trade-off wherever this
-    cut is used); default None = exact.
+    non-shared majority of the index costs nothing.
+
+    ``max_df`` (default finite) is the standard stop-shingle frequency cut:
+    a shingle shared by d docs expands to d*(d-1)/2 pairs in one group, so
+    one boilerplate phrase at corpus scale is a quadratic task.  Capped
+    groups drop ONLY that shingle's contribution to intersections (Jaccard
+    denominators stay exact), so pairs whose overlap is carried entirely by
+    stop-shingles are missed -- the documented trade-off; the driver oracle
+    mirrors the same cut, and None restores the exact path.
     """
     sh = _hashed_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -189,6 +205,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -197,7 +214,9 @@ def minhash_lsh_pairs(
     in a bucket, never an O(n^2) cross join).  Candidates are then verified
     with exact n-gram Jaccard >= threshold -- computed per-candidate from
     hashed shingle sets (array_intersect), NOT by materializing all
-    overlapping pairs.  Returns (doc1, doc2, jaccard).
+    overlapping pairs.  ``max_bucket`` drops degenerate band buckets (a
+    boilerplate signature shared corpus-wide would expand quadratically in
+    one task); verification sets stay exact.  Returns (doc1, doc2, jaccard).
     """
     rows_per_band = num_hashes // bands
     # Shingle once (CPU-heavy), reuse for both the signature path and the
@@ -222,7 +241,7 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
 
-    candidates = _pairs_from_groups(band_rows, ["band", "sig"])
+    candidates = _pairs_from_groups(band_rows, ["band", "sig"], max_group=max_bucket)
     sh = sh_rows.select("doc_id", F.xxhash64("shingle").alias("sh"))
     return _jaccard_for_pairs(candidates, sh).where(F.col("jaccard") >= threshold)
 
@@ -372,6 +391,7 @@ def cross_corpus_near_dups(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Near-dups of an INCOMING batch against an EXISTING corpus -- the
     incremental-ingestion contamination/dedup filter (drop new documents
@@ -381,15 +401,30 @@ def cross_corpus_near_dups(
     corpus-side shingles on the hash, so within-side pairs are never
     generated, and the shuffle keys are 8-byte hashes.  With shingles
     distinct per doc, pair multiplicity equals the intersection size.
-    Returns (new_id, corpus_id, jaccard).
+    ``max_df`` is the stop-shingle cut over the COMBINED corpus (both
+    sides): a boilerplate shingle on both sides explodes the cross join
+    quadratically; denominators stay exact, same trade-off as
+    ngram_jaccard_pairs.  Returns (new_id, corpus_id, jaccard).
     """
     sh_new = _hashed_shingles(new_docs, id_col, text_col, n).cache()
     sh_old = _hashed_shingles(corpus_docs, id_col, text_col, n).cache()
     n_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
     n_old = sh_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
+    sh_new_j = sh_new.select(F.col("doc_id").alias("new_id"), "sh")
+    sh_old_j = sh_old.select(F.col("doc_id").alias("corpus_id"), "sh")
+    if max_df is not None:
+        ok = (
+            sh_new.select("sh")
+            .unionAll(sh_old.select("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("dfc"))
+            .where(F.col("dfc") <= max_df)
+            .select("sh")
+        )
+        sh_new_j = sh_new_j.join(ok, "sh", "left_semi")
+        sh_old_j = sh_old_j.join(ok, "sh", "left_semi")
     inter = (
-        sh_new.select(F.col("doc_id").alias("new_id"), "sh")
-        .join(sh_old.select(F.col("doc_id").alias("corpus_id"), "sh"), "sh")
+        sh_new_j.join(sh_old_j, "sh")
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
