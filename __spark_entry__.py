@@ -462,10 +462,12 @@ def q_d7(spark: SparkSession, sf: str) -> DataFrame:
     components -> every document labeled with its duplicate-cluster id
     (smallest doc_id in the cluster; singletons label themselves).  The
     step a training-data pipeline runs after pair generation to pick one
-    representative per group."""
+    representative per group.  Uses the O(log n)-round large-star/small-star
+    algorithm (graph.connected_components_star); min-label propagation
+    remains available for small-diameter graphs."""
     docs = load_table(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    comp = graph.connected_components(pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
+    comp = graph.connected_components_star(pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
     return (
         docs.select(F.col("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")

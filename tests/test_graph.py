@@ -86,3 +86,30 @@ def test_connected_components_chain_and_clusters(spark):
     )
     out = {r["id"]: r["component"] for r in graph.connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_star_components_match_min_label(spark):
+    """large-star/small-star and min-label propagation agree on mixed
+    component shapes (chain, pair, star).  Self-loops are excluded: the
+    star variant drops them (callers pre-filter; edges_from_pairs does)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (22, 20)],
+        "src long, dst long",
+    )
+    star = {r["id"]: r["component"] for r in graph.connected_components_star(edges).collect()}
+    prop = {r["id"]: r["component"] for r in graph.connected_components(edges).collect()}
+    assert star == prop == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_star_components_chain_rounds_logarithmic(spark):
+    """A 64-node chain must converge in ~log(n) alternating rounds -- the
+    whole point of the algorithm vs O(diameter) label propagation."""
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    rounds: list = []
+    out = {
+        r["id"]: r["component"]
+        for r in graph.connected_components_star(edges, _round_counter=rounds).collect()
+    }
+    assert out == {i: 0 for i in range(n + 1)}
+    assert rounds and rounds[0] <= 10, f"chain of {n} took {rounds} rounds"

@@ -225,6 +225,93 @@ def connected_components(edges: DataFrame, max_iter: int = 20, num_partitions: i
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 50, _round_counter: list | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") --
+    converges in O(log n) rounds instead of min-label propagation's
+    O(component diameter), so a chain-shaped duplicate cluster at corpus
+    scale costs ~log(len) rounds, not len.
+
+    Per round over the canonical (u > v) edge set:
+      large-star: every node connects its LARGER neighbors to the minimum
+                  of its neighborhood (incl. itself);
+      small-star: every node connects its smaller-or-equal neighbors (and
+                  itself) to that minimum.
+    The fixpoint is a star forest whose centers are the component minima.
+    Each phase is one groupBy (neighborhood min) + one join, all shuffles
+    keyed by vertex id; edges are re-canonicalized + distinct'd each round
+    so the edge set shrinks monotonically toward |V| - #components.
+    Returns (id, component) for every vertex WITH a non-self-loop edge,
+    component = the smallest reachable id -- same contract as
+    connected_components except pure self-loop vertices are dropped with
+    their loops (callers pre-filter; edges_from_pairs never emits them).
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame):
+        # decimal(38,0) sums: exact and overflow-free under ANSI mode
+        # (summing raw longs overflows on a handful of 2^63-scale hashes).
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")).alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    sig = signature(e)
+    for rnd in range(max_rounds):
+        # large-star: m(u) = min over sym-neighborhood(u) + {u}; for every
+        # neighbor v > u emit (v, m).  m <= u < v, so no self-loops arise.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select("u", F.least("u", "mv").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the large->small orientation: emit (v, m) for the
+        # smaller neighbors and (u, m) for the node itself.
+        o = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+        )
+        e = (
+            small.where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # flat lineage; also feeds signature
+        )
+        new_sig = signature(e)
+        if new_sig == sig:
+            if _round_counter is not None:
+                _round_counter.append(rnd + 1)
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_rounds} rounds"
+        )
+    # Fixpoint is (child, root) stars: children label from their edge, roots
+    # label themselves.
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
 def top_influencers(ranks: DataFrame, k: int = 500) -> DataFrame:
     """O1: top-N by pagerank -- TakeOrderedAndProject, driver holds only N
     rows (the reference's explicit optimization, PageRank_Spark_v5.py:105-115)."""
