@@ -134,3 +134,24 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     assert len(exact) == 12 * 11 // 2
     capped = minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.8, max_bucket=5).collect()
     assert capped == []
+
+
+def test_arrow_shingler_matches_catalyst(spark):
+    """The Arrow shingle kernel must be byte-identical to the Catalyst
+    word_ngrams path on whitespace edge cases (tabs/newlines/multi-space,
+    leading/trailing ws, short and empty docs, repeated shingles)."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import _shingles
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "  a\tb\nc   d  "),
+        (3, "one two"),          # under n tokens -> no shingles
+        (4, ""),
+        (5, "x y z x y z x y z"),  # repeated shingles -> distinct
+        (6, "a  b   c\t\td \n e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {(r["doc_id"], r["shingle"]) for r in _shingles(df, "doc_id", "text", 3, use_arrow=True).collect()}
+    catalyst = {(r["doc_id"], r["shingle"]) for r in _shingles(df, "doc_id", "text", 3, use_arrow=False).collect()}
+    assert arrow == catalyst
+    assert (5, "x y z") in arrow and not any(d == 3 or d == 4 for d, _ in arrow)

