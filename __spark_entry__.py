@@ -556,6 +556,20 @@ def q_mm2(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.sample_video_frames(media, every_n_bytes=256, decode_stub="fake")
 
 
+def q_mm3(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal full chain: attach -> transform (resize, fake byte-
+    subsample kernel) -> feature extraction.  The transform emits a fresh
+    media table (recomputed n_bytes/content_md5), so the oracle checks the
+    TRANSFORMED metadata and features, not just plumbing."""
+    docs = load_table(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    media = multimodal.attach_media_metadata(docs, "doc_id", "blob", "image")
+    small = multimodal.transform_media(media, op="resize", factor=4, decode_stub="fake")
+    feats = multimodal.extract_features(small, decode_stub="fake", feat_dim=8)
+    return feats.select(
+        "media_id", "modality", "n_bytes", "content_md5", F.round("feat_mean", 6).alias("feat_mean"), "feat_dim"
+    )
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
     over the order->part bipartite graph; top-100 (O1).  Oracle: 10 unrolled
@@ -649,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_term_df": q_t5,
         "mm1_media_features": q_mm1,
         "mm2_frame_samples": q_mm2,
+        "mm3_resized_features": q_mm3,
         "g4_pagerank_top100": q_pagerank,
         "m1_als_recommendations": q_als,
     }
@@ -1254,6 +1269,26 @@ def oracle_sql() -> dict[str, str]:
                    md5(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_md5
             FROM documents,
                  unnest(generate_series(0, CAST(floor((greatest(length(text), 1) - 1) / 256) AS BIGINT))) AS t(i)
+        """,
+        # Resize fake-kernel: every 4th byte; documents are pure ASCII, so
+        # char subsetting == byte slicing and md5(VARCHAR) == md5(bytes).
+        # Feature guard mirrors mm1 (empty -> 0.0, never NULL).
+        "mm3_resized_features": """
+            WITH r AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     array_to_string(
+                       list_transform(generate_series(1, CAST(ceil(strlen(text) / 4.0) AS BIGINT)),
+                                      i -> substring(text, (i - 1) * 4 + 1, 1)), '') AS rs
+              FROM documents
+            )
+            SELECT media_id, 'image' AS modality,
+                   CAST(strlen(rs) AS BIGINT) AS n_bytes,
+                   md5(rs) AS content_md5,
+                   ROUND(COALESCE(list_sum(list_transform(generate_series(1, least(strlen(rs), 8)),
+                                                          i -> ascii(substring(rs, i, 1)))), 0)
+                         / (255.0 * greatest(least(strlen(rs), 8), 1)), 6) AS feat_mean,
+                   CAST(8 AS INTEGER) AS feat_dim
+            FROM r
         """,
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),

@@ -50,3 +50,33 @@ def test_frame_sampler_row_counts(media):
         per[r["media_id"]] = per.get(r["media_id"], 0) + 1
     assert per["1"] == 3  # 1200 bytes / 500 -> chunks at 0,500,1000
     assert per["2"] == 1 and per["3"] == 1
+
+
+def test_transform_media_resize_chains_into_features(spark):
+    """attach -> transform(resize) -> extract_features: the transform emits
+    a fresh MEDIA_SCHEMA table (content re-hashed, sizes recomputed), so
+    downstream stages chain unchanged; the fail stub stays honest."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "x"), (3, "")], "doc_id long, text string")
+    media = multimodal.attach_media_metadata(
+        df.select("doc_id", F.encode("text", "utf-8").alias("blob")), "doc_id", "blob", "image"
+    )
+    small = multimodal.transform_media(media, op="resize", factor=4, decode_stub="fake")
+    rows = {r["media_id"]: r for r in small.collect()}
+    assert bytes(rows["1"]["content"]) == b"aei" and rows["1"]["n_bytes"] == 3
+    assert rows["1"]["content_md5"] == hashlib.md5(b"aei").hexdigest()
+    assert bytes(rows["3"]["content"]) == b"" and rows["3"]["n_bytes"] == 0
+
+    feats = {r["media_id"]: r for r in multimodal.extract_features(small, decode_stub="fake", feat_dim=8).collect()}
+    assert feats["1"]["feat_mean"] == sum(b"aei") / (255.0 * 3)
+    assert feats["3"]["feat_mean"] == 0.0  # empty media -> 0.0, never NULL
+    assert feats["1"]["content_md5"] == rows["1"]["content_md5"]
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.transform_media(media, factor=4).collect()

@@ -44,6 +44,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.StringType(), False),
         T.StructField("modality", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
         T.StructField("feat_mean", T.DoubleType(), True),
         T.StructField("feat_dim", T.IntegerType(), True),
     ]
@@ -90,6 +91,7 @@ def extract_features(
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["n_bytes"],
+                    "content_md5": pdf["content_md5"],
                     "feat_mean": feats,
                     "feat_dim": feat_dim,
                 }
@@ -97,6 +99,56 @@ def extract_features(
             yield out
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def transform_media(
+    media: DataFrame,
+    op: Literal["resize"] = "resize",
+    factor: int = 4,
+    decode_stub: Literal["fail", "fake"] = "fail",
+) -> DataFrame:
+    """Decode -> transform -> re-encode stage (resize / transcode shape).
+
+    Output is AGAIN a MEDIA_SCHEMA table (content + recomputed n_bytes /
+    content_md5), so transform stages CHAIN: attach -> transform ->
+    extract_features / sample_video_frames is the full media-pipeline
+    dataflow users expect (mirrors reference GUI's media handling surface,
+    guiV5.py, which this engine reproduces compute-side).
+
+    'fake' kernel: keeps every ``factor``-th byte -- a deterministic
+    stand-in for spatial downscaling with identical schema/batch shape; the
+    real kernel would decode, resize via PIL/ffmpeg, and re-encode.
+    """
+    if op != "resize":
+        raise ValueError(f"unsupported transform op: {op!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if decode_stub == "fail":
+                raise NotImplementedError(
+                    "media codecs (PIL/ffmpeg) not available in this environment; "
+                    "use decode_stub='fake' for plumbing tests"
+                )
+            contents, sizes, digests = [], [], []
+            for content in pdf["content"]:
+                blob = bytes(content) if content is not None else b""
+                small = blob[::factor]
+                contents.append(small)
+                sizes.append(len(small))
+                digests.append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": contents,
+                    "n_bytes": sizes,
+                    "content_md5": digests,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024, decode_stub: Literal["fail", "fake"] = "fail") -> DataFrame:
