@@ -585,6 +585,24 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph.top_influencers(ranks, 100)
 
 
+def q_pagerank_cyclic(spark: SparkSession, sf: str) -> DataFrame:
+    """G4 PageRank on a CYCLIC graph: order<->part edges in both directions,
+    so rank mass genuinely propagates through all 10 iterations (the
+    bipartite g4 graph converges after 2 -- this query is the hard evidence
+    that the iteration machinery, dangling handling, and per-iteration
+    quantization match the oracle at depth).  Top-100."""
+    li = load_table(spark, sf, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")
+    )
+    rev = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"), F.concat(F.lit("O"), F.col("l_orderkey")).alias("dst")
+    )
+    edges = graph.edges_from_pairs(fwd.unionAll(rev), "src", "dst")
+    ranks = graph.pagerank(edges, reset_prob=0.15, max_iter=10)
+    return graph.top_influencers(ranks, 100)
+
+
 def q_als(spark: SparkSession, sf: str) -> DataFrame:
     """M1-M4 ALS pipeline (run_alsrecs_job.py) on (customer, part, quantity)
     ratings; 10pc Bernoulli sample seed=42 mirroring the reference's S11
@@ -665,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_samples": q_mm2,
         "mm3_resized_features": q_mm3,
         "g4_pagerank_top100": q_pagerank,
+        "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
         "m1_als_recommendations": q_als,
     }
 
@@ -1293,6 +1312,13 @@ def oracle_sql() -> dict[str, str]:
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),
         "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
+        "g5_pagerank_cyclic_top100": _pagerank_oracle(
+            _PAGERANK_EDGES_SQL
+            + " UNION ALL SELECT 'P' || CAST(l_partkey AS VARCHAR), 'O' || CAST(l_orderkey AS VARCHAR) FROM lineitem",
+            reset=0.15,
+            max_iter=10,
+            k=100,
+        ),
         # m1_als_recommendations: intentionally omitted -> rows-only check
         # (ALS is stochastic-but-seeded; no engine-independent oracle exists).
     }
