@@ -475,6 +475,15 @@ def q_d7(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_d9(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH buckets -- the sub-quadratic
+    scale path (d5 is the exact GEMM baseline at the same threshold; d9's
+    pairs are the LSH-recalled subset, verified exactly).  Oracle replays
+    the signatures (_lsh_embedding_dedup_oracle)."""
+    emb = load_table(spark, sf, "embeddings")
+    return dedup.embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", threshold=0.46, dim=64)
+
+
 def q_d8(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus dedup: incoming batch (source='src0') filtered against
     the rest of the corpus -- the incremental-ingestion contamination check.
@@ -671,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_near_dups": q_d5,
         "d7_dup_clusters": q_d7,
         "d8_cross_corpus_dups": q_d8,
+        "d9_embedding_lsh_near_dups": q_d9,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
         "s3_ann_ivf_top5": q_s3,
@@ -740,33 +750,37 @@ _PAGERANK_EDGES_SQL = (
 )
 
 
-def _lsh_ann_oracle(dim: int = 64, num_planes: int = 16, bands: int = 4, k: int = 5) -> str:
-    """DuckDB replay of similarity.lsh_topk's hyperplane-LSH candidates.
-
-    The hyperplanes are deterministic md5 derivations evaluated driver-side
-    (similarity._plane_component), so the oracle inlines the SAME float
-    literals (repr round-trips to identical doubles) and replays the
-    engine's signature fold: each dot product is the sequential left-assoc
-    chain 0.0 + x1*p1 + ... + xd*pd, bit-identical to Catalyst's
-    aggregate/zip_with fold, so bucket membership matches exactly.
-    Candidates = any shared band value; exact cosine re-rank on candidates.
-    """
+def _hyperplane_band_sql(dim: int, num_planes: int, bands: int) -> list[str]:
+    """SQL for the engine's hyperplane band values (similarity.
+    _hyperplane_signature): the hyperplanes are deterministic md5
+    derivations evaluated driver-side (similarity._plane_component), so the
+    SQL inlines the SAME float literals (repr round-trips to identical
+    doubles) and replays the signature fold -- each dot product is the
+    sequential left-assoc chain 0.0 + x1*p1 + ... + xd*pd, bit-identical
+    to Catalyst's aggregate/zip_with fold, so bucket membership matches
+    exactly.  Returns one expression per band (unaliased)."""
     from youtubeanalyzerproject_big_data__spark.operators.similarity import _plane_component
 
     bits_per_band = num_planes // bands
-    band_exprs = []
     bit_sql = []
     for p in range(num_planes):
         terms = " + ".join(
             f"CAST(embedding[{c + 1}] AS DOUBLE) * CAST({_plane_component(p, c)!r} AS DOUBLE)" for c in range(dim)
         )
         bit_sql.append(f"(CASE WHEN CAST(0.0 AS DOUBLE) + {terms} >= 0 THEN 1 ELSE 0 END)")
-    for b in range(bands):
-        band_exprs.append(
-            " + ".join(f"{bit_sql[b * bits_per_band + r]} * {1 << r}" for r in range(bits_per_band))
-            + f" AS b{b}"
-        )
-    band_cols = ",\n         ".join(band_exprs)
+    return [
+        " + ".join(f"{bit_sql[b * bits_per_band + r]} * {1 << r}" for r in range(bits_per_band))
+        for b in range(bands)
+    ]
+
+
+def _lsh_ann_oracle(dim: int = 64, num_planes: int = 16, bands: int = 4, k: int = 5) -> str:
+    """DuckDB replay of similarity.lsh_topk (see _hyperplane_band_sql):
+    candidates = any shared band value; exact cosine re-rank on candidates.
+    """
+    band_cols = ",\n         ".join(
+        f"{e} AS b{b}" for b, e in enumerate(_hyperplane_band_sql(dim, num_planes, bands))
+    )
     any_band = " OR ".join(f"q.b{b} = c.b{b}" for b in range(bands))
     cos = _cos_sql("qv", "cv")
     return f"""
@@ -785,6 +799,32 @@ scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
 WHERE rk <= {k}
+"""
+
+
+def _lsh_embedding_dedup_oracle(
+    threshold: float, dim: int = 64, num_planes: int = 16, bands: int = 4, max_bucket: int | None = None
+) -> str:
+    """DuckDB replay of dedup.embedding_near_dup_pairs_lsh: band buckets
+    (capped like the engine), distinct id1<id2 candidates, cosine verify."""
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {e} AS bval FROM embeddings"
+        for b, e in enumerate(_hyperplane_band_sql(dim, num_planes, bands))
+    )
+    cap = "" if max_bucket is None else f"HAVING COUNT(*) <= {max_bucket}"
+    cos = _cos_sql("e1.embedding", "e2.embedding")
+    return f"""
+WITH bexp AS ({band_union}),
+bok AS (SELECT band, bval FROM bexp GROUP BY band, bval {cap}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM bexp a
+  JOIN bok ON a.band = bok.band AND a.bval = bok.bval
+  JOIN bexp b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, ROUND({cos}, 6) AS cos_sim
+FROM cand JOIN embeddings e1 ON id1 = e1.vec_id JOIN embeddings e2 ON id2 = e2.vec_id
+WHERE {cos} >= {threshold}
 """
 
 
@@ -1214,6 +1254,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.46
         """,
+        "d9_embedding_lsh_near_dups": _lsh_embedding_dedup_oracle(
+            0.46, dim=64, max_bucket=dedup.DEFAULT_MAX_BUCKET
+        ),
         "s1_ann_bruteforce_top5": f"""
             WITH s AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

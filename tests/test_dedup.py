@@ -155,3 +155,26 @@ def test_arrow_shingler_matches_catalyst(spark):
     catalyst = {(r["doc_id"], r["shingle"]) for r in _shingles(df, "doc_id", "text", 3, use_arrow=False).collect()}
     assert arrow == catalyst
     assert (5, "x y z") in arrow and not any(d == 3 or d == 4 for d, _ in arrow)
+
+
+def test_embedding_lsh_near_dups_subset_of_exact(spark):
+    """d9 semantics: LSH-bucketed pairs are a subset of the exact GEMM
+    pairs with identical cosines; identical vectors share every band, so
+    they are ALWAYS recalled."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),      # identical to 1
+        (3, [0.99, 0.14, 0.0, 0.0]),    # near 1
+        (4, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id1"], r["id2"]): r["cos_sim"] for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.95).collect()}
+    lsh = {(r["id1"], r["id2"]): r["cos_sim"] for r in embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", 0.95, dim=4).collect()}
+    assert set(lsh) <= set(exact)
+    assert (1, 2) in lsh  # identical vectors always share all bands
+    assert all(exact[k] == v for k, v in lsh.items())

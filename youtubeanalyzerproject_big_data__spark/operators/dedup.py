@@ -396,6 +396,62 @@ def embedding_near_dup_pairs(
     return pairs.select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH bucketing -- the
+    SUB-QUADRATIC scale path (embedding_near_dup_pairs is the exact
+    block-GEMM baseline whose flops grow O(n^2) even though its rows don't).
+
+    Candidates are id pairs sharing any band of their md5-derived
+    hyperplane signature (similarity._hyperplane_signature -- deterministic,
+    oracle-replayable); only candidates are cosine-verified, so total work
+    is O(n * bucket_occupancy), and ``max_bucket`` caps degenerate buckets
+    exactly like the MinHash banding path.  Recall follows the LSH
+    collision curve: pairs above threshold missing from every shared band
+    are missed (the trade for sub-quadratic candidates).
+    Returns (id1, id2, cos_sim) with id1 < id2.
+    """
+    from youtubeanalyzerproject_big_data__spark.functions.vectors import cosine
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import _hyperplane_signature
+
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sigd = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")).withColumn(
+        "sig", _hyperplane_signature("v", dim, num_planes)
+    )
+    banded = sigd.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask)).alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bval")
+    candidates = _pairs_from_groups(banded, ["band", "bval"], max_group=max_bucket)
+    vecs = sigd.select("doc_id", "v")
+    return (
+        candidates.join(vecs.select(F.col("doc_id").alias("doc1"), F.col("v").alias("v1")), "doc1")
+        .join(vecs.select(F.col("doc_id").alias("doc2"), F.col("v").alias("v2")), "doc2")
+        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"), F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def cross_corpus_near_dups(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
