@@ -547,6 +547,38 @@ def q_t4(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprints(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_c1(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus curation end-to-end: the selection step of a training-data
+    pipeline composed from the engine's own operators -- keep documents that
+    are (a) English by marker vote, (b) above quality floors (length,
+    repetition), and (c) the REPRESENTATIVE of their near-dup cluster
+    (smallest doc_id; singletons represent themselves).  One declarative
+    plan: per-doc scoring is map-side, dedup clustering reuses d2->star-CC,
+    and the final join keys are narrow ids."""
+    docs = load_table(spark, sf, "documents")
+    quality = text.quality_scores(docs, "doc_id", "text").select("doc_id", "n_tokens", "dup_token_ratio")
+    lang = text.language_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = graph.connected_components_star(pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
+    reps = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        quality.join(lang, "doc_id")
+        .join(reps, "doc_id", "left_semi")
+        .where((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10) & (F.col("dup_token_ratio") <= 0.6))
+        .select("doc_id", "n_tokens", "lang_pred")
+    )
+
+
+def q_t6(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction)."""
+    return text.tfidf_top_terms(load_table(spark, sf, "documents"), "doc_id", "text", k=3)
+
+
 def q_mm1(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary wrap -> mapInPandas feature extraction
     (deterministic fake decode; real codecs stubbed, see operators/multimodal.py)."""
@@ -681,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_dup_clusters": q_d7,
         "d8_cross_corpus_dups": q_d8,
         "d9_embedding_lsh_near_dups": q_d9,
+        "c1_corpus_curation": q_c1,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
         "s3_ann_ivf_top5": q_s3,
@@ -689,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_language_id": q_t3,
         "t4_fingerprints": q_t4,
         "t5_term_df": q_t5,
+        "t6_tfidf_top_terms": q_t6,
         "mm1_media_features": q_mm1,
         "mm2_frame_samples": q_mm2,
         "mm3_resized_features": q_mm3,
@@ -1257,6 +1291,34 @@ def oracle_sql() -> dict[str, str]:
         "d9_embedding_lsh_near_dups": _lsh_embedding_dedup_oracle(
             0.46, dim=64, max_bucket=dedup.DEFAULT_MAX_BUCKET
         ),
+        # Curation = lang filter (t3 logic) + quality floors (t2 logic) +
+        # dup-cluster representative (d7 closure); fragments reused verbatim.
+        "c1_corpus_curation": rf"""
+            WITH RECURSIVE {_shingles_cte(dedup.DEFAULT_MAX_DF)},
+            p AS (SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8),
+            e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+            ),
+            comp AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a),
+            rep AS (
+              SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+              WHERE COALESCE(LEAST(c.doc_id, c.mn), d.doc_id) = d.doc_id
+            ),
+            q AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                     ROUND((len(tk) - len(list_distinct(tk))) / greatest(len(tk), 1), 6) AS dup_token_ratio
+              FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+                    FROM documents)
+            ),
+            lng AS (SELECT doc_id, lang_pred FROM ({_lang_id_oracle()}))
+            SELECT q.doc_id, q.n_tokens, lng.lang_pred
+            FROM q JOIN lng ON q.doc_id = lng.doc_id
+            JOIN rep ON q.doc_id = rep.doc_id
+            WHERE lng.lang_pred = 'en' AND q.n_tokens >= 10 AND q.dup_token_ratio <= 0.6
+        """,
         "s1_ann_bruteforce_top5": f"""
             WITH s AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1304,6 +1366,25 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "t3_language_id": _lang_id_oracle(),
+        # Explicit DOUBLE casts keep the idf arithmetic the same IEEE
+        # sequence as the engine's (N+1.0)/(df+1.0) double division.
+        "t6_tfidf_top_terms": r"""
+            WITH tk AS (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+            dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY token),
+            n AS (SELECT COUNT(*) AS nd FROM documents),
+            s AS (
+              SELECT doc_id, token,
+                     tf * (ln(CAST(nd + 1 AS DOUBLE) / CAST(dfq + 1 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS score
+              FROM tf JOIN dfq USING (token), n
+            )
+            SELECT doc_id, token, ROUND(score, 6) AS tfidf, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM s)
+            WHERE rk <= 3
+        """,
         "t4_fingerprints": r"""
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
                    CAST(concat('0x', substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8)) AS BIGINT) AS fingerprint32

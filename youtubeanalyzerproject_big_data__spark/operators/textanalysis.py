@@ -111,3 +111,33 @@ def term_document_frequency(df: DataFrame, id_col: str, text_col: str, min_df: i
         "df",
         F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6).alias("idf"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms (the keyword-extraction /
+    doc-vectorization primitive): tf = raw in-doc count, idf = the same
+    smoothed ln((N+1)/(df+1)) + 1 as term_document_frequency.
+
+    Two hash aggregates (doc x token counts, then token df derived from
+    them -- both map-side combined) + one broadcast of the scalar N + a
+    per-doc window; shuffles carry (token, count) pairs only.  Deterministic
+    (score DESC, token ASC) tiebreak.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("dfq"))
+    scored = tf.join(dfq, "token").withColumn(
+        "score", F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("dfq") + 1.0)) + 1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "token", F.round("score", 6).alias("tfidf"), F.col("rk").cast("long").alias("rk"))
+    )
