@@ -547,6 +547,40 @@ def q_t4(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprints(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_sk1(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-phase aggregation (functions/skew.py) exercised as a
+    driver query: per-type count + exact decimal value sum.  The decimal
+    partials make the result salt-count- and partition-invariant, so the
+    plain GROUP BY oracle must hash-match exactly -- proving the skew path
+    changes the PLAN, never the answer."""
+    from youtubeanalyzerproject_big_data__spark.functions.skew import salted_agg
+
+    ev = load_events(spark, sf).select("event_type", "value")
+    return salted_agg(
+        ev,
+        "event_type",
+        [F.count(F.lit(1)).alias("_c"), F.sum(F.col("value").cast(DEC)).alias("_s")],
+        [F.sum("_c").cast("long").alias("n"), F.round(F.sum("_s").cast("double"), 6).alias("sum_value")],
+        num_salts=16,
+    )
+
+
+def q_a12(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-distinct (HLL++) gated against the exact count: sketches
+    are engine-specific, so the oracle pins the CONTRACT (relative error
+    within 5% at rsd=0.01 -- a 5-sigma bound) plus the exact value, rather
+    than the sketch internals."""
+    li = load_table(spark, sf, "lineitem")
+    out = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return out.select(
+        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05).cast("int").alias("within_5pct"),
+        F.col("exact").cast("long").alias("exact_distinct"),
+    )
+
+
 def q_c1(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus curation end-to-end: the selection step of a training-data
     pipeline composed from the engine's own operators -- keep documents that
@@ -688,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_dynamic_search_count": q_f6,
         "f9_hash_sample": q_f9,
         "f10_stratified_sample": q_f10,
+        "sk1_salted_event_stats": q_sk1,
+        "a12_approx_distinct_gate": q_a12,
         "j1_orders_line_counts_top10": q_j1,
         "j6_topk_enriched_customers": q_j6,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1067,6 +1103,14 @@ def oracle_sql() -> dict[str, str]:
                    AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 1000000)
                OR (o_orderpriority = '5-LOW'
                    AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 100000)
+        """,
+        "sk1_salted_event_stats": f"""
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND({_dsum("value")}, 6) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "a12_approx_distinct_gate": """
+            SELECT 1 AS within_5pct, COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem
         """,
         "a10_rollup_order_stats": f"""
             SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,

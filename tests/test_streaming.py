@@ -99,3 +99,38 @@ def test_stream_user_totals_matches_batch(spark, events_dir):
     for r in rows:
         got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
     assert got == batch
+
+
+def test_stream_exact_dedup_first_seen_across_batches(spark, tmp_path_factory):
+    """Streaming dedup: first batch emits one keep_id per distinct digest
+    (smallest id); a later batch repeating those texts emits NOTHING new,
+    while a genuinely new text is emitted."""
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_exact_dedup
+
+    src = str(tmp_path_factory.mktemp("docs_stream"))
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(3, "hello world"), (1, "hello   WORLD "), (2, "other text")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        stream_exact_dedup(spark, src)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["keep_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+        assert got == {1, 2}  # normalized dup of 1/3 collapses, min id wins
+
+        # batch 2: repeats (suppressed by digest state) + one new doc
+        spark.createDataFrame([(9, "hello world"), (10, "brand new text")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {r["keep_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+        assert got == {1, 2, 10}  # only the new digest was emitted
+    finally:
+        q.stop()

@@ -128,6 +128,52 @@ def stream_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession, source_dir: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming ingestion dedup: emit each document's key the FIRST time
+    its normalized-text digest is seen; every later arrival (same batch or
+    any later micro-batch) is suppressed.  The streaming twin of
+    dedup.exact_duplicates for continuous corpus ingestion.
+
+    State is one flag per md5 digest via applyInPandasWithState -- the
+    stream is keyed by the digest, so state size grows with |distinct
+    documents|, the keys are 32-char hashes (never the text), and a
+    production deployment bounds it with a timeout (idle digests expire,
+    trading exactness for bounded state -- the standard streaming-dedup
+    compromise, equivalent to dropDuplicatesWithinWatermark semantics).
+    Within a first batch the smallest id wins, deterministically.
+    Output: (text_key, keep_id).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize
+
+    stream = spark.readStream.schema(spark.read.parquet(source_dir).schema).parquet(source_dir)
+    keyed = stream.select(
+        F.md5(normalize(F.col(text_col))).alias("text_key"), F.col(id_col).alias("doc_id")
+    )
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            return  # digest already emitted in an earlier batch
+        keep = None
+        for pdf in pdfs:
+            batch_min = pdf["doc_id"].min()
+            keep = batch_min if keep is None else min(keep, batch_min)
+        state.update((True,))
+        yield pd.DataFrame({"text_key": [key[0]], "keep_id": [keep]})
+
+    return keyed.groupBy("text_key").applyInPandasWithState(
+        first_seen,
+        outputStructType="text_key string, keep_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(spark: SparkSession, source_dir: str, gap_seconds: int = 1800) -> DataFrame:
     """Stateful streaming sessionization via session_window (native state
     operator; applyInPandasWithState would be the route for custom state
