@@ -581,6 +581,81 @@ def q_a12(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_p1(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot report: quantity sums per returnflag, one column per
+    linestatus.  Explicit pivot values -> single hash aggregate, stable
+    schema (operators/aggregates.pivot_stats)."""
+    li = load_table(spark, sf, "lineitem")
+    return agg.pivot_stats(li, "l_returnflag", "l_linestatus", ["F", "O"], "l_quantity")
+
+
+def q_p2(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt): per-priority order stats widened to 3 measures, then
+    melted to (priority, measure, value) long form via native unpivot."""
+    o = load_table(spark, sf, "orders")
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dec_sum("o_totalprice", "sum_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+    return agg.unpivot_measures(base, ["o_orderpriority"], ["n_orders", "sum_price", "max_price"]).orderBy(
+        "o_orderpriority", "measure"
+    )
+
+
+def q_a13(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-percentile (GK sketch) gated against the exact
+    percentile: like a12, the sketch is engine-specific, so the oracle pins
+    the CONTRACT (approx median within 1% of exact) plus the exact value."""
+    li = load_table(spark, sf, "lineitem")
+    out = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.percentile("l_extendedprice", 0.5).alias("exact"),
+    )
+    return out.select(
+        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.01).cast("int").alias("within_1pct"),
+        F.round(F.col("exact"), 4).alias("exact_p50"),
+    )
+
+
+def q_e5(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join, binned (operators/joins.interval_join_binned): for
+    each error event, the click events by the same user within the next 5
+    minutes -- count + min reaction gap (-1 sentinel when none).  The
+    equi-join key is (user, time-bucket), so one user's events spread over
+    its time range instead of one reducer."""
+    evt = load_events(spark, sf)
+    errors = evt.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = evt.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    pairs = joins.interval_join_binned(
+        errors, clicks, "user_id", "c_user", "ts", "c_ts", window_us=300_000_000
+    )
+    gaps = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min(F.unix_micros("c_ts") - F.unix_micros("ts")).alias("min_gap_us"),
+    )
+    return (
+        joins.left_join_fill_zero(errors.select("event_id", "user_id"), gaps, "event_id", ["n_clicks"])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n_clicks").cast("long").alias("n_clicks"),
+            F.coalesce(F.col("min_gap_us"), F.lit(-1)).cast("long").alias("min_gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_em1(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids, position-wise
+    (operators/similarity.label_centroids): decimal-exact partial sums make
+    the centroid partition-invariant, hence oracle-comparable."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.label_centroids(emb, "label", "embedding")
+
+
 def q_c1(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus curation end-to-end: the selection step of a training-data
     pipeline composed from the engine's own operators -- keep documents that
@@ -724,6 +799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_stratified_sample": q_f10,
         "sk1_salted_event_stats": q_sk1,
         "a12_approx_distinct_gate": q_a12,
+        "a13_approx_quantile_gate": q_a13,
+        "p1_pivot_flag_status": q_p1,
+        "p2_unpivot_priority_stats": q_p2,
+        "e5_interval_join_reactions": q_e5,
+        "em1_label_centroids": q_em1,
         "j1_orders_line_counts_top10": q_j1,
         "j6_topk_enriched_customers": q_j6,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1111,6 +1191,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a12_approx_distinct_gate": """
             SELECT 1 AS within_5pct, COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem
+        """,
+        "a13_approx_quantile_gate": """
+            SELECT 1 AS within_1pct,
+                   ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS exact_p50
+            FROM lineitem
+        """,
+        "p1_pivot_flag_status": f"""
+            SELECT l_returnflag,
+                   COALESCE({_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 0.0) AS sum_l_quantity_f,
+                   COALESCE({_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}, 0.0) AS sum_l_quantity_o
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "p2_unpivot_priority_stats": f"""
+            WITH base AS (
+              SELECT o_orderpriority,
+                     CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                     {_dsum("o_totalprice")} AS sum_price,
+                     ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6) AS max_price
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM base
+            UNION ALL SELECT o_orderpriority, 'sum_price', sum_price FROM base
+            UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM base
+        """,
+        "e5_interval_join_reactions": """
+            WITH err AS (
+              SELECT event_id, user_id, CAST(floor(epoch_ns(ts)/1000) AS BIGINT) AS lus
+              FROM events WHERE event_type = 'error'),
+            clk AS (
+              SELECT user_id, CAST(floor(epoch_ns(ts)/1000) AS BIGINT) AS rus
+              FROM events WHERE event_type = 'click')
+            SELECT e.event_id, e.user_id,
+                   COUNT(c.rus) AS n_clicks,
+                   CAST(COALESCE(MIN(c.rus - e.lus), -1) AS BIGINT) AS min_gap_us
+            FROM err e LEFT JOIN clk c
+              ON c.user_id = e.user_id AND c.rus >= e.lus AND c.rus < e.lus + 300000000
+            GROUP BY e.event_id, e.user_id
+        """,
+        "em1_label_centroids": f"""
+            WITH x AS (
+              SELECT label, UNNEST(embedding) AS val,
+                     GENERATE_SUBSCRIPTS(embedding, 1) AS p
+              FROM embeddings)
+            SELECT label, CAST(p - 1 AS INT) AS pos,
+                   CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                         / (COUNT(val) * 1000000.0) AS centroid
+            FROM x GROUP BY label, p
         """,
         "a10_rollup_order_stats": f"""
             SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,

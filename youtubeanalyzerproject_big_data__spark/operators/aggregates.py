@@ -102,6 +102,33 @@ def distinct_count(df: DataFrame, col: str) -> DataFrame:
     return df.agg(F.countDistinct(col).alias("n_distinct"))
 
 
+def pivot_stats(df: DataFrame, key: str, pivot_col: str, pivot_values: list[str], value: str) -> DataFrame:
+    """Wide report pivot with EXPLICIT pivot values.
+
+    Passing the values matters twice at scale: without them Spark runs an
+    extra distinct-scan job just to discover the columns, and the output
+    schema becomes data-dependent (a new category appearing at 100 TB would
+    silently widen the table).  With them, pivot compiles to ONE hash
+    aggregate on ``key`` whose buffer holds sum(CASE WHEN pivot=v) per
+    value -- no Expand, no second shuffle.  Empty cells coalesce to 0.0
+    (sentinel-not-NULL output invariant).
+    """
+    p = df.groupBy(key).pivot(pivot_col, pivot_values).agg(dec_sum(value, "s"))
+    cells = [
+        F.coalesce(F.col(f"`{v}`"), F.lit(0.0)).alias(f"sum_{value}_{v.lower()}")
+        for v in pivot_values
+    ]
+    return p.select(key, *cells).orderBy(key)
+
+
+def unpivot_measures(df: DataFrame, ids: list[str], measures: list[str]) -> DataFrame:
+    """Long-form melt of measure columns via native ``unpivot`` (Expand:
+    one pass over the input, rows multiplied by len(measures), no shuffle).
+    Measures are cast to a common double type as unpivot requires."""
+    casted = df.select(*ids, *[F.col(m).cast("double").alias(m) for m in measures])
+    return casted.unpivot(list(ids), list(measures), "measure", "value")
+
+
 def rollup_stats(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP (absent from the reference --
     SURVEY.md par.2.7 'not present' list -- but the idiomatic Spark upgrade

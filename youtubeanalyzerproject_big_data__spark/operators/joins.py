@@ -38,6 +38,59 @@ def anti_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     return left.join(right, key, "left_anti")
 
 
+def interval_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+    bin_us: int | None = None,
+) -> DataFrame:
+    """Interval (range) join: pair each left row with the right rows of the
+    same key whose timestamp falls in ``[left_ts, left_ts + window)``.
+
+    Spark plans the naive ``ON key = key AND r.ts BETWEEN ...`` as a hash
+    join on the key followed by a per-key filter -- fine for small keys, but
+    a single hot key degenerates to quadratic row pairing.  This is the
+    BINNED form: quantize time into ``bin_us`` buckets, explode each left
+    row to the (at most ``window/bin + 1``, i.e. 2 at the default) buckets
+    its window overlaps, and equi-join on (key, bucket) before applying the
+    exact range predicate.  The shuffle key becomes (key, time-bucket), so
+    a key's rows spread over its whole time range instead of one reducer --
+    the property that keeps the join alive at 100 TB event scale.  AQE skew
+    split composes on top for residual hot (key, bucket) cells.
+
+    Timestamps compare as integer MICROSECONDS (``unix_micros``) for
+    cross-engine determinism (see streaming/events.py sessionize).
+    Output: all left columns + all right columns, inner-joined; callers
+    wanting degree preservation re-join aggregates to the left base
+    (`left_join_fill_zero`).
+    """
+    if bin_us is None:
+        bin_us = window_us
+    lus, rus = F.unix_micros(F.col(left_ts)), F.unix_micros(F.col(right_ts))
+    l2 = left.withColumn("_lus", lus).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_lus") / bin_us),
+                F.floor((F.col("_lus") + F.lit(window_us - 1)) / bin_us),
+            )
+        ),
+    )
+    r2 = right.withColumn("_rus", rus).withColumn("_bin", F.floor(F.col("_rus") / bin_us))
+    cond = (
+        (l2[left_key] == r2[right_key])
+        & (l2["_bin"] == r2["_bin"])
+        & (r2["_rus"] >= l2["_lus"])
+        & (r2["_rus"] < l2["_lus"] + F.lit(window_us))
+    )
+    out_cols = [l2[c] for c in left.columns] + [r2[c] for c in right.columns]
+    return l2.join(r2, cond, "inner").select(*out_cols)
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,

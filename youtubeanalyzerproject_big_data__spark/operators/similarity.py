@@ -305,3 +305,40 @@ def ivf_topk(
         .where(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
     )
+
+
+def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-group embedding centroid, position-wise (the building block of
+    IVF training, cluster summarization, and class-prototype models).
+
+    posexplode -> one hash aggregate on (label, position).  The explode
+    multiplies rows by dim, but map-side partial aggregation collapses each
+    partition to |labels| x dim partial sums before the shuffle, so the
+    exchange carries only the group grid -- tiny at any corpus size.  The
+    explode-free alternative (per-row aggregate() into a dim-width buffer)
+    stays O(rows) but runs in interpreted higher-order-function code
+    (see memory: ~1.8ms/doc); the explode form stays inside whole-stage
+    codegen end to end.
+
+    Determinism: full-precision floats are hostile to the usual
+    DECIMAL(18,6) input cast -- Spark quantizes the double's SHORTEST
+    STRING (BigDecimal.valueOf) while other engines round the exact binary
+    value, so near-tie elements diverge by 1e-6.  Instead each element is
+    integer-quantized with floor(val * 1e6) (identical IEEE multiply +
+    floor everywhere, no ties), summed as int64 (exact, associative,
+    partition-invariant), and divided back -- the same trick as
+    graph.pagerank's quantized contribution sums.  The final division is
+    deliberately NOT rounded: ROUND of a non-terminating quotient re-opens
+    the shortest-string hazard, while IEEE double division of two exactly
+    representable integers (both < 2^52 up to ~4e9 rows/group) is
+    correctly-rounded and bit-identical in every engine.
+    Output: (label, pos, centroid) rows -- assemble an array model with
+    sort_array(collect_list(struct(pos, centroid))) when needed.
+    """
+    pos = emb.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    q = F.floor(F.col("val").cast("double") * F.lit(1_000_000.0)).cast("long")
+    return (
+        pos.groupBy("label", "pos")
+        .agg((F.sum(q).cast("double") / (F.count("val") * F.lit(1_000_000.0))).alias("centroid"))
+        .orderBy("label", "pos")
+    )
