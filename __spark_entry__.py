@@ -531,6 +531,16 @@ def q_t5(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy(F.desc("df"), "token").limit(200)
 
 
+def q_s4(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN top-5 (similarity.pq_topk): corpus
+    compressed 32x (8 codes vs 64 floats), scored against reconstructions.
+    Oracle replays codebook -> encode -> reconstruct -> score bit-exactly;
+    recall vs s1 additionally measured in tests."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.pq_topk(emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", dim=64, k=5)
+    return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
+
+
 def q_t1(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_counts(load_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -833,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
         "s3_ann_ivf_top5": q_s3,
+        "s4_ann_pq_top5": q_s4,
         "t1_token_counts": q_t1,
         "t2_quality_scores": q_t2,
         "t3_language_id": q_t3,
@@ -1030,6 +1041,61 @@ cand AS (
   WHERE p.query_id != s.vec_id
 ),
 scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+WHERE rk <= {k}
+"""
+
+
+def _pq_ann_oracle(dim: int = 64, num_sub: int = 8, num_codes: int = 16, k: int = 5) -> str:
+    """DuckDB replay of similarity.pq_topk -- the full PQ pipeline.
+
+    The codebook is rebuilt IN SQL (sources = num_codes vectors of smallest
+    (md5_int32(vec_id,'pq'), vec_id), subvector m taken verbatim), encoding
+    replays the per-subspace sequential squared-L2 fold with the engine's
+    (dist ASC, codeword ASC) tiebreak, reconstruction concatenates the
+    chosen codewords, and scoring reuses the exact cosine chain -- all
+    bit-identical IEEE sequences, so values hash-match without tolerance.
+    """
+    sub = dim // num_sub
+    h = md5_int32_sql("CAST(vec_id AS VARCHAR)", "pq")
+    # sequential fold ((0+t1)+t2)+... identical to zip_with+aggregate
+    distchain = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + (CAST(v.embedding[ms.m*{sub} + {i + 1}] AS DOUBLE) - CAST(c.embedding[ms.m*{sub} + {i + 1}] AS DOUBLE))"
+        f" * (CAST(v.embedding[ms.m*{sub} + {i + 1}] AS DOUBLE) - CAST(c.embedding[ms.m*{sub} + {i + 1}] AS DOUBLE))"
+        for i in range(sub)
+    )
+    cos = _cos_sql("qv", "rv")
+    return f"""
+WITH ordered AS (
+  SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rn
+  FROM embeddings
+),
+codes AS (SELECT rn - 1 AS j, embedding FROM ordered WHERE rn <= {num_codes}),
+ms AS (SELECT UNNEST(generate_series(0, {num_sub - 1})) AS m),
+dists AS (
+  SELECT v.vec_id, ms.m, c.j, {distchain} AS d
+  FROM embeddings v CROSS JOIN ms CROSS JOIN codes c
+),
+enc AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT e.vec_id,
+         flatten(list(list_transform(c.embedding[e.m*{sub} + 1 : (e.m + 1)*{sub}],
+                                     x -> CAST(x AS DOUBLE)) ORDER BY e.m)) AS rv
+  FROM enc e JOIN codes c ON e.j = c.j
+  GROUP BY e.vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv, r.vec_id AS neighbor_id, r.rv
+  FROM embeddings q JOIN recon r ON q.vec_id != r.vec_id
+  WHERE q.vec_id < 10
+),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM pairs)
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
 WHERE rk <= {k}
@@ -1605,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),
+        "s4_ann_pq_top5": _pq_ann_oracle(dim=64, num_sub=8, num_codes=16, k=5),
         "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
         "g5_pagerank_cyclic_top100": _pagerank_oracle(
             _PAGERANK_EDGES_SQL

@@ -90,3 +90,25 @@ def test_ivf_catalyst_recall_and_shape(clustered):
     }
     recall = len(exact & one) / len(exact)
     assert recall >= 0.8, f"catalyst IVF recall too low: {recall}"
+
+
+def test_pq_recall_on_clustered_vectors(clustered):
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import brute_force_topk, pq_topk
+
+    queries = clustered.where("vec_id IN (0, 10, 20)")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(clustered, queries, "vec_id", "embedding", 3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in pq_topk(clustered, queries, "vec_id", "embedding", dim=16, k=3, num_sub=4, num_codes=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    # quantized reconstructions keep cluster geometry: neighbors stay in-cluster
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    # every approx neighbor at least lands in the query's cluster
+    assert all(q // 10 == n // 10 for q, n in approx)
+
+
+def test_pq_codebook_shape_and_determinism(clustered):
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import _pq_codebook_exact
+
+    b1 = _pq_codebook_exact(clustered, "vec_id", "embedding", dim=16, num_sub=4, num_codes=8)
+    b2 = _pq_codebook_exact(clustered, "vec_id", "embedding", dim=16, num_sub=4, num_codes=8)
+    assert b1 == b2  # md5-order seed selection is run-stable
+    assert len(b1) == 4 and all(len(bm) == 8 for bm in b1) and all(len(c) == 4 for bm in b1 for c in bm)

@@ -342,3 +342,96 @@ def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
         .agg((F.sum(q).cast("double") / (F.count("val") * F.lit(1_000_000.0))).alias("centroid"))
         .orderBy("label", "pos")
     )
+
+
+def _pq_codebook_exact(
+    corpus: DataFrame, id_col: str, vec_col: str, dim: int, num_sub: int, num_codes: int, hash_seed: str = "pq"
+) -> list[list[list[float]]]:
+    """Driver-side product-quantization codebook, ENGINE-PORTABLE like
+    _centroids_exact: codeword sources are the ``num_codes`` corpus vectors
+    of smallest (md5_int32(id, seed), id); codebook[m][j] = subvector m of
+    source j, verbatim (no Lloyd refinement, so any engine can rebuild the
+    identical book from the table alone).  Bounded collect: num_codes rows.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", md5_int32(F.col("id").cast("string"), seed=hash_seed))
+        .orderBy("h", "id")
+        .limit(num_codes)
+        .collect()
+    )
+    sub = dim // num_sub
+    return [[[float(x) for x in r["v"][m * sub : (m + 1) * sub]] for r in rows] for m in range(num_sub)]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    num_sub: int = 8,
+    num_codes: int = 16,
+    hash_seed: str = "pq",
+) -> DataFrame:
+    """Product-quantization ANN: compress, then score against the
+    reconstruction.
+
+    Each corpus vector is encoded to ``num_sub`` small codes (nearest
+    codeword per subspace, squared-L2, ties to the smallest codeword id)
+    and scored via the RECONSTRUCTED quantized vector -- asymmetric
+    distance computation with the reconstruction materialized instead of
+    per-query lookup tables, which keeps the whole plan in Catalyst
+    expressions.
+
+    The 100 TB story is the memory/scan footprint: dim x 4 bytes/row
+    becomes num_sub codes (32x smaller at 64-dim/8-sub), the difference
+    between a RAM-resident index and a spilling one at billions of rows.
+    Encode is a single map-side projection (no shuffle); the raw embedding
+    column is pruned from every post-encode stage.  Composes with IVF
+    (encode within cells -> IVFPQ) for the full billion-scale recipe.
+
+    Determinism: encode argmin and score folds are sequential IEEE chains
+    with fixed tiebreaks, replayed bit-exactly by the s4 DuckDB oracle.
+    Output schema matches brute_force_topk so recall is directly
+    measurable (tests/test_similarity.py).
+    """
+    sub = dim // num_sub
+    book = _pq_codebook_exact(corpus, id_col, vec_col, dim, num_sub, num_codes, hash_seed)
+
+    def sq_l2(subvec, code: list[float]):
+        lit = F.array(*[F.lit(x) for x in code])
+        return F.aggregate(
+            F.zip_with(subvec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    recon = []
+    for m in range(num_sub):
+        subv = F.slice(F.col("cv"), m * sub + 1, sub)
+        choices = F.array(
+            *[F.struct(sq_l2(subv, book[m][j]).alias("d"), F.lit(j).alias("j")) for j in range(num_codes)]
+        )
+        code_m = F.array_min(choices)["j"]
+        book_lit = F.array(*[F.array(*[F.lit(x) for x in book[m][j]]) for j in range(num_codes)])
+        recon.append(F.element_at(book_lit, code_m + 1))
+
+    # Encode once per corpus row (repartition: small parquet arrives
+    # single-partition and the HOF encode is CPU-heavy -- see dedup._shingles).
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select("neighbor_id", F.flatten(F.array(*recon)).alias("rv"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cos_sim", cosine(F.col("qv"), F.col("rv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
+    )
