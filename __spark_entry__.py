@@ -541,6 +541,19 @@ def q_s4(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_m2(spark: SparkSession, sf: str) -> DataFrame:
+    """ALS output CONTRACT, oracle-checked: the factorization itself is
+    stochastic-but-seeded (m1 stays rows-only by design), but the pipeline's
+    output contract is exact -- 50 users, all distinct, each with a full
+    5-item rec list -- so the gate can pin it the way a12/a13 pin sketches."""
+    recs = q_als(spark, sf)
+    return recs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.countDistinct("user_label").alias("n_distinct_users"),
+        F.sum((F.size(F.split("recs_csv", ",")) == 5).cast("long")).alias("n_full_rec_lists"),
+    )
+
+
 def q_t1(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_counts(load_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -856,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_pagerank_top100": q_pagerank,
         "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
         "m1_als_recommendations": q_als,
+        "m2_als_contract": q_m2,
     }
 
 
@@ -1672,6 +1686,11 @@ def oracle_sql() -> dict[str, str]:
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),
         "s4_ann_pq_top5": _pq_ann_oracle(dim=64, num_sub=8, num_codes=16, k=5),
+        "m2_als_contract": """
+            SELECT CAST(50 AS BIGINT) AS n_users,
+                   CAST(50 AS BIGINT) AS n_distinct_users,
+                   CAST(50 AS BIGINT) AS n_full_rec_lists
+        """,
         "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
         "g5_pagerank_cyclic_top100": _pagerank_oracle(
             _PAGERANK_EDGES_SQL
