@@ -134,3 +134,43 @@ def test_stream_exact_dedup_first_seen_across_batches(spark, tmp_path_factory):
         assert got == {1, 2, 10}  # only the new digest was emitted
     finally:
         q.stop()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    from youtubeanalyzerproject_big_data__spark.operators.joins import interval_join_binned
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_interval_join
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows, eid = [], 0
+    for u in (1, 2):
+        for m in (0, 2, 10):  # errors
+            rows.append((eid, base + dt.timedelta(minutes=m), u, "error", 0.0))
+            eid += 1
+        for m in (1, 4, 30):  # clicks: first two inside 5-min windows, last outside
+            rows.append((eid, base + dt.timedelta(minutes=m), u, "click", 0.0))
+            eid += 1
+    path = str(tmp_path_factory.mktemp("ij_src"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    errors = df.where("event_type = 'error'").selectExpr("event_id AS err_id", "user_id AS err_user", "ts AS err_ts")
+    clicks = df.where("event_type = 'click'").selectExpr("event_id AS clk_id", "user_id AS clk_user", "ts AS clk_ts")
+    expected = {
+        (r["err_id"], r["clk_id"])
+        for r in interval_join_binned(
+            errors, clicks, "err_user", "clk_user", "err_ts", "clk_ts", window_us=300_000_000
+        ).collect()
+    }
+    assert len(expected) == 6  # per user: err@0 -> clicks@1,4; err@2 -> click@4
+
+    q = (
+        stream_interval_join(spark, path, 300)
+        .writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["err_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM ij_test").collect()}
+    assert got == expected

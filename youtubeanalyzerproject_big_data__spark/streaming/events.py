@@ -185,3 +185,47 @@ def stream_sessionize(spark: SparkSession, source_dir: str, gap_seconds: int = 1
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
     )
+
+
+def stream_interval_join(spark: SparkSession, source_dir: str, window_seconds: int = 300) -> DataFrame:
+    """Stream-stream interval join: error events paired with the same
+    user's click events in the following ``window_seconds`` -- the
+    streaming twin of joins.interval_join_binned (driver query e5).
+
+    Both sides carry watermarks and the join predicate time-bounds the
+    click relative to the error.  That pair is what makes the symmetric
+    hash join's state FINITE: an error row is evictable once the click
+    watermark passes its window end, a click row once the error watermark
+    passes its timestamp.  An unbounded-condition stream-stream join would
+    grow state forever -- the scale-defining difference.
+
+    Inner join => rows emit eagerly per micro-batch (only outer joins hold
+    results back for watermark closure).
+    """
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    errors = (
+        stream.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "10 minutes")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("clk_id"),
+            F.col("user_id").alias("clk_user"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", "10 minutes")
+    )
+    bound = F.expr(f"err_ts + INTERVAL {window_seconds} SECONDS")
+    cond = (
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("err_ts"))
+        & (F.col("clk_ts") < bound)
+    )
+    return errors.join(clicks, cond, "inner").select("err_id", "err_user", "clk_id", "clk_ts")
