@@ -541,6 +541,17 @@ def q_s4(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_km1(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means, 2 iterations, k=8 on the embeddings
+    corpus (operators/clustering.kmeans_lloyd).  Every iteration is
+    map-side assignment + one (cell, pos) hash agg; the oracle replays
+    both iterations bit-exactly via quantized integer sums."""
+    from youtubeanalyzerproject_big_data__spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_lloyd(emb, "vec_id", "embedding", dim=64, k=8, iters=2)
+
+
 def q_m2(spark: SparkSession, sf: str) -> DataFrame:
     """ALS output CONTRACT, oracle-checked: the factorization itself is
     stochastic-but-seeded (m1 stays rows-only by design), but the pipeline's
@@ -827,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_unpivot_priority_stats": q_p2,
         "e5_interval_join_reactions": q_e5,
         "em1_label_centroids": q_em1,
+        "km1_kmeans_centroids": q_km1,
         "j1_orders_line_counts_top10": q_j1,
         "j6_topk_enriched_customers": q_j6,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1113,6 +1125,69 @@ scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM pairs)
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
 WHERE rk <= {k}
+"""
+
+
+def _kmeans_oracle(dim: int = 64, k: int = 8, iters: int = 2) -> str:
+    """DuckDB replay of clustering.kmeans_lloyd: seed selection, every
+    assignment (sequential squared-L2 fold, (dist, cell) tiebreak), and
+    every centroid update (floor-quantized int64 sums, IEEE division) are
+    identical arithmetic, so both engines walk the same trajectory and the
+    final grid hash-matches exactly."""
+    h = md5_int32_sql("CAST(vec_id AS VARCHAR)", "km")
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (CAST(v.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(v.embedding[i] AS DOUBLE) - c.cv[i])))"
+    )
+
+    def assign_update(i: int, cents_cte: str) -> str:
+        return f"""
+a{i} AS (
+  SELECT v.vec_id, v.embedding, c.cell, {dist} AS d
+  FROM embeddings v CROSS JOIN {cents_cte} c
+),
+cell{i} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM a{i})
+  WHERE rn = 1
+),
+g{i} AS (
+  SELECT cell, p - 1 AS pos,
+         SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM (SELECT cell, UNNEST(embedding) AS val, GENERATE_SUBSCRIPTS(embedding, 1) AS p FROM cell{i})
+  GROUP BY cell, p
+)"""
+
+    parts = [
+        f"""ordered AS (
+  SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rn FROM embeddings
+),
+cents0 AS (
+  SELECT rn - 1 AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM ordered WHERE rn <= {k}
+)"""
+    ]
+    for i in range(iters):
+        parts.append(assign_update(i, f"cents{i}"))
+        if i < iters - 1:
+            # next centroids: quantized means; empty cells keep the previous centroid
+            parts.append(f"""
+upd{i} AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cv
+  FROM g{i} GROUP BY cell
+),
+cents{i + 1} AS (
+  SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+  FROM cents{i} p LEFT JOIN upd{i} u ON p.cell = u.cell
+)""")
+    last = iters - 1
+    return f"""
+WITH {",".join(parts)}
+SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos,
+       CAST(s AS DOUBLE) / (n * 1000000.0) AS centroid,
+       CAST(n AS BIGINT) AS n_members
+FROM g{last}
 """
 
 
@@ -1686,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),
         "s4_ann_pq_top5": _pq_ann_oracle(dim=64, num_sub=8, num_codes=16, k=5),
+        "km1_kmeans_centroids": _kmeans_oracle(dim=64, k=8, iters=2),
         "m2_als_contract": """
             SELECT CAST(50 AS BIGINT) AS n_users,
                    CAST(50 AS BIGINT) AS n_distinct_users,

@@ -112,3 +112,26 @@ def test_pq_codebook_shape_and_determinism(clustered):
     b2 = _pq_codebook_exact(clustered, "vec_id", "embedding", dim=16, num_sub=4, num_codes=8)
     assert b1 == b2  # md5-order seed selection is run-stable
     assert len(b1) == 4 and all(len(bm) == 8 for bm in b1) and all(len(c) == 4 for bm in b1 for c in bm)
+
+
+def test_kmeans_recovers_separated_clusters(clustered):
+    from youtubeanalyzerproject_big_data__spark.operators.clustering import kmeans_lloyd
+
+    out = kmeans_lloyd(clustered, "vec_id", "embedding", dim=16, k=3, iters=3).collect()
+    cells = {r["cell"] for r in out}
+    sizes = {r["cell"]: r["n_members"] for r in out}
+    assert len(cells) == 3 and all(sizes[c] == 10 for c in cells)  # 3 clusters of 10 recovered
+    # each centroid's dominant coordinate is one cluster center's spike (~10.0)
+    grids = {}
+    for r in out:
+        grids.setdefault(r["cell"], [0.0] * 16)[r["pos"]] = r["centroid"]
+    spikes = sorted(max(range(16), key=lambda i: g[i]) for g in grids.values())
+    assert spikes == [0, 5, 10] and all(max(g) > 8.0 for g in grids.values())
+
+
+def test_kmeans_partition_invariant(clustered):
+    from youtubeanalyzerproject_big_data__spark.operators.clustering import kmeans_lloyd
+
+    one = kmeans_lloyd(clustered.coalesce(1), "vec_id", "embedding", dim=16, k=3, iters=2).collect()
+    many = kmeans_lloyd(clustered.repartition(7), "vec_id", "embedding", dim=16, k=3, iters=2).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
