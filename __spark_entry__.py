@@ -1371,10 +1371,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e5_interval_join_reactions": """
             WITH err AS (
-              SELECT event_id, user_id, CAST(floor(epoch_ns(ts)/1000) AS BIGINT) AS lus
+              SELECT event_id, user_id, (epoch_ns(ts) // 1000) AS lus
               FROM events WHERE event_type = 'error'),
             clk AS (
-              SELECT user_id, CAST(floor(epoch_ns(ts)/1000) AS BIGINT) AS rus
+              SELECT user_id, (epoch_ns(ts) // 1000) AS rus
               FROM events WHERE event_type = 'click')
             SELECT e.event_id, e.user_id,
                    COUNT(c.rus) AS n_clicks,
@@ -1522,8 +1522,8 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT user_id,
                      CASE WHEN prev_ts IS NULL
-                               OR (CAST(floor(epoch_ns(ts)/1000) AS BIGINT)
-                                   - CAST(floor(epoch_ns(prev_ts)/1000) AS BIGINT)) > 1800000000
+                               OR ((epoch_ns(ts) // 1000)
+                                   - (epoch_ns(prev_ts) // 1000)) > 1800000000
                           THEN 1 ELSE 0 END AS new_session
               FROM g)
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
@@ -1542,11 +1542,11 @@ def oracle_sql() -> dict[str, str]:
         # normalization (io.load_events) -- ordering must agree exactly.
         "e3_asof_attribution": """
             WITH u AS (
-              SELECT event_id, user_id, CAST(floor(epoch_ns(ts)/1000) AS BIGINT) AS tsu,
+              SELECT event_id, user_id, (epoch_ns(ts) // 1000) AS tsu,
                      1 AS side, CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS DOUBLE) AS r_value
               FROM events WHERE event_type = 'purchase'
               UNION ALL
-              SELECT event_id, user_id, CAST(floor(epoch_ns(ts)/1000) AS BIGINT),
+              SELECT event_id, user_id, (epoch_ns(ts) // 1000),
                      0, event_id, value
               FROM events WHERE event_type = 'view'
             ),

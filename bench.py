@@ -66,10 +66,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         samples = []
         for _ in range(n_runs):
-            # Per-query isolation: operators cache intermediates (shingles,
-            # edge tables) scoped to their own run; leftover cache blocks
-            # from earlier queries only add memory pressure to later ones.
-            spark.catalog.clearCache()
+            # No clearCache needed: every operator that caches an
+            # intermediate (shingles, edges, ratings) releases it before
+            # returning (pin-result-then-unpersist pattern), so runs are
+            # isolated by construction.
             t0 = time.time()
             rows = qs[name](spark, sf_dir).collect()
             samples.append(time.time() - t0)

@@ -51,6 +51,30 @@ def test_minhash_lsh_recalls_exact_and_near_dups(docs):
     assert got <= exact
 
 
+def test_dedup_releases_cached_shingles(spark, docs):
+    """d2/d3/d8 cache shingle tables internally; after the call returns the
+    session must hold NO lingering cache entries (VERDICT r2 finding #2 --
+    bench no longer clearCache()s between queries, so a leak here would
+    accumulate executor storage across a serving session)."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import (
+        cross_corpus_near_dups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    cross_corpus_near_dups(docs.where("doc_id >= 4"), docs.where("doc_id < 4"), "doc_id", "text").collect()
+    # The pinned (localCheckpoint) result RDDs remain until GC'd -- those
+    # are bounded pair tables, not the corpus-sized shingle caches.  Every
+    # NON-checkpoint persistent RDD must be gone.
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leaked = [
+        rid for rid in jmap.keySet().toArray() if not jmap.get(rid).rdd().isLocallyCheckpointed()
+    ]
+    assert leaked == [], f"lingering cached (non-checkpoint) RDD ids: {leaked}"
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     from youtubeanalyzerproject_big_data__spark.operators.dedup import simhash_pairs, simhash_signatures
 

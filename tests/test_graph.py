@@ -88,6 +88,16 @@ def test_connected_components_chain_and_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_rejects_zero_iterations(spark):
+    """max_iter < 1 must raise up front: a zero-round loop would silently
+    return every-vertex-labels-itself, bypassing the convergence guard."""
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="max_iter"):
+        graph.connected_components(edges, max_iter=0)
+
+
 def test_star_components_match_min_label(spark):
     """large-star/small-star and min-label propagation agree on mixed
     component shapes (chain, pair, star).  Self-loops are excluded: the

@@ -60,6 +60,8 @@ def test_recommend_dims_semi_reduced_before_broadcast(interactions):
 
     ratings = build_ratings(interactions, "user", "item", "rating")
     model = train_als(ratings, max_iter=1, seed=42)
-    out = recommend_for_users(model, ratings, n_users=5, n_recs=3)
+    # pin_result=False keeps the lazy plan visible (default checkpoints,
+    # which truncates lineage and hides the joins from inspection)
+    out = recommend_for_users(model, ratings, n_users=5, n_recs=3, pin_result=False)
     plan = executed_plan(out)
     assert plan.count("LeftSemi, BuildRight") >= 2, plan

@@ -29,6 +29,41 @@ def test_serve_materializes_then_reads_cache(service, videos, spark, tmp_path):
     assert "Music" not in fresh
 
 
+def test_serve_recomputes_partial_artifact(service, tmp_path):
+    """A crashed Phase-1 write (directory present, no _SUCCESS) must NOT be
+    treated as a cache hit -- serve must recompute, not return truncated
+    results forever (ADVICE r2)."""
+    import os
+    import shutil
+
+    service.serve("categorystats")  # populate
+    path = service._path("categorystats")
+    os.remove(os.path.join(path, "_SUCCESS"))  # simulate partial write
+    # drop the data files too: if serve wrongly trusted the directory it
+    # would now return an empty/truncated frame instead of recomputing
+    for f in os.listdir(path):
+        os.remove(os.path.join(path, f))
+    out = {r["category"]: r["num_videos"] for r in service.serve("categorystats").collect()}
+    assert out["Music"] == 3
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    shutil.rmtree(path)
+
+
+def test_serve_point_lookup_pushes_predicate(spark, videos, tmp_path):
+    """The live point-lookup (reference find_one analog) must push the id
+    equality into the parquet scan, not filter post-read.  Uses a
+    parquet-backed videos table -- pushdown needs a file source."""
+    from youtubeanalyzerproject_big_data__spark.serve import QueryService
+
+    vpath = str(tmp_path / "videos_pq")
+    videos.write.mode("overwrite").parquet(vpath)
+    svc = QueryService(spark, spark.read.parquet(vpath), str(tmp_path / "cache"))
+    df = svc.lookup("v03")
+    assert df.collect()[0]["category"] == "Comedy"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "video_id" in plan.split("PushedFilters:")[1][:200]
+
+
 def test_serve_unknown_name_lists_available(service):
     with pytest.raises(KeyError, match="categorystats"):
         service.serve("nope")

@@ -129,6 +129,17 @@ def test_kmeans_recovers_separated_clusters(clustered):
     assert spikes == [0, 5, 10] and all(max(g) > 8.0 for g in grids.values())
 
 
+def test_kmeans_rejects_zero_iterations(clustered):
+    """iters < 1 must fail fast with ValueError BEFORE the seed collect
+    (previously: expensive collect, then a bare AssertionError)."""
+    import pytest
+
+    from youtubeanalyzerproject_big_data__spark.operators.clustering import kmeans_lloyd
+
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_lloyd(clustered, "vec_id", "embedding", dim=16, k=3, iters=0)
+
+
 def test_kmeans_partition_invariant(clustered):
     from youtubeanalyzerproject_big_data__spark.operators.clustering import kmeans_lloyd
 

@@ -73,6 +73,8 @@ def kmeans_lloyd(
     its previous centroid DURING iteration, so later rounds can re-capture
     points).  n_members repeats across a cell's positions by construction.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     seeds = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("h", md5_int32(F.col("id").cast("string"), seed=hash_seed))
@@ -98,4 +100,4 @@ def kmeans_lloyd(
         for r in rows:
             new.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = float(r["s"]) / (r["n"] * _SCALE)
         cents = [new.get(j, cents[j]) for j in range(k)]  # empty cell keeps previous centroid
-    raise AssertionError("iters must be >= 1")
+    raise AssertionError("unreachable: iters validated >= 1 at entry")

@@ -177,13 +177,19 @@ def ngram_jaccard_pairs(
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    result = (
         inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
         .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
         .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
+        # Pin the (threshold-bounded) pairs, then release the big cached
+        # shingle table -- a long-lived session must not accumulate corpus
+        # x shingle rows of executor storage (pattern: pagerank:169).
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return result
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16) -> DataFrame:
@@ -255,7 +261,15 @@ def minhash_lsh_pairs(
 
     candidates = _pairs_from_groups(band_rows, ["band", "sig"], max_group=max_bucket)
     sh = sh_rows.select("doc_id", F.xxhash64("shingle").alias("sh"))
-    return _jaccard_for_pairs(candidates, sh).where(F.col("jaccard") >= threshold)
+    result = (
+        _jaccard_for_pairs(candidates, sh)
+        .where(F.col("jaccard") >= threshold)
+        # Pin the verified pairs, release the cached shingles (see
+        # ngram_jaccard_pairs for the storage-hygiene rationale).
+        .localCheckpoint(eager=True)
+    )
+    sh_rows.unpersist()
+    return result
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -496,10 +510,15 @@ def cross_corpus_near_dups(
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    result = (
         inter.join(n_new.select(F.col("doc_id").alias("new_id"), "n1"), "new_id")
         .join(n_old.select(F.col("doc_id").alias("corpus_id"), "n2"), "corpus_id")
         .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
+        # Pin pairs, release both cached shingle sides (storage hygiene).
+        .localCheckpoint(eager=True)
     )
+    sh_new.unpersist()
+    sh_old.unpersist()
+    return result

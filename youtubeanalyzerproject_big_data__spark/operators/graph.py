@@ -182,6 +182,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20, num_partitions: i
     Returns (id, component) for every vertex WITH an edge; isolated
     vertices are their own component by definition (callers left-join).
     """
+    if max_iter < 1:
+        # changed starts at 0, so a zero-round loop would skip the
+        # non-convergence guard and return every-vertex-labels-itself.
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = (

@@ -49,7 +49,12 @@ def build_ratings(df: DataFrame, user_col: str, item_col: str, rating_col: str, 
         F.col(user_col).alias("user_label"),
         F.col(item_col).alias("item_label"),
     )
-    return strip_metadata(out)
+    # Pin the indexed ratings once (ALS fit + the dim-reduction joins in
+    # recommend_for_users all re-read them), then release the cached input
+    # so repeated pipeline runs in one session don't accumulate storage.
+    out = strip_metadata(out).localCheckpoint(eager=True)
+    clean.unpersist()
+    return out
 
 
 def train_als(
@@ -85,12 +90,20 @@ def train_als(
     return als.fit(ratings.select("user_idx", "item_idx", "rating"))
 
 
-def recommend_for_users(model, ratings: DataFrame, n_users: int = 500, n_recs: int = 5) -> DataFrame:
+def recommend_for_users(
+    model, ratings: DataFrame, n_users: int = 500, n_recs: int = 5, pin_result: bool = True
+) -> DataFrame:
     """M4 + A7/J3/J4: top-n_recs items for a deterministic user subset,
     labels re-attached via broadcast joins (replacing the reference's N+1
     find_one loop, run_pagerank_job.py:124-140), re-nested deterministically.
 
     Returns (user_idx, user_label, recommendations array<string>).
+
+    ``pin_result`` (default): the bounded n_users-row result is
+    localCheckpoint-ed and the internal recs cache released, so long-lived
+    serving sessions don't accumulate executor storage.  Pass False to get
+    the lazy plan instead (plan inspection / further composition); the
+    caller then owns unpersisting via spark.catalog.clearCache().
     """
     users = ratings.select("user_idx").distinct().orderBy("user_idx").limit(n_users)
     recs = model.recommendForUserSubset(users, n_recs)
@@ -118,7 +131,7 @@ def recommend_for_users(model, ratings: DataFrame, n_users: int = 500, n_recs: i
     enriched = exploded.join(F.broadcast(item_dim), "item_idx", "left").join(
         F.broadcast(user_dim), "user_idx", "left"
     )
-    return (
+    result = (
         enriched.groupBy("user_idx")
         .agg(
             F.first("user_label").alias("user_label"),
@@ -130,3 +143,10 @@ def recommend_for_users(model, ratings: DataFrame, n_users: int = 500, n_recs: i
             F.transform("_recs", lambda r: r.getField("item_label")).alias("recommendations"),
         )
     )
+    if pin_result:
+        # Pin the (n_users-row) result, then release the cached recs so a
+        # long-lived serving session doesn't accumulate executor storage
+        # (same pattern as pagerank's weighted.unpersist()).
+        result = result.localCheckpoint(eager=True)
+        exploded.unpersist()
+    return result

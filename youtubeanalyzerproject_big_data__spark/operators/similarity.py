@@ -2,9 +2,11 @@
 
 Three paths:
   * brute_force_topk -- exact cosine top-k per query.  Query set is
-    broadcast (small side), so the corpus never shuffles: each corpus
-    partition scores its rows against every query and keeps a local top-k
-    heap via window row_number; TakeOrdered semantics, no O(n^2) shuffle.
+    broadcast (small side), so the corpus never shuffles for scoring; the
+    re-rank is a TWO-STAGE top-k (_topk_per_query): a map-side partial
+    top-k collapses each partition to <= k rows per query before the
+    exchange, then a final window ranks the bounded survivors.  No single
+    reducer ever sees the corpus.
   * lsh_topk -- random-hyperplane LSH: 16-bit signatures from md5-seeded
     deterministic hyperplanes; query and corpus meet only inside matching
     buckets (multi-probe over b-bit bands), then exact cosine re-ranks.
@@ -33,12 +35,62 @@ from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
 from youtubeanalyzerproject_big_data__spark.functions.vectors import cosine, dot
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage exact top-k per query over (query_id, neighbor_id, cos_sim).
+
+    Stage 1 (partial, map-side): within each input partition keep only the
+    k best candidates per query -- groupBy(spark_partition_id(), query_id)
+    + sort_array/slice over collect_list(struct(-cos_sim, neighbor_id)).
+    Because spark_partition_id() is in the grouping key every group lives
+    in exactly one task, so the partial aggregate collapses each partition
+    to <= |queries| * k narrow structs BEFORE the exchange: the shuffle and
+    the final window see at most num_partitions * k rows per query, never
+    the candidate set.  (A bare Window.partitionBy(query_id) routes ALL of
+    a query's scored candidates through one reducer -- Spark windows do no
+    partial aggregation, so at 1e9 corpus rows that single task receives
+    1e9 rows.  This helper is the fix.)
+
+    Stage 2 (final): row_number window over the bounded survivors.
+
+    Both stages realize the SAME total order (cos_sim DESC, neighbor_id
+    ASC) -- ascending struct sort on (-cos_sim, neighbor_id) flips the sim
+    while keeping the id tiebreak ascending, and works for any orderable
+    id type -- so stage 1 provably preserves the global top-k and the
+    result is bit-identical to the single-window form the DuckDB oracles
+    replay.  Double negation is sign-flip only (exact for every float).
+    Memory note: the partial ObjectHashAggregate buffers one group's list
+    at a time after sort-fallback, bounded by one partition's rows for one
+    query -- tune spark.sql.files.maxPartitionBytes, not the reducer.
+    """
+    part = (
+        scored.groupBy(F.spark_partition_id().alias("_pid"), "query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("cos_sim")).alias("ns"), F.col("neighbor_id").alias("nid")))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+        .select("query_id", F.col("t.nid").alias("neighbor_id"), (-F.col("t.ns")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        part.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
+    )
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cos_sim, nn_rank), self-matches excluded.
-    ``queries`` is expected small (it is broadcast); corpus scan stays
-    shuffle-free until the final per-query top-k window on query_id.
+    ``queries`` is expected small (it is broadcast); the corpus never
+    shuffles for scoring, and the re-rank is the two-stage
+    :func:`_topk_per_query` so no reducer ever receives the whole corpus.
     """
     from youtubeanalyzerproject_big_data__spark.functions.vectors import dot_arrow, norm
 
@@ -50,12 +102,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", d(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def _plane_component(p: int, c: int) -> float:
@@ -125,12 +172,7 @@ def lsh_topk(
         .distinct()
     )
     scored = cands.withColumn("cos_sim", cosine(F.col("query_v"), F.col("neighbor_v")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, num_cells: int, refine_iters: int = 1):
@@ -255,12 +297,7 @@ def ivf_topk_catalyst(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_topk(
@@ -299,12 +336,7 @@ def ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
@@ -429,9 +461,4 @@ def pq_topk(
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
         "cos_sim", cosine(F.col("qv"), F.col("rv"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
-    )
+    return _topk_per_query(scored, k)

@@ -68,7 +68,11 @@ class QueryService:
         if name not in CACHED_JOBS:
             raise KeyError(f"unknown cached query {name!r}; available: {sorted(CACHED_JOBS)}")
         path = self._path(name)
-        if not os.path.exists(path):
+        # A bare os.path.exists(path) would treat a crashed, partially
+        # written Phase-1 directory as a permanent cache hit; only a commit
+        # marker (_SUCCESS, written last by the Hadoop committer) proves the
+        # artifact is complete.  Anything less -> recompute.
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
             self.refresh(name)
         return read_json_artifact(self.spark, path)
 
