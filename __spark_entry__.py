@@ -541,6 +541,20 @@ def q_s4(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_s5(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF+PQ composed ANN top-5 (similarity.ivfpq_topk): IVF bounds WHICH
+    rows each query scores (probe 4/16 cells), PQ bounds WHAT is scored
+    (8 codes vs 64 floats, 32x).  Uses the same md5-seeded 'ivf' centroid
+    model as s3 and 'pq' codebook as s4, so the oracle replays the whole
+    composed index (seed -> assign -> encode -> probe -> ADC re-rank)
+    bit-exactly -- the billion-scale recipe demonstrated, not asserted."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", dim=64, k=5, num_cells=16, nprobe=4
+    )
+    return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
+
+
 def q_km1(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means, 2 iterations, k=8 on the embeddings
     corpus (operators/clustering.kmeans_lloyd).  Every iteration is
@@ -869,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_ann_lsh_top5": q_s2,
         "s3_ann_ivf_top5": q_s3,
         "s4_ann_pq_top5": q_s4,
+        "s5_ann_ivfpq_top5": q_s5,
         "t1_token_counts": q_t1,
         "t2_quality_scores": q_t2,
         "t3_language_id": q_t3,
@@ -1122,6 +1137,95 @@ pairs AS (
   WHERE q.vec_id < 10
 ),
 scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM pairs)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+WHERE rk <= {k}
+"""
+
+
+def _ivfpq_ann_oracle(
+    dim: int = 64, num_cells: int = 16, nprobe: int = 4, num_sub: int = 8, num_codes: int = 16, k: int = 5
+) -> str:
+    """DuckDB replay of similarity.ivfpq_topk -- the COMPOSED IVF+PQ index.
+
+    IVF half (verbatim from _ivf_ann_oracle, seed 'ivf'): centroid seeding +
+    normalization, sequential-dot cell assignment with (dp DESC, cell ASC)
+    tiebreak, nprobe probing.  PQ half (verbatim from _pq_ann_oracle, seed
+    'pq'): codebook rebuild, per-subspace squared-L2 encode with
+    (d ASC, j ASC) tiebreak, reconstruction.  Candidates = corpus rows in
+    probed cells; scoring = exact cosine of query vs RECONSTRUCTED vector
+    (asymmetric distance).  Every arithmetic step is the same IEEE sequence
+    the engine computes, so values hash-match without tolerance.
+    """
+    sub = dim // num_sub
+    hi = md5_int32_sql("CAST(vec_id AS VARCHAR)", "ivf")
+    hp = md5_int32_sql("CAST(vec_id AS VARCHAR)", "pq")
+    normchain = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(dim)
+    )
+    dotchain = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + CAST(v.embedding[{i + 1}] AS DOUBLE) * c.cv[{i + 1}]" for i in range(dim)
+    )
+    distchain = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + (CAST(v.embedding[ms.m*{sub} + {i + 1}] AS DOUBLE) - CAST(c.embedding[ms.m*{sub} + {i + 1}] AS DOUBLE))"
+        f" * (CAST(v.embedding[ms.m*{sub} + {i + 1}] AS DOUBLE) - CAST(c.embedding[ms.m*{sub} + {i + 1}] AS DOUBLE))"
+        for i in range(sub)
+    )
+    cos = _cos_sql("qv", "rv")
+    return f"""
+WITH iord AS (
+  SELECT vec_id, embedding, sqrt({normchain}) AS nrm,
+         ROW_NUMBER() OVER (ORDER BY {hi}, vec_id) AS rn
+  FROM embeddings
+),
+cents AS (
+  SELECT rn - 1 AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS cv
+  FROM iord WHERE rn <= {num_cells}
+),
+assign AS (
+  SELECT v.vec_id, v.embedding, c.cell, {dotchain} AS dp
+  FROM embeddings v CROSS JOIN cents c
+),
+cellof AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell ASC) AS rn
+    FROM assign) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell ASC) AS rn
+    FROM assign WHERE vec_id < 10) WHERE rn <= {nprobe}
+),
+pord AS (
+  SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY {hp}, vec_id) AS rn FROM embeddings
+),
+codes AS (SELECT rn - 1 AS j, embedding FROM pord WHERE rn <= {num_codes}),
+ms AS (SELECT UNNEST(generate_series(0, {num_sub - 1})) AS m),
+dists AS (
+  SELECT v.vec_id, ms.m, c.j, {distchain} AS d
+  FROM embeddings v CROSS JOIN ms CROSS JOIN codes c
+),
+enc AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT e.vec_id,
+         flatten(list(list_transform(c.embedding[e.m*{sub} + 1 : (e.m + 1)*{sub}],
+                                     x -> CAST(x AS DOUBLE)) ORDER BY e.m)) AS rv
+  FROM enc e JOIN codes c ON e.j = c.j
+  GROUP BY e.vec_id
+),
+cand AS (
+  SELECT p.query_id, p.qv, s.vec_id AS neighbor_id, r.rv
+  FROM probes p JOIN cellof s USING (cell) JOIN recon r ON s.vec_id = r.vec_id
+  WHERE p.query_id != s.vec_id
+),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
 WHERE rk <= {k}
@@ -1761,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),
         "s4_ann_pq_top5": _pq_ann_oracle(dim=64, num_sub=8, num_codes=16, k=5),
+        "s5_ann_ivfpq_top5": _ivfpq_ann_oracle(dim=64, num_cells=16, nprobe=4, num_sub=8, num_codes=16, k=5),
         "km1_kmeans_centroids": _kmeans_oracle(dim=64, k=8, iters=2),
         "m2_als_contract": """
             SELECT CAST(50 AS BIGINT) AS n_users,

@@ -105,6 +105,26 @@ def test_pq_recall_on_clustered_vectors(clustered):
     assert all(q // 10 == n // 10 for q, n in approx)
 
 
+def test_ivfpq_recall_on_clustered_vectors(clustered):
+    """Composed IVF+PQ: probing restricts candidates to the query's cell
+    neighborhood AND scoring runs on reconstructions -- recall must still
+    track the cluster structure (the s5 billion-scale recipe)."""
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import brute_force_topk, ivfpq_topk
+
+    queries = clustered.where("vec_id IN (0, 10, 20)")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(clustered, queries, "vec_id", "embedding", 3).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            clustered, queries, "vec_id", "embedding", dim=16, k=3, num_cells=3, nprobe=2, num_sub=4, num_codes=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVFPQ recall too low: {recall}"
+    # every approx neighbor at least lands in the query's cluster
+    assert all(q // 10 == n // 10 for q, n in approx)
+
+
 def test_pq_codebook_shape_and_determinism(clustered):
     from youtubeanalyzerproject_big_data__spark.operators.similarity import _pq_codebook_exact
 

@@ -250,6 +250,20 @@ def _centroids_exact(
     return cents
 
 
+def _cell_rank_expr(cents: list[list[float]], vec: str) -> F.Column:
+    """Cells of ``vec`` ranked by dot product, as an array of structs.
+    struct sort: (dot DESC, -cell DESC == cell ASC) -- ties on
+    bit-identical dots break to the smallest cell on both engines."""
+    entries = [
+        F.struct(
+            dot(F.col(vec), F.array(*[F.lit(comp) for comp in cent])).alias("d"),
+            F.lit(-c).cast("int").alias("nc"),
+        )
+        for c, cent in enumerate(cents)
+    ]
+    return F.sort_array(F.array(*entries), asc=False)
+
+
 def ivf_topk_catalyst(
     corpus: DataFrame,
     queries: DataFrame,
@@ -273,24 +287,11 @@ def ivf_topk_catalyst(
     way (probe cost ~ nprobe/num_cells of the corpus).
     """
     cents = _centroids_exact(corpus, id_col, vec_col, num_cells)
-
-    def cell_rank(vec: str) -> F.Column:
-        # struct sort: (dot DESC, -cell DESC == cell ASC) -- ties on
-        # bit-identical dots break to the smallest cell on both engines.
-        entries = [
-            F.struct(
-                dot(F.col(vec), F.array(*[F.lit(comp) for comp in cent])).alias("d"),
-                F.lit(-c).cast("int").alias("nc"),
-            )
-            for c, cent in enumerate(cents)
-        ]
-        return F.sort_array(F.array(*entries), asc=False)
-
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
-        "cell", -F.element_at(cell_rank("cv"), 1).getField("nc")
+        "cell", -F.element_at(_cell_rank_expr(cents, "cv"), 1).getField("nc")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "cell", F.explode(F.transform(F.slice(cell_rank("qv"), 1, nprobe), lambda s: -s.getField("nc")))
+        "cell", F.explode(F.transform(F.slice(_cell_rank_expr(cents, "qv"), 1, nprobe), lambda s: -s.getField("nc")))
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -396,6 +397,33 @@ def _pq_codebook_exact(
     return [[[float(x) for x in r["v"][m * sub : (m + 1) * sub]] for r in rows] for m in range(num_sub)]
 
 
+def _pq_recon_exprs(book: list[list[list[float]]], num_sub: int, sub: int, src: str) -> list[F.Column]:
+    """Per-subspace reconstruction expressions: encode subvector m of
+    ``src`` to its nearest codeword (sequential squared-L2 fold, ties to
+    the smallest codeword id) and emit that codeword's literal array.
+    Flatten the returned list to get the full reconstructed vector."""
+
+    def sq_l2(subvec, code: list[float]):
+        lit = F.array(*[F.lit(x) for x in code])
+        return F.aggregate(
+            F.zip_with(subvec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    recon = []
+    for m in range(num_sub):
+        subv = F.slice(F.col(src), m * sub + 1, sub)
+        num_codes = len(book[m])
+        choices = F.array(
+            *[F.struct(sq_l2(subv, book[m][j]).alias("d"), F.lit(j).alias("j")) for j in range(num_codes)]
+        )
+        code_m = F.array_min(choices)["j"]
+        book_lit = F.array(*[F.array(*[F.lit(x) for x in book[m][j]]) for j in range(num_codes)])
+        recon.append(F.element_at(book_lit, code_m + 1))
+    return recon
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -421,8 +449,9 @@ def pq_topk(
     becomes num_sub codes (32x smaller at 64-dim/8-sub), the difference
     between a RAM-resident index and a spilling one at billions of rows.
     Encode is a single map-side projection (no shuffle); the raw embedding
-    column is pruned from every post-encode stage.  Composes with IVF
-    (encode within cells -> IVFPQ) for the full billion-scale recipe.
+    column is pruned from every post-encode stage.  Composes with IVF for
+    the full billion-scale recipe -- demonstrated by :func:`ivfpq_topk`
+    (driver query s5, full replay oracle).
 
     Determinism: encode argmin and score folds are sequential IEEE chains
     with fixed tiebreaks, replayed bit-exactly by the s4 DuckDB oracle.
@@ -431,24 +460,7 @@ def pq_topk(
     """
     sub = dim // num_sub
     book = _pq_codebook_exact(corpus, id_col, vec_col, dim, num_sub, num_codes, hash_seed)
-
-    def sq_l2(subvec, code: list[float]):
-        lit = F.array(*[F.lit(x) for x in code])
-        return F.aggregate(
-            F.zip_with(subvec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    recon = []
-    for m in range(num_sub):
-        subv = F.slice(F.col("cv"), m * sub + 1, sub)
-        choices = F.array(
-            *[F.struct(sq_l2(subv, book[m][j]).alias("d"), F.lit(j).alias("j")) for j in range(num_codes)]
-        )
-        code_m = F.array_min(choices)["j"]
-        book_lit = F.array(*[F.array(*[F.lit(x) for x in book[m][j]]) for j in range(num_codes)])
-        recon.append(F.element_at(book_lit, code_m + 1))
+    recon = _pq_recon_exprs(book, num_sub, sub, "cv")
 
     # Encode once per corpus row (repartition: small parquet arrives
     # single-partition and the HOF encode is CPU-heavy -- see dedup._shingles).
@@ -460,5 +472,62 @@ def pq_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
         "cos_sim", cosine(F.col("qv"), F.col("rv"))
+    )
+    return _topk_per_query(scored, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    num_sub: int = 8,
+    num_codes: int = 16,
+) -> DataFrame:
+    """IVF + PQ composed -- the billion-scale ANN recipe, demonstrated.
+
+    IVF bounds WHICH rows a query scores (probe ``nprobe`` of
+    ``num_cells`` cells: scan cost drops by ~num_cells/nprobe, exactly as
+    in :func:`ivf_topk_catalyst`); PQ bounds WHAT is scored (each corpus
+    vector carried as ``num_sub`` codes -> reconstruction, a 32x memory/
+    scan reduction at 64-dim/8-sub, exactly as in :func:`pq_topk`).  The
+    composition is one map-side projection per corpus row (cell id +
+    reconstructed vector, no shuffle), a broadcast probe join on cell, and
+    the two-stage re-rank -- at 1e9 rows the scored candidate set per
+    query is nprobe/num_cells of the corpus read at PQ width, and no
+    single reducer ever sees even that.
+
+    Determinism: the cell model is the md5-seeded engine-portable
+    _centroids_exact ('ivf' seed) and the codebook _pq_codebook_exact
+    ('pq' seed) -- the same models as s3/s4 -- so the s5 DuckDB oracle
+    replays seeding, assignment, encoding, reconstruction, probing, and
+    scoring bit-exactly.  Output schema matches brute_force_topk.
+    """
+    sub = dim // num_sub
+    cents = _centroids_exact(corpus, id_col, vec_col, num_cells)
+    book = _pq_codebook_exact(corpus, id_col, vec_col, dim, num_sub, num_codes)
+    recon = _pq_recon_exprs(book, num_sub, sub, "cv")
+    # One pass over the corpus: cell assignment + PQ encode (CPU-heavy HOF
+    # expressions -- repartition first, see dedup._shingles).
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "neighbor_id",
+            (-F.element_at(_cell_rank_expr(cents, "cv"), 1).getField("nc")).alias("cell"),
+            F.flatten(F.array(*recon)).alias("rv"),
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "cell", F.explode(F.transform(F.slice(_cell_rank_expr(cents, "qv"), 1, nprobe), lambda s: -s.getField("nc")))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("rv")))
     )
     return _topk_per_query(scored, k)
