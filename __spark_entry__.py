@@ -17,6 +17,7 @@ youtubeanalyzerproject_big_data__spark/functions/precision.py):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -696,6 +697,90 @@ def q_e5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _drive_stream(spark: SparkSession, source_df: DataFrame, build, output_mode: str, prefix: str) -> DataFrame:
+    """Run a streaming operator END-TO-END for the gate: materialize a
+    stream-readable source (micro-ts parquet -- the events table's
+    TIMESTAMP(NANOS) can't feed readStream directly), build the stream over
+    it, drain it through ev.run_stream_to_parquet (foreachBatch +
+    availableNow), and read the sunk table back as a batch DataFrame.
+
+    The sunk table -- not the in-memory stream -- is what the driver
+    DuckDB-diffs, so streaming/batch equivalence is machine-checked by the
+    gate instead of only by pytest.  Fresh temp dirs per call keep repeated
+    runs in one session independent (new source, sink, checkpoint).
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    source_df.write.parquet(src)
+    ev.run_stream_to_parquet(build(src), sink, ckpt, output_mode)
+    return spark.read.parquet(sink)
+
+
+def q_se1(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming tumbling-hour stats, gate-checked: stream_hourly_event_stats
+    driven to a parquet sink in complete mode (final overwrite = full
+    aggregate; watermarks drop nothing in complete mode, and the finite
+    source arrives in one availableNow batch).  Oracle = the batch twin's
+    SQL -- window(ts,'1 hour').start equals date_trunc('hour', ts)."""
+    _utc(spark)
+    out = _drive_stream(
+        spark, load_events(spark, sf), lambda src: ev.stream_hourly_event_stats(spark, src), "complete", "se1_"
+    )
+    return out.select("hour", "event_type", "num_events", "sum_value").orderBy("hour", "event_type")
+
+
+def q_se2(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming sessionization, gate-checked: session_window sessions sunk
+    in complete mode, re-aggregated to the batch twin's (user_id,
+    n_sessions, n_events) shape so e2's oracle applies verbatim.
+
+    Boundary note: session_window's window end is exclusive (gap == g
+    starts a new session) while the batch lag form splits on gap > g; the
+    forms agree unless a gap is EXACTLY g microseconds -- verified absent
+    in the test data at every sf (probability ~0 in micro-precision
+    timestamps)."""
+    _utc(spark)
+    out = _drive_stream(
+        spark, load_events(spark, sf), lambda src: ev.stream_sessionize(spark, src, 1800), "complete", "se2_"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_se3(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming stream-stream interval join, gate-checked: error->click
+    pairs within 5 minutes (stream_interval_join) appended to parquet;
+    inner joins emit eagerly per micro-batch, and the single availableNow
+    batch sees both full sides, so the sink equals the batch interval
+    join.  clk_ts is projected to unix micros for a type-stable compare."""
+    _utc(spark)
+    out = _drive_stream(
+        spark, load_events(spark, sf), lambda src: ev.stream_interval_join(spark, src, 300), "append", "se3_"
+    )
+    return out.select(
+        "err_id", "err_user", "clk_id", F.unix_micros("clk_ts").alias("clk_us")
+    ).orderBy("err_id", "clk_id")
+
+
+def q_se4(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming first-seen dedup, gate-checked: stream_exact_dedup's
+    append-mode emissions (one row per distinct normalized-text digest,
+    smallest doc_id wins) sunk to parquet; with the whole table in one
+    availableNow batch the winner is the global MIN(doc_id) per digest,
+    which is exactly the d1-style oracle."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = _drive_stream(spark, docs, lambda src: ev.stream_exact_dedup(spark, src), "append", "se4_")
+    return out.select("text_key", "keep_id").orderBy("text_key")
+
+
 def q_em1(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids, position-wise
     (operators/similarity.label_centroids): decimal-exact partial sums make
@@ -851,6 +936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_pivot_flag_status": q_p1,
         "p2_unpivot_priority_stats": q_p2,
         "e5_interval_join_reactions": q_e5,
+        "se1_stream_hourly_stats": q_se1,
+        "se2_stream_sessionize": q_se2,
+        "se3_stream_interval_join": q_se3,
+        "se4_stream_dedup_first_seen": q_se4,
         "em1_label_centroids": q_em1,
         "km1_kmeans_centroids": q_km1,
         "j1_orders_line_counts_top10": q_j1,
@@ -1486,6 +1575,43 @@ def oracle_sql() -> dict[str, str]:
             FROM err e LEFT JOIN clk c
               ON c.user_id = e.user_id AND c.rus >= e.lus AND c.rus < e.lus + 300000000
             GROUP BY e.event_id, e.user_id
+        """,
+        # Streaming-family gates: the engine side sinks the STREAM via
+        # foreachBatch and reads the parquet back, so these oracles check
+        # streaming/batch equivalence end-to-end (not just the batch twin).
+        "se1_stream_hourly_stats": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS num_events,
+                   {_dsum('value')} AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "se2_stream_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                               OR ((epoch_ns(ts) // 1000)
+                                   - (epoch_ns(prev_ts) // 1000)) > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM g)
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "se3_stream_interval_join": """
+            SELECT e.event_id AS err_id, e.user_id AS err_user, c.event_id AS clk_id,
+                   (epoch_ns(c.ts) // 1000) AS clk_us
+            FROM events e JOIN events c
+              ON c.user_id = e.user_id
+             AND (epoch_ns(c.ts) // 1000) >= (epoch_ns(e.ts) // 1000)
+             AND (epoch_ns(c.ts) // 1000) < (epoch_ns(e.ts) // 1000) + 300000000
+            WHERE e.event_type = 'error' AND c.event_type = 'click'
+        """,
+        "se4_stream_dedup_first_seen": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_key,
+                   MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1
         """,
         "em1_label_centroids": f"""
             WITH x AS (

@@ -15,6 +15,46 @@ from pyspark.sql import functions as F
 from youtubeanalyzerproject_big_data__spark.functions.precision import dec_avg, dec_sum
 
 
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> None:
+    """Drive a streaming DataFrame to a parquet table via ``foreachBatch``
+    and block until the (finite) source is drained (availableNow trigger).
+
+    foreachBatch is the production sink pattern for arbitrary writers: each
+    micro-batch arrives as a plain BATCH DataFrame plus a batch id, so the
+    body can use any batch writer (parquet here; JDBC/merge elsewhere) and
+    exactly-once falls out of the checkpoint + per-batch-id idempotent
+    writes.  'complete' mode overwrites the sink every trigger (the final
+    overwrite IS the full result -- the aggregation route); 'append'/
+    'update' modes append each batch's delta.
+
+    This is what turns the streaming family's test-only batch-equivalence
+    into a GATE-checked equivalence: the driver queries (se1-se4) sink a
+    stream over the sf events/documents tables with this helper, read the
+    sunk table back, and DuckDB-diff it against the batch twin's oracle.
+    """
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(sink_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(f"stream did not drain within {timeout_sec}s (sink={sink_dir})")
+
+
 def hourly_event_stats(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window x event_type: count + value sum/avg.
 
