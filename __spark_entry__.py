@@ -614,6 +614,34 @@ def q_sk1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sk2(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted/replicated equi-JOIN (functions/skew.salted_join) as a driver
+    query: every event enriched with its user's total click count.  The
+    left (fact) side is salted, the per-user dim is replicated across the
+    salt domain, and the join runs on (user, salt) -- a hot user's events
+    spread over 16 reducers instead of one.  The oracle is the PLAIN join:
+    salting must change the plan, never the answer (sk1's contract, for
+    joins).  No-click users keep the 0 sentinel via the left join."""
+    from youtubeanalyzerproject_big_data__spark.functions.skew import salted_join
+
+    evt = load_events(spark, sf).select("event_id", "user_id", "event_type")
+    clicks = (
+        evt.where(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("c_user"))
+        .agg(F.count(F.lit(1)).alias("n_user_clicks"))
+    )
+    out = salted_join(evt, clicks, "user_id", "c_user", num_salts=16, how="left")
+    return (
+        out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("n_user_clicks"), F.lit(0)).cast("long").alias("n_user_clicks"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_a12(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate-distinct (HLL++) gated against the exact count: sketches
     are engine-specific, so the oracle pins the CONTRACT (relative error
@@ -931,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_hash_sample": q_f9,
         "f10_stratified_sample": q_f10,
         "sk1_salted_event_stats": q_sk1,
+        "sk2_salted_join_user_clicks": q_sk2,
         "a12_approx_distinct_gate": q_a12,
         "a13_approx_quantile_gate": q_a13,
         "p1_pivot_flag_status": q_p1,
@@ -1536,6 +1565,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    ROUND({_dsum("value")}, 6) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        # Oracle = the UNSALTED join: proves salted_join is plan-only.
+        "sk2_salted_join_user_clicks": """
+            WITH clicks AS (
+              SELECT user_id, COUNT(*) AS n FROM events
+              WHERE event_type = 'click' GROUP BY user_id)
+            SELECT e.event_id, e.user_id, e.event_type,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_user_clicks
+            FROM events e LEFT JOIN clicks c ON e.user_id = c.user_id
         """,
         "a12_approx_distinct_gate": """
             SELECT 1 AS within_5pct, COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem

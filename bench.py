@@ -44,7 +44,13 @@ BENCH_QUERIES = [
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",
     "d5_embedding_near_dups",
+    "d7_dup_clusters",
+    "e5_interval_join_reactions",
+    "c1_corpus_curation",
+    "km1_kmeans_centroids",
     "s1_ann_bruteforce_top5",
+    "s4_ann_pq_top5",
+    "s5_ann_ivfpq_top5",
     "g4_pagerank_top100",
     "m1_als_recommendations",
 ]

@@ -80,3 +80,51 @@ def test_transform_media_resize_chains_into_features(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         multimodal.transform_media(media, factor=4).collect()
+
+
+def test_auto_codec_routes_to_real_decoder_when_present(spark):
+    """decode_stub='auto' uses real codecs (PIL) when the environment has
+    them: a tiny generated PNG must decode to its true pixel stats and
+    resize to a real smaller PNG.  Skipped where codecs don't ship (this
+    container); the fake kernel remains the oracle path regardless."""
+    import pytest
+
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal
+
+    if not multimodal.codec_available("image"):
+        pytest.skip("PIL not available in this environment")
+    import io
+
+    from PIL import Image
+    from pyspark.sql import functions as F
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    media = multimodal.attach_media_metadata(df, "doc_id", "blob", "image")
+
+    feats = multimodal.extract_features(media, decode_stub="auto").collect()
+    assert feats[0]["feat_dim"] == 64 and feats[0]["feat_mean"] == pytest.approx(128 / 255.0)
+
+    small = multimodal.transform_media(media, op="resize", factor=4, decode_stub="auto").collect()
+    resized = Image.open(io.BytesIO(bytes(small[0]["content"])))
+    assert resized.size == (2, 2)
+
+
+def test_auto_codec_raises_honestly_when_absent(spark):
+    """Where no codec ships, 'auto' must fail loudly like 'fail' -- never
+    silently fall back to fake features."""
+    import pytest
+
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal
+
+    if multimodal.codec_available("image"):
+        pytest.skip("PIL present; the absent-codec path can't be exercised")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    media = multimodal.attach_media_metadata(
+        df.select("doc_id", F.encode("text", "utf-8").alias("blob")), "doc_id", "blob", "image"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_features(media, decode_stub="auto").collect()

@@ -70,3 +70,36 @@ def salted_collect_set(df: DataFrame, key: str, value: str, num_salts: int = 16,
         [F.array_distinct(F.flatten(F.collect_list("_s"))).alias(alias)],
         num_salts,
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted/replicated equi-join for skewed keys (keys must be named
+    differently on the two sides, like operators.joins.interval_join_binned).
+
+    The LEFT (big, skewed) side gets a deterministic row-hash salt in
+    [0, num_salts); the RIGHT side is replicated once per salt value.
+    Joining on (key, salt) spreads a hot key's rows over ``num_salts``
+    reducers instead of one, at the cost of num_salts x the right side's
+    shuffle volume -- reach for this when the right side is too big (or
+    too skew-paired) to broadcast and AQE's runtime skew splitting isn't
+    available (e.g. the shuffle feeds a co-partitioned downstream op,
+    which disables AQE skew handling).
+
+    Answer equivalence: a left row carries exactly ONE salt and meets
+    exactly the one replica of its key with that salt, so join
+    multiplicity is unchanged -- the plan changes, the answer doesn't
+    (machine-checked by sk2's plain-join oracle).  Works for 'inner' and
+    'left' joins; right-side duplication semantics are preserved because
+    EVERY right row is replicated across the full salt domain.
+    """
+    lsalt = with_salt(left, num_salts, "_lsalt")
+    rrep = right.withColumn("_rsalt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(num_salts)])))
+    cond = (F.col(left_key) == F.col(right_key)) & (F.col("_lsalt") == F.col("_rsalt"))
+    return lsalt.join(rrep, cond, how).drop("_lsalt", "_rsalt")

@@ -51,6 +51,32 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def codec_available(modality: str = "image") -> bool:
+    """Feature-detect real codecs at call time: PIL for images, an ffmpeg
+    binary for audio/video.  Lets ``decode_stub='auto'`` route to real
+    decoding in environments that ship codecs while this container (which
+    ships neither) keeps the deterministic fake kernel as the oracle path.
+    """
+    if modality == "image":
+        try:
+            import PIL.Image  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _require_auto_codec(modality: str) -> None:
+    if not codec_available(modality):
+        raise NotImplementedError(
+            f"decode_stub='auto' but no real codec for {modality!r} in this environment "
+            "(PIL for image, ffmpeg for audio/video); use decode_stub='fake' for plumbing tests"
+        )
+
+
 def attach_media_metadata(df: DataFrame, id_col: str, content_col: str, modality: str) -> DataFrame:
     """Wrap a raw binary column in the typed media schema (Catalyst-only:
     length + md5 are built-ins; no Python in this path)."""
@@ -65,14 +91,17 @@ def attach_media_metadata(df: DataFrame, id_col: str, content_col: str, modality
 
 def extract_features(
     media: DataFrame,
-    decode_stub: Literal["fail", "fake"] = "fail",
+    decode_stub: Literal["fail", "fake", "auto"] = "fail",
     feat_dim: int = 8,
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     'fake' kernel: deterministic features from the first ``feat_dim`` bytes
     (mean normalized to [0,1]) -- stands in for an image-embedding or
-    audio-MFCC kernel with the identical dataflow shape.
+    audio-MFCC kernel with the identical dataflow shape.  'auto' decodes
+    for real when the codec is present (PIL: feat_mean = mean pixel
+    intensity / 255, feat_dim = pixel count) and raises otherwise -- the
+    fake kernel stays the oracle path either way.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,6 +111,31 @@ def extract_features(
                     "media codecs (PIL/librosa/ffmpeg) not available in this environment; "
                     "use decode_stub='fake' for plumbing tests"
                 )
+            if decode_stub == "auto":
+                import io as _io
+
+                feats, dims = [], []
+                for modality, content in zip(pdf["modality"], pdf["content"]):
+                    _require_auto_codec(modality)
+                    if modality != "image":
+                        raise NotImplementedError("auto decode implemented for image only")
+                    from PIL import Image
+
+                    img = Image.open(_io.BytesIO(bytes(content))).convert("L")
+                    px = list(img.getdata())
+                    feats.append(sum(px) / (255.0 * max(len(px), 1)))
+                    dims.append(len(px))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": pdf["modality"],
+                        "n_bytes": pdf["n_bytes"],
+                        "content_md5": pdf["content_md5"],
+                        "feat_mean": feats,
+                        "feat_dim": pd.array(dims, dtype="int32"),
+                    }
+                )
+                continue
             feats = []
             for content in pdf["content"]:
                 head = bytes(content[:feat_dim]) if content is not None else b""
@@ -105,7 +159,7 @@ def transform_media(
     media: DataFrame,
     op: Literal["resize"] = "resize",
     factor: int = 4,
-    decode_stub: Literal["fail", "fake"] = "fail",
+    decode_stub: Literal["fail", "fake", "auto"] = "fail",
 ) -> DataFrame:
     """Decode -> transform -> re-encode stage (resize / transcode shape).
 
@@ -132,6 +186,33 @@ def transform_media(
                     "use decode_stub='fake' for plumbing tests"
                 )
             contents, sizes, digests = [], [], []
+            if decode_stub == "auto":
+                import io as _io
+
+                for modality, content in zip(pdf["modality"], pdf["content"]):
+                    _require_auto_codec(modality)
+                    if modality != "image":
+                        raise NotImplementedError("auto resize implemented for image only")
+                    from PIL import Image
+
+                    img = Image.open(_io.BytesIO(bytes(content)))
+                    small_img = img.resize((max(img.width // factor, 1), max(img.height // factor, 1)))
+                    buf = _io.BytesIO()
+                    small_img.save(buf, format="PNG")
+                    small = buf.getvalue()
+                    contents.append(small)
+                    sizes.append(len(small))
+                    digests.append(hashlib.md5(small).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": pdf["modality"],
+                        "content": contents,
+                        "n_bytes": sizes,
+                        "content_md5": digests,
+                    }
+                )
+                continue
             for content in pdf["content"]:
                 blob = bytes(content) if content is not None else b""
                 small = blob[::factor]
