@@ -849,6 +849,14 @@ def q_t6(spark: SparkSession, sf: str) -> DataFrame:
     return text.tfidf_top_terms(load_table(spark, sf, "documents"), "doc_id", "text", k=3)
 
 
+def q_t7(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document (top-token fraction,
+    top-bigram fraction, distinct-bigram ratio) -- the boilerplate /
+    degenerate-text quality gates.  Explode + two hash aggregates; see
+    operators/textanalysis.repetition_signals for the 100 TB story."""
+    return text.repetition_signals(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_mm1(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary wrap -> mapInPandas feature extraction
     (deterministic fake decode; real codecs stubbed, see operators/multimodal.py)."""
@@ -1007,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_language_id": q_t3,
         "t4_fingerprints": q_t4,
         "t5_term_df": q_t5,
+        "t7_repetition_signals": q_t7,
         "t6_tfidf_top_terms": q_t6,
         "mm1_media_features": q_mm1,
         "mm2_frame_samples": q_mm2,
@@ -1959,6 +1968,33 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "t3_language_id": _lang_id_oracle(),
+        # Bigrams via 1-indexed generate_series (empty for <2 tokens, like
+        # the engine's size>=2 guard); BIGINT/BIGINT '/' is double division
+        # in DuckDB, matching Spark's fractional '/'.
+        "t7_repetition_signals": r"""
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+              FROM documents),
+            b AS (
+              SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+              FROM tk),
+            ug AS (SELECT doc_id, g, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(toks) AS g FROM b) GROUP BY 1, 2),
+            ua AS (SELECT doc_id, MAX(c) AS top_token_n FROM ug GROUP BY doc_id),
+            bg AS (SELECT doc_id, g, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(bigrams) AS g FROM b) GROUP BY 1, 2),
+            ba AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams,
+                          COUNT(*) AS n_distinct_bigrams
+                   FROM bg GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens,
+                   ROUND(COALESCE(ua.top_token_n, 0) / greatest(b.n_tokens, 1), 6) AS top_token_ratio,
+                   CAST(COALESCE(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(COALESCE(ba.top_bigram_n, 0) / greatest(COALESCE(ba.n_bigrams, 0), 1), 6) AS top_bigram_ratio,
+                   ROUND(COALESCE(ba.n_distinct_bigrams, 0) / greatest(COALESCE(ba.n_bigrams, 0), 1), 6) AS distinct_bigram_ratio
+            FROM b LEFT JOIN ua ON b.doc_id = ua.doc_id LEFT JOIN ba ON b.doc_id = ba.doc_id
+        """,
         # Explicit DOUBLE casts keep the idf arithmetic the same IEEE
         # sequence as the engine's (N+1.0)/(df+1.0) double division.
         "t6_tfidf_top_terms": r"""

@@ -55,6 +55,27 @@ def test_fingerprints_normalize(spark):
     assert out[1] == out[2] != out[3]
 
 
+def test_repetition_signals(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),  # 6 tokens, 5 bigrams: 'a b' x3, 'b a' x2
+        (2, "all distinct words here"),
+        (3, ""),  # empty -> all-zero sentinels
+        (4, "solo"),  # one token -> no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["n_bigrams"] == 5
+    assert out[1]["top_token_ratio"] == pytest.approx(0.5)  # 'a' 3/6
+    assert out[1]["top_bigram_ratio"] == pytest.approx(0.6)  # 'a b' 3/5
+    assert out[1]["distinct_bigram_ratio"] == pytest.approx(0.4)  # 2/5
+    assert out[2]["top_token_ratio"] == pytest.approx(0.25)
+    assert out[2]["distinct_bigram_ratio"] == pytest.approx(1.0)
+    assert out[3]["n_tokens"] == 0 and out[3]["top_token_ratio"] == 0.0
+    assert out[4]["n_bigrams"] == 0 and out[4]["top_bigram_ratio"] == 0.0
+
+
 def test_char_ngrams_function(spark):
     """char_ngrams: normalized, deduplicated character shingles."""
     from pyspark.sql import functions as F
