@@ -857,6 +857,35 @@ def q_t7(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_signals(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_r1(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN recall@5, gate-checked: per-query overlap of the LSH index (s2)
+    with the exact brute-force top-5 (s1), via similarity.topk_recall.
+    Both inputs have bit-exact DuckDB replays, so the recall METRIC itself
+    is oracle-verified -- index-quality measurement as a first-class,
+    machine-checked query instead of a test-only claim."""
+    return similarity.topk_recall(q_s1(spark, sf), q_s2(spark, sf), k=5)
+
+
+def q_c2(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus mixing (functions/sampling.token_budget_sample):
+    each source/domain is deterministically thinned to a ~800-token
+    allowance -- under-budget sources keep every row (rate 1.0), over-budget
+    sources keep ~budget/total of theirs.  One corpus-wide hash agg collects
+    #sources rows (model-sized), rates come back as a broadcast join, the
+    filter is map-side.  Oracle replays the floor(double)-quantized ppm rates
+    and the md5 membership predicate exactly."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import token_budget_sample
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import token_count
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    kept = token_budget_sample(d, "doc_id", "source", "n_tokens", budget_per_stratum=800, seed="mix")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+    )
+
+
 def q_mm1(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary wrap -> mapInPandas feature extraction
     (deterministic fake decode; real codecs stubbed, see operators/multimodal.py)."""
@@ -1016,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprints": q_t4,
         "t5_term_df": q_t5,
         "t7_repetition_signals": q_t7,
+        "c2_token_budget_mix": q_c2,
+        "r1_ann_lsh_recall": q_r1,
         "t6_tfidf_top_terms": q_t6,
         "mm1_media_features": q_mm1,
         "mm2_frame_samples": q_mm2,
@@ -1101,6 +1132,22 @@ def _hyperplane_band_sql(dim: int, num_planes: int, bands: int) -> list[str]:
         " + ".join(f"{bit_sql[b * bits_per_band + r]} * {1 << r}" for r in range(bits_per_band))
         for b in range(bands)
     ]
+
+
+def _bruteforce_ann_oracle(k: int = 5) -> str:
+    """DuckDB replay of similarity.brute_force_topk (exact cosine top-k):
+    shared by the s1 oracle and r1's recall denominator."""
+    cos = _cos_sql("q.embedding", "c.embedding")
+    return f"""
+WITH s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+WHERE rk <= {k}
+"""
 
 
 def _lsh_ann_oracle(dim: int = 64, num_planes: int = 16, bands: int = 4, k: int = 5) -> str:
@@ -1921,15 +1968,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep ON q.doc_id = rep.doc_id
             WHERE lng.lang_pred = 'en' AND q.n_tokens >= 10 AND q.dup_token_ratio <= 0.6
         """,
-        "s1_ann_bruteforce_top5": f"""
-            WITH s AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     {_cos_sql('q.embedding', 'c.embedding')} AS cos
-              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-              WHERE q.vec_id < 10)
-            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
-            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
-            WHERE rk <= 5
+        "s1_ann_bruteforce_top5": _bruteforce_ann_oracle(k=5),
+        # Recall is a JOIN of two already-replayable indexes: both CTEs are
+        # the bit-exact s1/s2 oracles, so the metric itself is gate-checked.
+        "r1_ann_lsh_recall": f"""
+            WITH exact AS (SELECT query_id, neighbor_id FROM ({_bruteforce_ann_oracle(k=5)})),
+            approx AS (SELECT query_id, neighbor_id FROM ({_lsh_ann_oracle()}))
+            SELECT e.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+                   ROUND(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_5
+            FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+            GROUP BY e.query_id
         """,
         "t1_token_counts": r"""
             SELECT doc_id,
@@ -1971,6 +2020,25 @@ def oracle_sql() -> dict[str, str]:
         # Bigrams via 1-indexed generate_series (empty for <2 tokens, like
         # the engine's size>=2 guard); BIGINT/BIGINT '/' is double division
         # in DuckDB, matching Spark's fractional '/'.
+        # Rate replay: ppm = floor(least(1.0, budget/total) * 1e6) on DOUBLE
+        # quotients -- the exact IEEE sequence the engine computes driver-side
+        # (sampling.token_budget_sample), so quantized rates agree bit-exactly.
+        "c2_token_budget_mix": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            tot AS (SELECT source, SUM(n_tokens) AS total FROM d GROUP BY source),
+            rate AS (SELECT source,
+                            CAST(floor(least(1.0, CAST(800 AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS ppm
+                     FROM tot),
+            kept AS (
+              SELECT d.source, d.n_tokens FROM d JOIN rate USING (source)
+              WHERE ({md5_int32_sql("CAST(doc_id AS VARCHAR)", "mix")}) % 1000000 < ppm)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+            FROM kept GROUP BY source
+        """,
         "t7_repetition_signals": r"""
             WITH tk AS (
               SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks

@@ -29,3 +29,24 @@ def test_stratified_fractions(spark):
     counts = {r["s"]: r["c"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert counts["true"] == 5000
     assert 800 < counts["false"] < 1200
+
+
+def test_token_budget_sample(spark):
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import token_budget_sample
+
+    # stratum 'small': 10 rows x 10 tokens = 100 <= budget -> kept whole.
+    # stratum 'big': 1000 rows x 10 tokens = 10000 -> ~10% of rows kept.
+    df = spark.range(0, 1010).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 10, F.lit("small")).otherwise(F.lit("big")).alias("s"),
+        F.lit(10).cast("long").alias("w"),
+    )
+    out = token_budget_sample(df, "k", "s", "w", budget_per_stratum=1000, seed="t")
+    counts = {r["s"]: r["c"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts["small"] == 10  # under budget: rate 1.0 keeps all
+    assert 60 < counts["big"] < 140  # ~budget/total = 10% of 1000
+
+    # determinism: same kept set under a different partitioning
+    a = {r["k"] for r in out.collect()}
+    b = {r["k"] for r in token_budget_sample(df.repartition(7), "k", "s", "w", 1000, seed="t").collect()}
+    assert a == b

@@ -166,3 +166,17 @@ def test_kmeans_partition_invariant(clustered):
     one = kmeans_lloyd(clustered.coalesce(1), "vec_id", "embedding", dim=16, k=3, iters=2).collect()
     many = kmeans_lloyd(clustered.repartition(7), "vec_id", "embedding", dim=16, k=3, iters=2).collect()
     assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_topk_recall_counts(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    out = {r["query_id"]: r for r in topk_recall(exact, approx, k=2).collect()}
+    assert out[1]["n_hits"] == 1 and out[1]["recall_at_2"] == 0.5
+    assert out[2]["n_hits"] == 2 and out[2]["recall_at_2"] == 1.0

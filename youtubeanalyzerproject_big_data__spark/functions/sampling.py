@@ -38,6 +38,47 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, seed: int | str = 
     return df.where(hash_sample_predicate(F.col(key_col), numerator, denominator, seed))
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str,
+    budget_per_stratum: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Down-sample each stratum to a target WEIGHT budget (domain mixing).
+
+    The training-data framing: ``weight_col`` is a per-row token count and
+    ``budget_per_stratum`` the token allowance per source/domain; strata
+    under budget are kept whole, over-budget strata are thinned to
+    ~budget/total of their rows with the deterministic hash predicate, so
+    the kept SET is a pure function of (key, seed) -- stable across runs,
+    engines, and partitionings, and each domain's expected token mass lands
+    on its allowance.
+
+    Scale: one hash aggregate over the corpus collects #strata rows to the
+    driver (model-sized -- domains number in the hundreds, never the
+    billions), the rates return as a broadcast join, and the filter is
+    map-side.  No second shuffle of the corpus.
+
+    Rates are quantized to ppm with floor() on a double quotient, the same
+    IEEE sequence the DuckDB oracle replays -- no Python-vs-SQL rounding
+    divergence.
+    """
+    import math
+
+    denominator = 1_000_000
+    totals = df.groupBy(stratum_col).agg(F.sum(F.col(weight_col)).alias("_total")).collect()
+    rates = [
+        (row[stratum_col], int(math.floor(min(1.0, budget_per_stratum / row["_total"]) * denominator)))
+        for row in totals
+    ]
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(rates, f"{stratum_col} string, _ppm long")
+    h = F.pmod(md5_int32(F.col(key_col).cast("string"), seed=seed), F.lit(denominator))
+    return df.join(F.broadcast(rate_df), stratum_col).where(h < F.col("_ppm")).drop("_ppm")
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str, fractions: dict, seed: int | str = 0) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%,
     keep 'yo' at 100%) -- the language-rebalancing step of corpus curation.

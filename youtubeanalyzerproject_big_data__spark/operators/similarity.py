@@ -531,3 +531,28 @@ def ivfpq_topk(
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("rv")))
     )
     return _topk_per_query(scored, k)
+
+
+def topk_recall(
+    exact: DataFrame, approx: DataFrame, k: int, query_col: str = "query_id", neighbor_col: str = "neighbor_id"
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the exact
+    one -- the "measure, don't guess" gate for every ANN index choice
+    (bands/planes for LSH, nprobe/cells for IVF, codes for PQ).
+
+    A left join of the exact neighbor set against the approximate one,
+    aggregated per query: (query_id, n_hits, recall_at_k).  Both inputs are
+    top-k tables (k rows per query), so the join and the aggregate are tiny
+    regardless of corpus size -- the expensive part is producing the inputs,
+    and each of those has its own scale path.
+    """
+    hit = approx.select(query_col, neighbor_col).withColumn("_hit", F.lit(1))
+    j = exact.select(query_col, neighbor_col).join(hit, [query_col, neighbor_col], "left")
+    return (
+        j.groupBy(query_col)
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.count(F.lit(1)).alias("_k"),
+        )
+        .select(query_col, "n_hits", F.round(F.col("n_hits") / F.col("_k"), 6).alias(f"recall_at_{k}"))
+    )
