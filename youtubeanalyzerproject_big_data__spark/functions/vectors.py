@@ -1,10 +1,22 @@
 """Vector math over ``array<float>`` embedding columns.
 
-Pure Catalyst higher-order functions (``zip_with`` + ``aggregate``): the dot
-product runs JVM-side inside codegen, element-order is sequential (hence
-deterministic), and no data crosses the Python boundary.  For very wide
-vectors a Pandas-UDF BLAS path could win, but at d=64..1024 the built-in
-expression is competitive and shuffle-free.
+Two tiers, same sequential-fold IEEE semantics:
+  * ``dot``/``norm``/``cosine`` -- generic Catalyst higher-order functions
+    (``zip_with`` + ``aggregate``) for occasional / dynamic-width use.
+    JVM-side and shuffle-free, but HOFs execute INTERPRETED (outside
+    whole-stage codegen), so keep them off per-row hot paths.
+  * Arrow exact-sequential kernels (functions/_arrow_udfs.py:
+    ``make_cosine_seq``, ``make_hyperplane_sig``, ``make_cell_top1``,
+    ``make_cell_probe``, ``make_pq_recon``) -- vectorized over rows,
+    sequential over dims, so each scalar result is the identical
+    left-to-right IEEE fold; use these on scoring/encode hot paths.
+
+A third option -- statically unrolling the fold into a flat Catalyst
+expression chain -- was measured and rejected: a 16-plane x 64-dim
+signature (or 8x16x8 PQ encode) exceeds Janino's 64 KB method limit, so
+whole-stage codegen pays a failed multi-second compile per stage and then
+falls back to interpreted execution anyway (6-8x slower end-to-end than
+the Arrow kernels at sf0.1).
 """
 
 from __future__ import annotations
@@ -27,21 +39,3 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
-
-
-def dot_arrow() -> "Column":
-    """Arrow-vectorized dot product (Pandas UDF + numpy, float64).
-
-    Spark's higher-order array functions execute *interpreted* (outside
-    codegen), so on pair-scoring hot paths (all-pairs near-dup, ANN
-    scoring) the built-in fold costs ~100x a BLAS call.  This UDF moves
-    whole Arrow batches into numpy: one einsum per batch.  Accumulation
-    order differs from the sequential fold by ~1e-13 relative -- well inside
-    the 6-dp rounding all cosine outputs go through.
-
-    Returns the UDF (created lazily so importing this module never needs an
-    active SparkSession).
-    """
-    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_dot_arrow
-
-    return make_dot_arrow()

@@ -433,7 +433,7 @@ def embedding_near_dup_pairs_lsh(
     are missed (the trade for sub-quadratic candidates).
     Returns (id1, id2, cos_sim) with id1 < id2.
     """
-    from youtubeanalyzerproject_big_data__spark.functions.vectors import cosine
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_cosine_seq
     from youtubeanalyzerproject_big_data__spark.operators.similarity import _hyperplane_signature
 
     bits_per_band = num_planes // bands
@@ -460,7 +460,7 @@ def embedding_near_dup_pairs_lsh(
     return (
         candidates.join(vecs.select(F.col("doc_id").alias("doc1"), F.col("v").alias("v1")), "doc1")
         .join(vecs.select(F.col("doc_id").alias("doc2"), F.col("v").alias("v2")), "doc2")
-        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        .withColumn("cos_sim", make_cosine_seq()(F.col("v1"), F.col("v2")))
         .where(F.col("cos_sim") >= threshold)
         .select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"), F.round("cos_sim", 6).alias("cos_sim"))
     )

@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
-from youtubeanalyzerproject_big_data__spark.functions.vectors import cosine, dot
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -91,16 +90,17 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col
     ``queries`` is expected small (it is broadcast); the corpus never
     shuffles for scoring, and the re-rank is the two-stage
     :func:`_topk_per_query` so no reducer ever receives the whole corpus.
+    Scoring is the Arrow exact-sequential cosine kernel (bit-identical to
+    the sequential fold the oracle replays, numpy-vectorized per batch).
     """
-    from youtubeanalyzerproject_big_data__spark.functions.vectors import dot_arrow, norm
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_cosine_seq
 
-    # Norms once per row; per-pair work is one Arrow-batched numpy dot.
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn"))
-    d = dot_arrow()
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cos = make_cosine_seq()
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", d(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos_sim", cos(F.col("qv"), F.col("cv")))
     )
     return _topk_per_query(scored, k)
 
@@ -115,13 +115,20 @@ def _plane_component(p: int, c: int) -> float:
 
 
 def _hyperplane_signature(vec_col: str, dim: int, num_planes: int) -> F.Column:
-    """LSH signature: bit p = (v . plane_p) >= 0, planes md5-derived."""
-    sig = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(_plane_component(p, c)) for c in range(dim)])
-        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = sig + F.shiftleft(bit, p)
-    return sig
+    """LSH signature: bit p = (v . plane_p) >= 0, planes md5-derived.
+
+    Arrow exact-sequential kernel (functions._arrow_udfs.make_hyperplane_sig):
+    per-plane dots keep the identical left-to-right IEEE fold the DuckDB
+    oracle replays, numpy-vectorized over the batch.  The pure-Catalyst
+    alternatives both lose: a HOF fold runs interpreted, and a statically
+    unrolled num_planes x dim expression chain exceeds Janino's 64 KB
+    method limit, so whole-stage codegen pays a failed compile and falls
+    back interpreted anyway (measured 6-8x slower end-to-end).
+    """
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_hyperplane_sig
+
+    planes = [[_plane_component(p, c) for c in range(dim)] for p in range(num_planes)]
+    return make_hyperplane_sig(planes)(F.col(vec_col))
 
 
 def lsh_topk(
@@ -171,7 +178,9 @@ def lsh_topk(
         .select("query_id", "query_v", "neighbor_id", "neighbor_v")
         .distinct()
     )
-    scored = cands.withColumn("cos_sim", cosine(F.col("query_v"), F.col("neighbor_v")))
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_cosine_seq
+
+    scored = cands.withColumn("cos_sim", make_cosine_seq()(F.col("query_v"), F.col("neighbor_v")))
     return _topk_per_query(scored, k)
 
 
@@ -250,18 +259,6 @@ def _centroids_exact(
     return cents
 
 
-def _cell_rank_expr(cents: list[list[float]], vec: str) -> F.Column:
-    """Cells of ``vec`` ranked by dot product, as an array of structs.
-    struct sort: (dot DESC, -cell DESC == cell ASC) -- ties on
-    bit-identical dots break to the smallest cell on both engines."""
-    entries = [
-        F.struct(
-            dot(F.col(vec), F.array(*[F.lit(comp) for comp in cent])).alias("d"),
-            F.lit(-c).cast("int").alias("nc"),
-        )
-        for c, cent in enumerate(cents)
-    ]
-    return F.sort_array(F.array(*entries), asc=False)
 
 
 def ivf_topk_catalyst(
@@ -273,30 +270,38 @@ def ivf_topk_catalyst(
     num_cells: int = 16,
     nprobe: int = 4,
 ) -> DataFrame:
-    """IVF ANN with the whole index pipeline expressed in Catalyst -- the
-    oracle-checkable twin of :func:`ivf_topk`.
+    """IVF ANN with ENGINE-PORTABLE arithmetic -- the oracle-checkable twin
+    of :func:`ivf_topk`.
 
     Same inverted-file shape (assign corpus rows to nearest centroid cell,
-    probe nprobe cells per query, exact re-rank inside them), but cell
-    assignment is a per-cell sequential dot fold over centroid LITERALS
-    (deterministic md5-seeded model, _centroids_exact) instead of an Arrow
-    argmax GEMM.  Every arithmetic step is a defined IEEE sequence that the
-    DuckDB oracle replays bit-for-bit, so cell membership -- not just the
-    re-ranked output -- is verified cross-engine.  Use ivf_topk (Arrow) when
-    throughput matters more than oracle checkability; both scale the same
-    way (probe cost ~ nprobe/num_cells of the corpus).
+    probe nprobe cells per query, exact re-rank inside them), but the model
+    is deterministic (md5-seeded _centroids_exact) and every fold -- cell
+    dots, scoring cosine -- is the exact left-to-right IEEE sequence the
+    DuckDB oracle replays bit-for-bit, so cell membership, not just the
+    re-ranked output, is verified cross-engine.  The kernels run as Arrow
+    exact-sequential batches (vectorized over rows, sequential over dims --
+    see functions._arrow_udfs): pure-Catalyst forms lose either way (HOF
+    folds run interpreted; unrolled chains blow Janino's 64 KB limit).
+    :func:`ivf_topk` remains the free-arithmetic variant (numpy GEMM
+    argmax); both scale identically (probe cost ~ nprobe/num_cells).
     """
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import (
+        make_cell_probe,
+        make_cell_top1,
+        make_cosine_seq,
+    )
+
     cents = _centroids_exact(corpus, id_col, vec_col, num_cells)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
-        "cell", -F.element_at(_cell_rank_expr(cents, "cv"), 1).getField("nc")
+        "cell", make_cell_top1(cents)(F.col("cv"))
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "cell", F.explode(F.transform(F.slice(_cell_rank_expr(cents, "qv"), 1, nprobe), lambda s: -s.getField("nc")))
+        "cell", F.explode(make_cell_probe(cents, nprobe)(F.col("qv")))
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", make_cosine_seq()(F.col("qv"), F.col("cv")))
     )
     return _topk_per_query(scored, k)
 
@@ -319,7 +324,11 @@ def ivf_topk(
     Output schema matches brute_force_topk so recall is directly
     measurable.
     """
-    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_nearest_cell, make_probe_cells
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import (
+        make_cosine_seq,
+        make_nearest_cell,
+        make_probe_cells,
+    )
 
     cents = _centroids(corpus, id_col, vec_col, num_cells)
     nearest_cell = make_nearest_cell(cents)
@@ -335,7 +344,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", make_cosine_seq()(F.col("qv"), F.col("cv")))
     )
     return _topk_per_query(scored, k)
 
@@ -397,33 +406,6 @@ def _pq_codebook_exact(
     return [[[float(x) for x in r["v"][m * sub : (m + 1) * sub]] for r in rows] for m in range(num_sub)]
 
 
-def _pq_recon_exprs(book: list[list[list[float]]], num_sub: int, sub: int, src: str) -> list[F.Column]:
-    """Per-subspace reconstruction expressions: encode subvector m of
-    ``src`` to its nearest codeword (sequential squared-L2 fold, ties to
-    the smallest codeword id) and emit that codeword's literal array.
-    Flatten the returned list to get the full reconstructed vector."""
-
-    def sq_l2(subvec, code: list[float]):
-        lit = F.array(*[F.lit(x) for x in code])
-        return F.aggregate(
-            F.zip_with(subvec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    recon = []
-    for m in range(num_sub):
-        subv = F.slice(F.col(src), m * sub + 1, sub)
-        num_codes = len(book[m])
-        choices = F.array(
-            *[F.struct(sq_l2(subv, book[m][j]).alias("d"), F.lit(j).alias("j")) for j in range(num_codes)]
-        )
-        code_m = F.array_min(choices)["j"]
-        book_lit = F.array(*[F.array(*[F.lit(x) for x in book[m][j]]) for j in range(num_codes)])
-        recon.append(F.element_at(book_lit, code_m + 1))
-    return recon
-
-
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -442,8 +424,10 @@ def pq_topk(
     codeword per subspace, squared-L2, ties to the smallest codeword id)
     and scored via the RECONSTRUCTED quantized vector -- asymmetric
     distance computation with the reconstruction materialized instead of
-    per-query lookup tables, which keeps the whole plan in Catalyst
-    expressions.
+    per-query lookup tables.  Encode and scoring run as Arrow
+    exact-sequential kernels (functions._arrow_udfs.make_pq_recon /
+    make_cosine_seq): vectorized over rows, sequential over dims, so every
+    fold is the exact IEEE chain the oracle replays.
 
     The 100 TB story is the memory/scan footprint: dim x 4 bytes/row
     becomes num_sub codes (32x smaller at 64-dim/8-sub), the difference
@@ -458,20 +442,21 @@ def pq_topk(
     Output schema matches brute_force_topk so recall is directly
     measurable (tests/test_similarity.py).
     """
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_cosine_seq, make_pq_recon
+
     sub = dim // num_sub
     book = _pq_codebook_exact(corpus, id_col, vec_col, dim, num_sub, num_codes, hash_seed)
-    recon = _pq_recon_exprs(book, num_sub, sub, "cv")
 
     # Encode once per corpus row (repartition: small parquet arrives
-    # single-partition and the HOF encode is CPU-heavy -- see dedup._shingles).
+    # single-partition and the encode is CPU-heavy -- see dedup._shingles).
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select("neighbor_id", F.flatten(F.array(*recon)).alias("rv"))
+        .select("neighbor_id", make_pq_recon(book, sub)(F.col("cv")).alias("rv"))
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "cos_sim", cosine(F.col("qv"), F.col("rv"))
+        "cos_sim", make_cosine_seq()(F.col("qv"), F.col("rv"))
     )
     return _topk_per_query(scored, k)
 
@@ -507,28 +492,34 @@ def ivfpq_topk(
     replays seeding, assignment, encoding, reconstruction, probing, and
     scoring bit-exactly.  Output schema matches brute_force_topk.
     """
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import (
+        make_cell_probe,
+        make_cell_top1,
+        make_cosine_seq,
+        make_pq_recon,
+    )
+
     sub = dim // num_sub
     cents = _centroids_exact(corpus, id_col, vec_col, num_cells)
     book = _pq_codebook_exact(corpus, id_col, vec_col, dim, num_sub, num_codes)
-    recon = _pq_recon_exprs(book, num_sub, sub, "cv")
-    # One pass over the corpus: cell assignment + PQ encode (CPU-heavy HOF
-    # expressions -- repartition first, see dedup._shingles).
+    # One pass over the corpus: cell assignment + PQ encode (CPU-heavy --
+    # repartition first, see dedup._shingles).
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .select(
             "neighbor_id",
-            (-F.element_at(_cell_rank_expr(cents, "cv"), 1).getField("nc")).alias("cell"),
-            F.flatten(F.array(*recon)).alias("rv"),
+            make_cell_top1(cents)(F.col("cv")).alias("cell"),
+            make_pq_recon(book, sub)(F.col("cv")).alias("rv"),
         )
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "cell", F.explode(F.transform(F.slice(_cell_rank_expr(cents, "qv"), 1, nprobe), lambda s: -s.getField("nc")))
+        "cell", F.explode(make_cell_probe(cents, nprobe)(F.col("qv")))
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("rv")))
+        .withColumn("cos_sim", make_cosine_seq()(F.col("qv"), F.col("rv")))
     )
     return _topk_per_query(scored, k)
 
