@@ -33,18 +33,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan the events table, normalizing its nanosecond timestamps.
 
-    The synthetic events parquet stores ``ts`` as TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects outright.  Read nanos as raw int64
-    (legacy conf) and rebuild a microsecond TimestampType column with
-    integer arithmetic (``DIV`` -- a double division would lose precision
-    above 2^53 ns).  Downstream semantics (hour truncation, epoch-second
-    gaps) are unaffected by the ns->us floor.
+    The synthetic events parquet stores ``ts`` as TIMESTAMP(NANOS).  How
+    Spark surfaces that depends on version: older readers reject it unless
+    ``nanosAsLong`` maps it to raw int64; Spark >= 4.1 reads it natively as
+    TIMESTAMP_NTZ floored to microseconds.  Normalize BOTH arrivals to a
+    session-tz (UTC) microsecond TimestampType so every downstream operator
+    and oracle sees identical values:
+
+    - int64 nanos -> ``timestamp_micros(ts DIV 1000)`` (integer ``DIV``; a
+      double division would lose precision above 2^53 ns),
+    - TIMESTAMP_NTZ -> cast to TIMESTAMP (wall clock reinterpreted in the
+      session's UTC zone -- value-identical to the nanos floor above).
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
