@@ -857,6 +857,21 @@ def q_t7(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_signals(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_t8(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score: per-doc mean log-probability
+    under a unigram model fit on the corpus itself, with integer-quantized
+    per-token contributions so the sum is partition- and engine-invariant
+    (operators/textanalysis.unigram_logprob)."""
+    return text.unigram_logprob(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_t9(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection/redaction signals per document (email/phone/digit-run
+    pattern counts + md5 of the digit-redacted text).  Map-side regexp
+    expressions only -- parquet-scan speed at 100 TB."""
+    return text.pii_signals(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_r1(spark: SparkSession, sf: str) -> DataFrame:
     """ANN recall@5, gate-checked: per-query overlap of the LSH index (s2)
     with the exact brute-force top-5 (s1), via similarity.topk_recall.
@@ -884,6 +899,18 @@ def q_c2(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
     )
+
+
+def q_c3(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: documents with doc_id % 97 == 0 stand in
+    for a held-out eval suite; every OTHER document is scored for 5-gram
+    overlap with it (operators/dedup.decontaminate).  The eval gram set
+    broadcasts; the corpus is scored map-side -- the contamination filter a
+    training-data pipeline runs before every release."""
+    docs = load_table(spark, sf, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(corpus, eval_docs, "doc_id", "text", n=5)
 
 
 def q_mm1(spark: SparkSession, sf: str) -> DataFrame:
@@ -1045,7 +1072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprints": q_t4,
         "t5_term_df": q_t5,
         "t7_repetition_signals": q_t7,
+        "t8_unigram_logprob": q_t8,
+        "t9_pii_signals": q_t9,
         "c2_token_budget_mix": q_c2,
+        "c3_decontamination": q_c3,
         "r1_ann_lsh_recall": q_r1,
         "t6_tfidf_top_terms": q_t6,
         "mm1_media_features": q_mm1,
@@ -2017,6 +2047,62 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "t3_language_id": _lang_id_oracle(),
+        # Unigram-LM replay: per-token logprob quantized to integer micros
+        # (floor(ln(c/N)*1e6)) BEFORE the per-doc sum, so the reduction is
+        # exact integer arithmetic in both engines; the only float op is the
+        # final rounded mean.  DOUBLE casts mirror the engine's c/N double
+        # division and double 1e6 multiply bit-for-bit.
+        "t8_unigram_logprob": r"""
+            WITH tk AS (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+            vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY token),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM vocab),
+            lp AS (SELECT token, CAST(floor(ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+                   FROM vocab, n),
+            pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                          CAST(SUM(tf * lp_micro) AS BIGINT) AS s
+                   FROM tf JOIN lp USING (token) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(pd.s, 0) AS BIGINT) AS sum_lp_micro,
+                   ROUND(COALESCE(pd.s, 0) / (greatest(COALESCE(pd.n_tokens, 0), 1) * 1e6), 6) AS mean_logprob
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        # Decontamination replay: distinct per-doc 5-grams on raw trimmed
+        # text (the engine's _shingles spec); the engine joins on xxhash64 of
+        # the gram, the oracle on the gram string -- only match COUNTS reach
+        # the result, so they agree modulo 64-bit hash collisions.
+        "c3_decontamination": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM toks WHERE len(w) >= 5)),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 != 0),
+            pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM corp GROUP BY doc_id),
+            h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+                  FROM corp JOIN ev USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(pd.n_grams, 0) AS n_grams,
+                   COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+                   COALESCE(h.n_eval_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+            LEFT JOIN pd USING (doc_id) LEFT JOIN h USING (doc_id)
+        """,
+        # Portable regex subset only (char classes, +, {m,}) so Spark's Java
+        # regex and DuckDB's RE2 find identical non-overlapping matches.
+        "t9_pii_signals": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+)', 1)) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '([0-9]{7,})', 1)) AS BIGINT) AS n_phoneish,
+                   CAST(len(regexp_extract_all(text, '([0-9]+)', 1)) AS BIGINT) AS n_digit_runs,
+                   md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5
+            FROM documents
+        """,
         # Bigrams via 1-indexed generate_series (empty for <2 tokens, like
         # the engine's size>=2 guard); BIGINT/BIGINT '/' is double division
         # in DuckDB, matching Spark's fractional '/'.

@@ -202,3 +202,24 @@ def test_embedding_lsh_near_dups_subset_of_exact(spark):
     assert set(lsh) <= set(exact)
     assert (1, 2) in lsh  # identical vectors always share all bands
     assert all(exact[k] == v for k, v in lsh.items())
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """A corpus doc sharing one 5-gram with the eval set is flagged; short
+    and non-overlapping docs are not, and every corpus doc is returned."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import decontaminate
+
+    eval_docs = spark.createDataFrame([(100, "a b c d e f")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "x a b c d e y"),  # contains eval gram 'a b c d e'
+            (2, "p q r s t u"),  # no overlap
+            (3, "hi there"),  # < 5 tokens -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, eval_docs, "doc_id", "text", n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contaminated"] and out[1]["n_eval_hits"] == 1 and out[1]["n_grams"] == 3
+    assert not out[2]["contaminated"] and out[2]["n_eval_hits"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]

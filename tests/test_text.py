@@ -87,3 +87,45 @@ def test_char_ngrams_function(spark):
     assert out[0] == ["abc", "bca", "cab"]  # 'abc' appears once (distinct)
     assert out[1] == ["a b"]  # lowered + whitespace-collapsed to 'a b'
     assert out[2] == []  # shorter than n -> empty, not sequence-down bug
+
+
+def test_unigram_logprob_quantized_exact(spark):
+    """Per-token contributions are integer-quantized micros: the per-doc sum
+    must equal the hand-computed sum regardless of partitioning."""
+    import math
+
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import unigram_logprob
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "")]  # N=5: a:2 b:2 c:1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+
+    def lp(c):
+        return math.floor(math.log(c / 5.0) * 1e6)
+
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["sum_lp_micro"] == 2 * lp(2) + lp(2)  # a,a,b
+    assert out[2]["sum_lp_micro"] == lp(2) + lp(1)
+    assert out[3]["n_tokens"] == 0 and out[3]["sum_lp_micro"] == 0 and out[3]["mean_logprob"] == 0.0
+    assert out[1]["mean_logprob"] == pytest.approx(out[1]["sum_lp_micro"] / 3e6, abs=1e-6)
+
+
+def test_pii_signals_counts_and_redaction(spark):
+    import hashlib
+
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import pii_signals
+
+    rows = [
+        (1, "contact bob@example.com or 5551234567 x2 42"),
+        (2, "no pii here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_signals(df, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 1
+    assert out[1]["n_phoneish"] == 1  # only the 10-digit run
+    assert out[1]["n_digit_runs"] == 3  # 5551234567, 2, 42
+    expected = hashlib.md5(b"contact bob@example.com or # x# #").hexdigest()
+    assert out[1]["redacted_md5"] == expected
+    assert out[2]["n_email"] == 0 and out[2]["n_digit_runs"] == 0
+    assert out[3]["n_digit_runs"] == 0

@@ -522,3 +522,43 @@ def cross_corpus_near_dups(
     sh_new.unpersist()
     sh_old.unpersist()
     return result
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a held-out evaluation set (the step that keeps test-set text
+    out of training data; real pipelines use 8-13-gram overlap, the same
+    shape at any n).
+
+    Scale design: the EVAL side is benchmark-sized (thousands of documents),
+    so its distinct gram-hash set broadcasts and the corpus side is scored
+    map-side -- the 100 TB corpus never shuffles on text, only its (doc,
+    gram-hash) rows flow through two hash aggregates with map-side combine.
+    Gram hashes are 8-byte xxhash64 (never surfaced in results; only match
+    COUNTS are, so the hash choice is invisible modulo 64-bit collisions).
+
+    Returns every corpus document: (doc_id, n_grams, n_eval_hits,
+    contaminated).  Documents shorter than ``n`` tokens have zero grams and
+    are never flagged.
+    """
+    ev = _hashed_shingles(eval_docs, id_col, text_col, n).select("sh").distinct()
+    sh = _hashed_shingles(corpus, id_col, text_col, n)
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    hits = sh.join(F.broadcast(ev), "sh").groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_eval_hits"))
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -156,6 +156,76 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean unigram
+    log-probability under a unigram LM fit on the corpus itself.  Low (very
+    negative) means the document is full of corpus-rare tokens (often noise);
+    high means boilerplate-common tokens -- both tails are curation signals.
+
+    Scale design: one (doc, token) hash aggregate (map-side combined), the
+    vocabulary is derived from it by a second aggregate (vocab-sized, i.e.
+    model-sized), and the total-token count is a scalar.  The vocab joins
+    back by token -- a broadcast at any realistic vocabulary size.  The
+    per-document reduction sums INTEGER-QUANTIZED contributions
+    (``floor(ln(c/N) * 1e6)`` per token occurrence), so partial aggregation
+    order / partition count / engine cannot change the result -- the same
+    recipe as pagerank's quantized contribution sums.
+
+    Returns (doc_id, n_tokens, sum_lp_micro, mean_logprob): the exact
+    integer sum plus the rounded per-token mean.  Empty docs keep 0/0.0
+    sentinels (no NULLs in outputs).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("c"))
+    n_total = vocab.agg(F.sum("c")).collect()[0][0] or 1  # scalar N, model-sized collect
+    lp_micro = F.floor(F.log(F.col("c").cast("double") / F.lit(float(n_total))) * 1e6).cast("long")
+    scored = tf.join(F.broadcast(vocab.select("token", lp_micro.alias("lp_micro"))), "token")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("lp_micro")).cast("long").alias("sum_lp_micro"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_lp_micro", F.lit(0)).cast("long").alias("sum_lp_micro"),
+            F.round(
+                F.coalesce("sum_lp_micro", F.lit(0)) / (F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)) * 1e6), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection/redaction signals: counts of email-like, phone-like,
+    and digit-run patterns per document, plus the fingerprint of the
+    digit-redacted text (the form a pipeline would persist after scrubbing).
+
+    Pure per-row regexp expressions -- zero shuffle, whole-stage codegen,
+    parquet-scan speed at 100 TB.  Patterns deliberately use the portable
+    regex subset (character classes, +, {m,}) that Spark's and the oracle
+    engine's regex dialects agree on.
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(r"([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+)"), F.lit(1))).cast("long")
+    n_phoneish = F.size(F.regexp_extract_all(t, F.lit(r"([0-9]{7,})"), F.lit(1))).cast("long")
+    n_digit_runs = F.size(F.regexp_extract_all(t, F.lit(r"([0-9]+)"), F.lit(1))).cast("long")
+    redacted = F.regexp_replace(t, r"[0-9]+", "#")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_email.alias("n_email"),
+        n_phoneish.alias("n_phoneish"),
+        n_digit_runs.alias("n_digit_runs"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 def term_document_frequency(df: DataFrame, id_col: str, text_col: str, min_df: int = 1) -> DataFrame:
     """(token, df, idf): document frequency + smoothed IDF per distinct
     lower-cased token -- the vocabulary statistics a TF-IDF or stop-word
