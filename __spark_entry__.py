@@ -901,6 +901,26 @@ def q_c2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_c4(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking for training/RAG: 64-token chunks on a 48-token
+    stride (overlapping windows), zero-shuffle posexplode fan-out
+    (operators/textanalysis.chunk_documents)."""
+    return text.chunk_documents(load_table(spark, sf, "documents"), "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+def q_c5(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: greedy contiguous assignment of documents to
+    512-token training sequences via a DISTRIBUTED prefix sum (bucketed
+    local cumsum + model-sized bucket-offset cumsum + broadcast), never a
+    global single-reducer window (functions/sampling.pack_sequences).
+    Oracle: the plain global window cumsum it must equal."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import pack_sequences
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import token_count
+
+    docs = load_table(spark, sf, "documents").select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, bucket_span=100)
+
+
 def q_c3(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: documents with doc_id % 97 == 0 stand in
     for a held-out eval suite; every OTHER document is scored for 5-gram
@@ -1076,6 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_pii_signals": q_t9,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
+        "c4_doc_chunks": q_c4,
+        "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
         "t6_tfidf_top_terms": q_t6,
         "mm1_media_features": q_mm1,
@@ -2069,6 +2091,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(pd.s, 0) AS BIGINT) AS sum_lp_micro,
                    ROUND(COALESCE(pd.s, 0) / (greatest(COALESCE(pd.n_tokens, 0), 1) * 1e6), 6) AS mean_logprob
             FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        # Chunking replay: 1-indexed stride-48 starts; DuckDB list_slice is
+        # end-INCLUSIVE, so the 64-token window is [s, s+63] clamped to len.
+        "c4_doc_chunks": r"""
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+              FROM documents),
+            st AS (
+              SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) AS s
+              FROM tk WHERE len(toks) >= 1)
+            SELECT doc_id,
+                   CAST((s - 1) // 48 AS BIGINT) AS chunk_no,
+                   CAST(s AS BIGINT) AS start_token,
+                   CAST(len(list_slice(toks, s, least(s + 63, len(toks)))) AS BIGINT) AS n_chunk_tokens,
+                   md5(array_to_string(list_slice(toks, s, least(s + 63, len(toks))), ' ')) AS chunk_md5
+            FROM st
+        """,
+        # Packing replay: ONE global window cumsum (fine at oracle scale) --
+        # the engine's bucketed distributed prefix sum must equal it exactly.
+        "c5_sequence_packing": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+              FROM d)
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS bin_id,
+                   CAST(start_offset % 512 AS BIGINT) AS pos_in_bin
+            FROM c
         """,
         # Decontamination replay: distinct per-doc 5-grams on raw trimmed
         # text (the engine's _shingles spec); the engine joins on xxhash64 of

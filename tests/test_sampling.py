@@ -50,3 +50,37 @@ def test_token_budget_sample(spark):
     a = {r["k"] for r in out.collect()}
     b = {r["k"] for r in token_budget_sample(df.repartition(7), "k", "s", "w", 1000, seed="t").collect()}
     assert a == b
+
+
+def test_pack_sequences_equals_global_cumsum(spark):
+    """The distributed prefix sum must equal the naive global cumsum,
+    regardless of input partitioning, including across bucket boundaries."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import pack_sequences
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(0, 250, 3)]  # gaps in ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(7)
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", "n_tokens", seq_len=100, bucket_span=40).collect()
+    }
+    cum = 0
+    for doc_id, n in sorted(rows):
+        r = out[doc_id]
+        assert r["start_offset"] == cum
+        assert r["bin_id"] == cum // 100
+        assert r["pos_in_bin"] == cum % 100
+        cum += n
+    assert len(out) == len(rows)
+
+
+def test_pack_sequences_bucket_span_invariance(spark):
+    """bucket_span is an execution knob, not a semantic one."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import pack_sequences
+
+    rows = [(i, i % 13 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tokens", 64, bucket_span=10).collect()))
+    b = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tokens", 64, bucket_span=1000).collect()))
+    assert a == b

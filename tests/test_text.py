@@ -129,3 +129,26 @@ def test_pii_signals_counts_and_redaction(spark):
     assert out[1]["redacted_md5"] == expected
     assert out[2]["n_email"] == 0 and out[2]["n_digit_runs"] == 0
     assert out[3]["n_digit_runs"] == 0
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Stride-overlap chunking: starts every `stride` tokens, short tail
+    chunks kept, empty docs emit nothing."""
+    import hashlib
+
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import chunk_documents
+
+    toks = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks), (2, "a b"), (3, "")], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,4,7,10 -> sizes 4,4,4,1
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_no"])
+    assert [r["start_token"] for r in c1] == [1, 4, 7, 10]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk_md5"] == hashlib.md5(b"w0 w1 w2 w3").hexdigest()
+    assert c1[3]["chunk_md5"] == hashlib.md5(b"w9").hexdigest()
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    assert 3 not in by_doc

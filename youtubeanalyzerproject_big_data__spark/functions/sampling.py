@@ -79,6 +79,64 @@ def token_budget_sample(
     return df.join(F.broadcast(rate_df), stratum_col).where(h < F.col("_ppm")).drop("_ppm")
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    seq_len: int,
+    bucket_span: int = 1000,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences by running token
+    offset (greedy contiguous packing in ``id_col`` order): document d
+    starts at the cumulative token count of all documents before it, and
+    lands in bin ``floor(start / seq_len)``.
+
+    A naive global window (``Window.orderBy(id)``) funnels the whole corpus
+    through ONE reducer -- the exact anti-pattern the ANN re-rank fix
+    removed.  This is the textbook distributed prefix sum instead:
+
+    1. bucket = floor(id / bucket_span): contiguous, deterministic id
+       ranges, each a parallel window partition for the LOCAL cumsum;
+    2. per-bucket totals (one map-side-combined aggregate, #buckets rows)
+       get their own exclusive cumsum -- the only serial step, over
+       model-sized data;
+    3. offsets broadcast back and the global offset is map-side addition.
+
+    All-integer arithmetic, so the result is partition- and engine-exact.
+    Returns (doc_id, n_tokens, start_offset, bin_id, pos_in_bin).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(weight_col).cast("long").alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_span).cast("long").alias("_bucket"),
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    local = d.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    w_buckets = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_bucket_total"))
+        .withColumn("_offset", F.coalesce(F.sum("_bucket_total").over(w_buckets), F.lit(0)).cast("long"))
+        .select("_bucket", "_offset")
+    )
+    start = (F.col("_offset") + F.col("_local_cum") - F.col("n_tokens")).cast("long")
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .withColumn("start_offset", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            # integer DIV, not floor(double /): offsets at 100 TB exceed
+            # double's 2^53 exact-integer range
+            F.expr(f"CAST(start_offset DIV {seq_len} AS BIGINT)").alias("bin_id"),
+            F.pmod(F.col("start_offset"), F.lit(seq_len)).cast("long").alias("pos_in_bin"),
+        )
+    )
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str, fractions: dict, seed: int | str = 0) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%,
     keep 'yo' at 100%) -- the language-rebalancing step of corpus curation.

@@ -202,6 +202,32 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 64, stride: int = 48) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap (stride <
+    chunk_tokens) -- the pre-training/RAG chunking step.  A chunk starts
+    every ``stride`` tokens; the last chunk of a document may be short.
+
+    Pure Catalyst: sequence() builds the start offsets, posexplode fans
+    out, slice() cuts the window -- zero shuffle, so at 100 TB this runs at
+    parquet-scan speed with output ~= input * chunk/stride expansion.
+    Returns (doc_id, chunk_no, start_token, n_chunk_tokens, chunk_md5);
+    empty documents yield no chunks.
+    """
+    toks = tokens(F.col(text_col))
+    starts = F.when(F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"), F.posexplode(starts).alias("chunk_no", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_tokens)
+    return base.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
 def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """PII detection/redaction signals: counts of email-like, phone-like,
     and digit-run patterns per document, plus the fingerprint of the
