@@ -347,6 +347,37 @@ def q_w2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_w4(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 5-event per-user stats (sliding ROWS frame): the time-series
+    smoothing/anomaly primitive.  Decimal-exact rolling sums (order-
+    invariant), deterministic (ts, event_id) tiebreak; the oracle orders by
+    integer epoch-MICROseconds so both engines frame identical rows even
+    where nanosecond inputs collide at microsecond resolution."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("rolling_n"),
+        F.round(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 6).alias("rolling_sum"),
+        F.round(F.min("value").over(w), 6).alias("rolling_min"),
+        F.round(F.max("value").over(w), 6).alias("rolling_max"),
+    )
+
+
+def q_g6(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order).  Degree-ordered orientation caps wedge generation at m^1.5
+    despite hot parts -- see operators/graph.triangle_count."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y, (F.col("x.l_orderkey") == F.col("y.l_orderkey")) & (F.col("x.l_partkey") < F.col("y.l_partkey"))
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return graph.triangle_count(pairs)
+
+
 def q_semi(spark: SparkSession, sf: str) -> DataFrame:
     """Left-semi join: customers having orders."""
     c = load_table(spark, sf, "customer")
@@ -1063,6 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_top3_orders_per_priority": q_w1,
         "w2_user_running_value": q_w2,
         "w3_order_lag_quartiles": q_w3,
+        "w4_rolling_user_value": q_w4,
+        "g6_triangle_census": q_g6,
         "sj_customers_with_orders": q_semi,
         "aj_customers_without_orders": q_anti,
         "set_ops_custkeys": q_setops,
@@ -1839,6 +1872,41 @@ def oracle_sql() -> dict[str, str]:
                          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 3
+        """,
+        # Sliding frame ordered by integer epoch-MICROS (epoch_ns // 1000),
+        # not raw nanos: Spark frames rows at microsecond resolution, so the
+        # oracle must collapse sub-microsecond distinctions the same way
+        # before the (ts, event_id) tiebreak.
+        "w4_rolling_user_value": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER win AS BIGINT) AS rolling_n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE), 6) AS rolling_sum,
+                   ROUND(MIN(value) OVER win, 6) AS rolling_min,
+                   ROUND(MAX(value) OVER win, 6) AS rolling_max
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        # Triangle replay: identical degree-ordered orientation; the LEFT
+        # JOIN marker counts wedges and closed wedges in one pass, like the
+        # engine's single wedge-scan aggregate.
+        "g6_triangle_census": """
+            WITH e AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+            deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+            o AS (
+              SELECT CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+                     CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.a < e.b) THEN e.b ELSE e.a END AS w
+              FROM e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v),
+            wedges AS (
+              SELECT o1.w AS a, o2.w AS b FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   CAST(COUNT(*) AS BIGINT) AS n_wedges,
+                   CAST(COUNT(ec.a) AS BIGINT) AS n_triangles
+            FROM wedges w LEFT JOIN e ec ON w.a = ec.a AND w.b = ec.b
         """,
         "w2_user_running_value": """
             SELECT event_id, user_id,

@@ -123,3 +123,22 @@ def test_star_components_chain_rounds_logarithmic(spark):
     }
     assert out == {i: 0 for i in range(n + 1)}
     assert rounds and rounds[0] <= 10, f"chain of {n} took {rounds} rounds"
+
+
+def test_triangle_count_known_graphs(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.graph import triangle_count
+
+    # K4: 6 edges, 4 triangles, every oriented wedge closes
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    r = triangle_count(spark.createDataFrame(k4, "src long, dst long")).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (6, 4)
+    assert r["n_wedges"] == r["n_triangles"]  # K4 closes every wedge
+
+    # square + one diagonal: 5 edges, 2 triangles; dup/reversed/self edges ignored
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 1), (3, 3), (1, 2)]
+    r = triangle_count(spark.createDataFrame(sq, "src long, dst long")).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (5, 2)
+
+    # path graph: no triangles, no oriented wedges (both endpoints orient inward)
+    r = triangle_count(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")).collect()[0]
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (2, 0, 0)

@@ -320,3 +320,57 @@ def top_influencers(ranks: DataFrame, k: int = 500) -> DataFrame:
     """O1: top-N by pagerank -- TakeOrderedAndProject, driver holds only N
     rows (the reference's explicit optimization, PageRank_Spark_v5.py:105-115)."""
     return ranks.orderBy(F.desc("pagerank"), F.asc("id")).limit(k)
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle / wedge / edge counts via degree-ordered orientation
+    -- the clustering-coefficient numerator, and the classic demonstration
+    that join ORDER is the scale lever in graph analytics.
+
+    Naive triangle listing self-joins the edge table twice on raw vertices;
+    one celebrity node with degree d contributes d^2 wedges (3981-max
+    in-degree hot keys in the reference graph -- BASELINE.md).  Orienting
+    every edge from its (degree, id)-smaller endpoint to its larger one
+    first caps the effective out-degree at O(sqrt(m)), so wedge counts drop
+    from sum(d^2) to at most m^1.5 REGARDLESS of skew -- each triangle is
+    then found exactly once, no /3 or /6 correction.
+
+    Plan shape: two hash aggregates for degrees, one broadcast-or-shuffle
+    join to attach them, a wedge self-join on the oriented source, and a
+    semi-ish join of wedges against the canonical edge set.  Returns one
+    row: (n_edges, n_wedges, n_triangles).
+    """
+    a, b = F.least(F.col(src), F.col(dst)).alias("a"), F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = edges.select(a, b).where(F.col("a") != F.col("b")).distinct().cache()  # edge-sized, like pagerank's
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.w") < F.col("o2.w"))).select(
+        F.col("o1.w").alias("a"), F.col("o2.w").alias("b")
+    )
+    # ONE pass over the wedge set (never cached -- it's the m^1.5 bulk):
+    # left-join the closing edge as a marker and count both in one agg.
+    n_edges = e.count()
+    counts = (
+        wedges.join(e.withColumn("_hit", F.lit(1)), ["a", "b"], "left")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_wedges"), F.count("_hit").cast("long").alias("n_triangles"))
+        .collect()[0]
+    )
+    e.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_edges, counts["n_wedges"], counts["n_triangles"])], "n_edges long, n_wedges long, n_triangles long"
+    )
