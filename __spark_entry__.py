@@ -35,6 +35,7 @@ from youtubeanalyzerproject_big_data__spark.operators import (
     multimodal,
     recommend,
     similarity,
+    sketches,
     textanalysis as text,
     topk,
 )
@@ -689,6 +690,15 @@ def q_a12(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_a14(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra-Gries heavy hitters, gated on the sketch GUARANTEES (present /
+    no-overestimate / N-over-k underestimate bound) rather than sketch
+    internals, which legitimately vary with partitioning -- the a12/a13
+    contract pattern applied to a custom partition-local mergeable sketch
+    (operators/sketches.py)."""
+    return sketches.heavy_hitters_gate(load_events(spark, sf), "event_type", k=64)
+
+
 def q_p1(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot report: quantity sums per returnflag, one column per
     linestatus.  Explicit pivot values -> single hash aggregate, stable
@@ -1077,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk2_salted_join_user_clicks": q_sk2,
         "a12_approx_distinct_gate": q_a12,
         "a13_approx_quantile_gate": q_a13,
+        "a14_heavy_hitters_gate": q_a14,
         "p1_pivot_flag_status": q_p1,
         "p2_unpivot_priority_stats": q_p2,
         "e5_interval_join_reactions": q_e5,
@@ -1718,6 +1729,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a12_approx_distinct_gate": """
             SELECT 1 AS within_5pct, COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem
+        """,
+        # MG gate: the oracle pins exact-heavy cardinality + the contract
+        # bits; candidate contents are partitioning-dependent by design.
+        "a14_heavy_hitters_gate": """
+            WITH c AS (SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS exact FROM events GROUP BY 1),
+            n AS (SELECT COUNT(*) AS nt FROM events),
+            h AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh FROM c, n WHERE exact > nt / 64.0)
+            SELECT nh AS n_heavy, nh AS n_heavy_found,
+                   CAST(1 AS INTEGER) AS all_heavy_found,
+                   CAST(1 AS INTEGER) AS no_overestimate,
+                   CAST(1 AS INTEGER) AS underestimate_ok
+            FROM h
         """,
         "a13_approx_quantile_gate": """
             SELECT 1 AS within_1pct,

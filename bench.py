@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "s5_ann_ivfpq_top5",
     "g4_pagerank_top100",
     "m1_als_recommendations",
+    "t8_unigram_logprob",
+    "c3_decontamination",
+    "c4_doc_chunks",
+    "c5_sequence_packing",
+    "w4_rolling_user_value",
+    "g6_triangle_census",
 ]
 
 
