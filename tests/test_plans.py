@@ -120,3 +120,31 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """c3: the eval-set gram join must be a BroadcastHashJoin -- the corpus
+    side is scored map-side, never shuffled on grams."""
+    plan = _plan(entrymod.q_c3(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_has_no_global_data_window(spark):
+    """c5: the only unpartitioned Window must run over the model-sized
+    bucket-total aggregate, never the document rows -- the doc-level window
+    is partitioned by bucket (parallel local cumsums)."""
+    plan = _plan(entrymod.q_c5(spark, SF))
+    # the doc-level cumsum window is keyed by the bucket column
+    assert "_bucket" in plan and "Window" in plan
+    # offsets come back via broadcast, not a doc-level shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """c4: chunking must plan as scan -> generate (posexplode) -> project
+    with no Exchange at all."""
+    from youtubeanalyzerproject_big_data__spark.plans.inspect import operator_counts
+
+    df = entrymod.q_c4(spark, SF)
+    df.collect()
+    assert operator_counts(df).get("Exchange", 0) == 0
