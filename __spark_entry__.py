@@ -348,6 +348,50 @@ def q_w2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_u1(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC merge over orders: a deterministic update batch (5% row updates,
+    2% tombstone deletes, 1% inserts under shifted keys, all md5-keyed) is
+    merged with operators/merge.merge_upsert -- the anti-join-plus-union
+    plan that broadcasts only the touched KEYS and never shuffles the base
+    table.  Oracle replays the same batch with NOT IN + UNION ALL."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import hash_sample_predicate
+    from youtubeanalyzerproject_big_data__spark.operators.merge import merge_upsert
+
+    base = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    p_upd = hash_sample_predicate(key, 50_000, 1_000_000, seed="u1upd")
+    p_del = hash_sample_predicate(key, 20_000, 1_000_000, seed="u1del")
+    p_ins = hash_sample_predicate(key, 10_000, 1_000_000, seed="u1ins")
+    upd = base.where(p_upd).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.lit("5-LOW").alias("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 1.1, 6).alias("o_totalprice"),
+        F.lit(False).alias("_del"),
+    )
+    dele = base.where(p_del & ~p_upd).select(*base.columns, F.lit(True).alias("_del"))
+    ins = base.where(p_ins).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("9-NEW").alias("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 0.5, 6).alias("o_totalprice"),
+        F.lit(False).alias("_del"),
+    )
+    updates = upd.unionByName(dele).unionByName(ins)
+    return merge_upsert(base, updates, ["o_orderkey"], delete_col="_del")
+
+
+def q_f11(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel view -> click -> purchase: per-step user counts
+    with strict in-order timestamps (streaming/events.funnel_steps; one
+    filtered hash aggregate per step, no per-user event collects)."""
+    return ev.funnel_steps(load_events(spark, sf), ["view", "click", "purchase"])
+
+
 def q_w4(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling 5-event per-user stats (sliding ROWS frame): the time-series
     smoothing/anomaly primitive.  Decimal-exact rolling sums (order-
@@ -1107,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_order_lag_quartiles": q_w3,
         "w4_rolling_user_value": q_w4,
         "g6_triangle_census": q_g6,
+        "u1_cdc_merge": q_u1,
+        "f11_funnel_counts": q_f11,
         "sj_customers_with_orders": q_semi,
         "aj_customers_without_orders": q_anti,
         "set_ops_custkeys": q_setops,
@@ -1895,6 +1941,46 @@ def oracle_sql() -> dict[str, str]:
                          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 3
+        """,
+        # CDC replay: identical md5 membership predicates build the batch;
+        # NOT IN + UNION ALL is the oracle's merge. *1.1/*0.5 and ROUND(,6)
+        # are the same IEEE double ops on both sides.
+        "u1_cdc_merge": f"""
+            WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders),
+            upd AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     '5-LOW' AS o_orderpriority, ROUND(o_totalprice * 1.1, 6) AS o_totalprice,
+                     FALSE AS _del
+              FROM b WHERE ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u1upd")}) % 1000000 < 50000),
+            del_ AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice, TRUE AS _del
+              FROM b WHERE ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u1del")}) % 1000000 < 20000
+                AND NOT (({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u1upd")}) % 1000000 < 50000)),
+            ins AS (
+              SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+                     '9-NEW' AS o_orderpriority, ROUND(o_totalprice * 0.5, 6) AS o_totalprice,
+                     FALSE AS _del
+              FROM b WHERE ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u1ins")}) % 1000000 < 10000),
+            u AS (SELECT * FROM upd UNION ALL SELECT * FROM del_ UNION ALL SELECT * FROM ins)
+            SELECT * FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+            FROM u WHERE NOT _del
+        """,
+        # Funnel replay: strict-after joins on the shrinking per-user reach
+        # tables, timestamps as integer epoch-micros.
+        "f11_funnel_counts": """
+            WITH ev AS (SELECT user_id AS u, epoch_ns(ts) // 1000 AS ts_us, event_type AS et FROM events),
+            s1 AS (SELECT u, MIN(ts_us) AS t FROM ev WHERE et = 'view' GROUP BY u),
+            s2 AS (SELECT ev.u, MIN(ts_us) AS t FROM ev JOIN s1 ON ev.u = s1.u AND ev.ts_us > s1.t
+                   WHERE et = 'click' GROUP BY ev.u),
+            s3 AS (SELECT ev.u, MIN(ts_us) AS t FROM ev JOIN s2 ON ev.u = s2.u AND ev.ts_us > s2.t
+                   WHERE et = 'purchase' GROUP BY ev.u)
+            SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_no, (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+            UNION ALL
+            SELECT 'click', CAST(2 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT 'purchase', CAST(3 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
         """,
         # Sliding frame ordered by integer epoch-MICROS (epoch_ns // 1000),
         # not raw nanos: Spark frames rows at microsecond resolution, so the

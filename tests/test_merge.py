@@ -1,0 +1,66 @@
+"""CDC merge semantics: row-level overwrite, insert, tombstone delete."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_merge_upsert_row_semantics(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", None, False),  # update: full-row overwrite, NULL wins too
+            (3, None, None, True),  # tombstone: key 3 vanishes
+            (9, "z", 90.0, False),  # insert
+        ],
+        "k long, s string, v double, _del boolean",
+    )
+    out = {r["k"]: r for r in merge_upsert(base, updates, ["k"], delete_col="_del").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["s"] == "a" and out[1]["v"] == 10.0  # untouched
+    assert out[2]["s"] == "B" and out[2]["v"] is None  # row-level: update's NULL kept
+    assert out[9]["s"] == "z" and out[9]["v"] == 90.0
+
+
+def test_merge_upsert_plan_is_anti_join_union(spark):
+    """The base side must plan a broadcast anti-join on the keys -- never a
+    full-outer shuffle of the base."""
+    from youtubeanalyzerproject_big_data__spark.operators.merge import merge_upsert
+    from youtubeanalyzerproject_big_data__spark.plans.inspect import executed_plan
+
+    base = spark.range(1000).select(F.col("id").alias("k"), F.lit("x").alias("s"))
+    updates = spark.range(10).select(F.col("id").alias("k"), F.lit("y").alias("s"))
+    df = merge_upsert(base, updates, ["k"])
+    assert df.count() == 1000
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "FullOuter" not in plan
+
+
+def test_funnel_requires_strict_order(spark):
+    from youtubeanalyzerproject_big_data__spark.streaming.events import funnel_steps
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "click"),
+        (1, "2024-01-01 10:02:00", "purchase"),
+        # user 2: click BEFORE view -> stops at view
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # user 3: view+click only; purchase before click doesn't count
+        (3, "2024-01-01 08:00:00", "purchase"),
+        (3, "2024-01-01 09:00:00", "view"),
+        (3, "2024-01-01 09:30:00", "click"),
+        # user 4: never viewed
+        (4, "2024-01-01 09:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}

@@ -269,3 +269,52 @@ def stream_interval_join(spark: SparkSession, source_dir: str, window_seconds: i
         & (F.col("clk_ts") < bound)
     )
     return errors.join(clicks, cond, "inner").select("err_id", "err_user", "clk_id", "clk_ts")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel user counts: for each prefix of ``steps``, how many
+    users performed those event types in strict timestamp order (each step
+    strictly after the previous one -- the product-analytics conversion
+    funnel).
+
+    One hash aggregate PER STEP, each over only that step's events
+    (filter pushed to the scan), chained by a join on the shrinking
+    per-user reach table -- never a per-user event-array collect, so a
+    power user with millions of events costs the same shuffle rows as a
+    light one.  Timestamps compare as integer epoch-micros (engine- and
+    zone-exact).  Returns (step, step_no, n_users), one row per step.
+    """
+    us = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(type_col).alias("et"),
+    )
+    reach: DataFrame | None = None
+    counts: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        cur = us.where(F.col("et") == step)
+        if reach is None:
+            hit = cur.groupBy("u").agg(F.min("ts_us").alias("t"))
+        else:
+            hit = (
+                cur.join(reach.select("u", F.col("t").alias("t_prev")), "u")
+                .where(F.col("ts_us") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(F.min("ts_us").alias("t"))
+            )
+        reach = hit
+        counts.append(
+            hit.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(step).alias("step"), F.lit(i + 1).cast("long").alias("step_no"), "n_users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
