@@ -348,6 +348,16 @@ def q_w2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_f12(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source deterministic 3-doc example sample: smallest (md5, id)
+    per stratum via the two-stage partial top-n
+    (functions/sampling.group_example_sample) -- no stratum ever funnels
+    through one reducer."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import group_example_sample
+
+    return group_example_sample(load_table(spark, sf, "documents"), "doc_id", "source", n=3, seed="ex")
+
+
 def q_u1(spark: SparkSession, sf: str) -> DataFrame:
     """CDC merge over orders: a deterministic update batch (5% row updates,
     2% tombstone deletes, 1% inserts under shifted keys, all md5-keyed) is
@@ -1127,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_dynamic_search_count": q_f6,
         "f9_hash_sample": q_f9,
         "f10_stratified_sample": q_f10,
+        "f12_group_examples": q_f12,
         "sk1_salted_event_stats": q_sk1,
         "sk2_salted_join_user_clicks": q_sk2,
         "a12_approx_distinct_gate": q_a12,
@@ -1758,6 +1769,15 @@ def oracle_sql() -> dict[str, str]:
                    AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 1000000)
                OR (o_orderpriority = '5-LOW'
                    AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 100000)
+        """,
+        "f12_group_examples": f"""
+            SELECT source, doc_id, CAST(rk AS BIGINT) AS sample_rank
+            FROM (SELECT source, doc_id,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY ({md5_int32_sql("CAST(doc_id AS VARCHAR)", "ex")}), doc_id) AS rk
+                  FROM documents)
+            WHERE rk <= 3
         """,
         "sk1_salted_event_stats": f"""
             SELECT event_type, COUNT(*) AS n,

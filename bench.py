@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "c5_sequence_packing",
     "w4_rolling_user_value",
     "g6_triangle_census",
+    "u1_cdc_merge",
+    "f11_funnel_counts",
+    "a14_heavy_hitters_gate",
 ]
 
 
@@ -69,8 +72,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # Warmup: trivial count to absorb session/JVM startup.
+    # Warmup: a trivial count absorbs session/JVM startup, and one tiny
+    # Arrow UDF over every core pre-spawns the Python workers -- otherwise
+    # the first Arrow-heavy query (d2) pays ~8s of worker spin-up in its
+    # first sample.
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_word_ngrams
+
     qs["a9_distinct_customers"](spark, sf_dir).collect()
+    spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        make_word_ngrams(2)(F.lit("warm up workers")).alias("g")
+    ).count()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     timings: dict[str, float] = {}

@@ -84,3 +84,25 @@ def test_pack_sequences_bucket_span_invariance(spark):
     a = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tokens", 64, bucket_span=10).collect()))
     b = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tokens", 64, bucket_span=1000).collect()))
     assert a == b
+
+
+def test_group_example_sample_partition_invariant(spark):
+    """Same (key, seed) -> same examples under any partitioning, and the
+    two-stage shape matches a naive global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import group_example_sample
+
+    rows = [(i, f"s{i % 5}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(map(tuple, group_example_sample(df, "doc_id", "source", 4, seed="x").collect()))
+    b = sorted(map(tuple, group_example_sample(df.repartition(13), "doc_id", "source", 4, seed="x").collect()))
+    assert a == b and len(a) == 20
+    w = Window.partitionBy("source").orderBy(md5_int32(F.col("doc_id").cast("string"), seed="x"), "doc_id")
+    naive = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w)).where("rk <= 4").collect()
+    )
+    assert a == [(s, d, r) for s, d, r in naive]

@@ -137,6 +137,45 @@ def pack_sequences(
     )
 
 
+def group_example_sample(df: DataFrame, key_col: str, stratum_col: str, n: int, seed: int | str = 0) -> DataFrame:
+    """Deterministic per-stratum examples: the ``n`` rows with the smallest
+    (md5-hash, key) per stratum -- the stable "show me N examples from
+    every domain" primitive (debugging, eval-set seeding, labeling).
+    Membership is a pure function of (key, seed): stable across runs,
+    engines, partitionings, and table growth ONLY shrinks a stratum's
+    sample churn to genuinely-smaller hashes.
+
+    Two-stage exact top-n (the ANN _topk_per_query recipe): a map-side
+    partial top-n per (input partition, stratum) bounds the shuffle at
+    num_partitions * n rows per stratum, so a billion-row stratum never
+    funnels through one reducer; the final window ranks the bounded
+    survivors.  Returns (stratum, key, sample_rank).
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(stratum_col).alias("_stratum"),
+        F.col(key_col).alias("_key"),
+        md5_int32(F.col(key_col).cast("string"), seed=seed).alias("_h"),
+    )
+    part = (
+        keyed.groupBy(F.spark_partition_id().alias("_pid"), "_stratum")
+        .agg(F.slice(F.sort_array(F.collect_list(F.struct("_h", "_key"))), 1, n).alias("_top"))
+        .select("_stratum", F.explode("_top").alias("_t"))
+        .select("_stratum", F.col("_t._key").alias("_key"), F.col("_t._h").alias("_h"))
+    )
+    w = Window.partitionBy("_stratum").orderBy("_h", "_key")
+    return (
+        part.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+        .select(
+            F.col("_stratum").alias(stratum_col),
+            F.col("_key").alias(key_col),
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+    )
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str, fractions: dict, seed: int | str = 0) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%,
     keep 'yo' at 100%) -- the language-rebalancing step of corpus curation.
