@@ -348,6 +348,29 @@ def q_w2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_a15(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type exact percentile profile of `value` (a3 generalized
+    to groups; one hash aggregate)."""
+    return agg.grouped_percentiles(load_events(spark, sf), "event_type", "value")
+
+
+def q_e6(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on each
+    later active day offset -- the classic product-analytics retention
+    matrix in long form.  Two hash aggregates + one join on user_id; the
+    (user, day) distinct collapses each user's events per day map-side."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select("cohort_date", F.datediff("day", "cohort_date").cast("long").alias("day_offset"))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def q_f12(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source deterministic 3-doc example sample: smallest (md5, id)
     per stratum via the two-stage partial top-n
@@ -1143,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_approx_distinct_gate": q_a12,
         "a13_approx_quantile_gate": q_a13,
         "a14_heavy_hitters_gate": q_a14,
+        "a15_grouped_percentiles": q_a15,
+        "e6_cohort_retention": q_e6,
         "p1_pivot_flag_status": q_p1,
         "p2_unpivot_priority_stats": q_p2,
         "e5_interval_join_reactions": q_e5,
@@ -1795,6 +1820,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a12_approx_distinct_gate": """
             SELECT 1 AS within_5pct, COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem
+        """,
+        "a15_grouped_percentiles": """
+            SELECT event_type, COUNT(value) AS cnt,
+                   ROUND(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
+                   ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+                   ROUND(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS p75,
+                   ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90
+            FROM events GROUP BY event_type
+        """,
+        # Cohort replay: dates from nanos timestamps truncate identically
+        # (flooring ns->us never crosses a day boundary).
+        "e6_cohort_retention": """
+            WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+            SELECT cohort_date, CAST(day - cohort_date AS BIGINT) AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY cohort_date, day_offset
         """,
         # MG gate: the oracle pins exact-heavy cardinality + the contract
         # bits; candidate contents are partitioning-dependent by design.

@@ -89,6 +89,19 @@ def global_stats(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+def grouped_percentiles(df: DataFrame, group_col: str, value_col: str, percentiles=(0.25, 0.5, 0.75, 0.9)) -> DataFrame:
+    """Per-group exact percentiles (A3 generalized): one hash aggregate;
+    Spark's exact ``percentile`` buffers each group's values on the
+    reducer, so this is for grouping keys with bounded group size -- at
+    100 TB with huge groups, swap in percentile_approx (a13 gates its
+    error) and keep the same shape."""
+    c = F.col(value_col)
+    return df.groupBy(group_col).agg(
+        F.count(c).alias("cnt"),
+        *[F.round(F.percentile(c, p), 4).alias(f"p{int(p * 100)}") for p in percentiles],
+    )
+
+
 def frequency_distribution(df: DataFrame, key: str) -> DataFrame:
     """A5: distribution of per-key frequencies (degree distribution shape):
     group by key -> count, then group by count -> how many keys."""
