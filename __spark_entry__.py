@@ -1116,6 +1116,26 @@ def q_pagerank_cyclic(spark: SparkSession, sf: str) -> DataFrame:
     return graph.top_influencers(ranks, 100)
 
 
+PPR_SEEDS = ["P1", "P2", "P3", "P4", "P5"]
+
+
+def q_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from a 5-part seed set over the cyclic
+    order<->part graph: proximity-to-seeds ranking (the related-items
+    primitive), with the same integer-quantized full-depth oracle replay
+    as g4/g5 (operators/graph.personalized_pagerank)."""
+    li = load_table(spark, sf, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")
+    )
+    rev = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"), F.concat(F.lit("O"), F.col("l_orderkey")).alias("dst")
+    )
+    edges = graph.edges_from_pairs(fwd.unionAll(rev), "src", "dst")
+    ranks = graph.personalized_pagerank(edges, PPR_SEEDS, reset_prob=0.15, max_iter=10)
+    return graph.top_influencers(ranks, 100)
+
+
 def q_als(spark: SparkSession, sf: str) -> DataFrame:
     """M1-M4 ALS pipeline (run_alsrecs_job.py) on (customer, part, quantity)
     ratings; 10pc Bernoulli sample seed=42 mirroring the reference's S11
@@ -1231,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm3_resized_features": q_mm3,
         "g4_pagerank_top100": q_pagerank,
         "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
+        "g7_personalized_pagerank": q_ppr,
         "m1_als_recommendations": q_als,
         "m2_als_contract": q_m2,
     }
@@ -1286,6 +1307,46 @@ SELECT id, ROUND(rank, 6) AS pagerank FROM allr ORDER BY pagerank DESC, id LIMIT
 _PAGERANK_EDGES_SQL = (
     "SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS src, 'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem"
 )
+
+
+def _ppr_oracle(edges_sql: str, sources: list, reset: float = 0.15, max_iter: int = 10, k: int = 100, scale: float = 1e9) -> str:
+    """DuckDB replay of graph.personalized_pagerank: _pagerank_oracle's
+    integer-quantized unrolled CTEs with the seed-set reset vector --
+    initial rank CASE-folds to 1.0 on seeds / 0.0 elsewhere, absent-src
+    ranks coalesce to reset on seeds / 0.0 elsewhere, and each iteration
+    adds reset only on seed dsts.  Same bit-exact arithmetic argument."""
+    r = f"CAST({reset!r} AS DOUBLE)"
+    d = f"CAST({1.0 - reset!r} AS DOUBLE)"
+    s = f"CAST({int(scale)} AS DOUBLE)"
+    lst = ", ".join(f"'{x}'" for x in sources)
+    reset_dst = f"CASE WHEN w.dst IN ({lst}) THEN {r} ELSE CAST(0.0 AS DOUBLE) END"
+    init_src = f"CASE WHEN w.src IN ({lst}) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    absent_src = f"CASE WHEN w.src IN ({lst}) THEN {r} ELSE CAST(0.0 AS DOUBLE) END"
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src)",
+        "w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.dg AS wt FROM edges e JOIN deg ON e.src = deg.src)",
+        f"r1 AS (SELECT w.dst AS id, {reset_dst} + {d} * "
+        f"(SUM(CAST(round(({init_src}) * w.wt * {s}) AS BIGINT)) / {s}) AS rank FROM w GROUP BY w.dst)",
+    ]
+    for i in range(2, max_iter + 1):
+        ctes.append(
+            f"r{i} AS (SELECT w.dst AS id, {reset_dst} + {d} * "
+            f"(SUM(CAST(round(COALESCE(p.rank, {absent_src}) * w.wt * {s}) AS BIGINT)) / {s}) AS rank "
+            f"FROM w LEFT JOIN r{i - 1} p ON w.src = p.id GROUP BY w.dst)"
+        )
+    last = f"r{max_iter}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+allr AS (
+  SELECT id, rank FROM {last} WHERE rank > 0
+  UNION ALL
+  SELECT sid AS id, {r} AS rank FROM (SELECT unnest([{lst}]) AS sid)
+  WHERE sid NOT IN (SELECT id FROM {last})
+)
+SELECT id, ROUND(rank, 6) AS pagerank FROM allr ORDER BY pagerank DESC, id LIMIT {k}
+"""
 
 
 def _hyperplane_band_sql(dim: int, num_planes: int, bands: int) -> list[str]:
@@ -2521,6 +2582,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 AS BIGINT) AS n_full_rec_lists
         """,
         "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
+        "g7_personalized_pagerank": _ppr_oracle(
+            _PAGERANK_EDGES_SQL
+            + " UNION ALL SELECT 'P' || CAST(l_partkey AS VARCHAR), 'O' || CAST(l_orderkey AS VARCHAR) FROM lineitem",
+            PPR_SEEDS,
+            reset=0.15,
+            max_iter=10,
+            k=100,
+        ),
         "g5_pagerank_cyclic_top100": _pagerank_oracle(
             _PAGERANK_EDGES_SQL
             + " UNION ALL SELECT 'P' || CAST(l_partkey AS VARCHAR), 'O' || CAST(l_orderkey AS VARCHAR) FROM lineitem",

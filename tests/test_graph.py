@@ -142,3 +142,41 @@ def test_triangle_count_known_graphs(spark):
     # path graph: no triangles, no oriented wedges (both endpoints orient inward)
     r = triangle_count(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")).collect()[0]
     assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (2, 0, 0)
+
+
+def test_personalized_pagerank_matches_python_replica(spark):
+    """Tiny-graph PPR equals a literal Python replay of the quantized
+    iteration; unreachable vertices are absent; sink seeds hold reset."""
+    from youtubeanalyzerproject_big_data__spark.operators.graph import personalized_pagerank
+
+    edges = [("A", "B"), ("B", "A"), ("A", "C"), ("X", "Y")]  # X,Y unreachable from A
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["id"]: r["pagerank"] for r in personalized_pagerank(df, ["A"], 0.15, max_iter=10).collect()}
+
+    # python replica (same quantized arithmetic)
+    from collections import defaultdict
+
+    outd = defaultdict(int)
+    for s, d in edges:
+        outd[s] += 1
+    ranks = {"A": 1.0}
+    for _ in range(10):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            r = ranks.get(s, 0.15 if s == "A" else 0.0)
+            contrib[d] += int(round(r * (1.0 / outd[s]) * 1e9))
+        ranks = {d: (0.15 if d == "A" else 0.0) + 0.85 * (c / 1e9) for d, c in contrib.items()}
+    expected = {v: round(r, 6) for v, r in ranks.items() if r > 0}
+    assert out == expected
+    assert "X" not in out  # zero rank, excluded
+    assert out["A"] > out["B"] > 0 and out["C"] > 0
+
+
+def test_personalized_pagerank_sink_seed(spark):
+    """A seed with no in-edges still appears, at exactly reset_prob."""
+    from youtubeanalyzerproject_big_data__spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([("S", "B")], "src string, dst string")
+    out = {r["id"]: r["pagerank"] for r in personalized_pagerank(df, ["S"], 0.15, max_iter=3).collect()}
+    assert out["S"] == 0.15
+    assert out["B"] > 0
