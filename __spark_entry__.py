@@ -371,6 +371,35 @@ def q_e6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_e7(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decayed per-user engagement: sum of value * exp(-age/tau) at
+    the corpus reference time (tau = 7 days) -- the recency-weighted
+    scoring a freshness-aware pipeline uses.  No sequential dependence:
+    each event's decayed term is a map-side expression, INTEGER-quantized
+    (floor * 1e6) before the per-user sum so the reduction is exact in any
+    order/engine; the reference time is one scalar aggregate."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    t_ref = e.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    tau_us = 7 * 86400 * 1_000_000
+    age = (F.lit(int(t_ref)) - F.unix_micros("ts")).cast("double") / F.lit(float(tau_us))
+    term = F.floor(F.col("value") * F.exp(-age) * 1e6).cast("long")
+    return (
+        e.select("user_id", term.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("t").cast("long").alias("engagement_micro"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "engagement_micro",
+            F.round(F.col("engagement_micro") / 1e6, 6).alias("engagement"),
+        )
+    )
+
+
 def q_f12(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source deterministic 3-doc example sample: smallest (md5, id)
     per stratum via the two-stage partial top-n
@@ -1188,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_heavy_hitters_gate": q_a14,
         "a15_grouped_percentiles": q_a15,
         "e6_cohort_retention": q_e6,
+        "e7_decayed_engagement": q_e7,
         "p1_pivot_flag_status": q_p1,
         "p2_unpivot_priority_stats": q_p2,
         "e5_interval_join_reactions": q_e5,
@@ -1899,6 +1929,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM a JOIN f USING (user_id)
             GROUP BY cohort_date, day_offset
+        """,
+        # Decay replay: integer epoch-micros age, double exp() term
+        # floor-quantized to micros BEFORE the per-user integer sum -- the
+        # unigram-logprob recipe for order-invariant float reductions.
+        "e7_decayed_engagement": """
+            WITH m AS (SELECT MAX(epoch_ns(ts) // 1000) AS t_ref FROM events),
+            t AS (
+              SELECT user_id,
+                     CAST(floor(value * exp(-(CAST(t_ref - (epoch_ns(ts) // 1000) AS DOUBLE)
+                                              / CAST(604800000000 AS DOUBLE))) * 1e6) AS BIGINT) AS trm
+              FROM events, m)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(trm) AS BIGINT) AS engagement_micro,
+                   ROUND(SUM(trm) / 1e6, 6) AS engagement
+            FROM t GROUP BY user_id
         """,
         # MG gate: the oracle pins exact-heavy cardinality + the contract
         # bits; candidate contents are partitioning-dependent by design.
