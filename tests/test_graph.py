@@ -119,10 +119,29 @@ def test_star_components_chain_rounds_logarithmic(spark):
     rounds: list = []
     out = {
         r["id"]: r["component"]
-        for r in graph.connected_components_star(edges, _round_counter=rounds).collect()
+        for r in graph.connected_components_star(
+            edges, small_graph_threshold=0, _round_counter=rounds
+        ).collect()
     }
     assert out == {i: 0 for i in range(n + 1)}
-    assert rounds and rounds[0] <= 10, f"chain of {n} took {rounds} rounds"
+    assert rounds and 0 < rounds[0] <= 10, f"chain of {n} took {rounds} rounds"
+
+
+def test_star_components_fast_path_equals_distributed(spark):
+    """The driver union-find fast path must return exactly the distributed
+    star rounds' labels (same min-label contract)."""
+    import random
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)], "src long, dst long"
+    )
+    fast = {r["id"]: r["component"] for r in graph.connected_components_star(edges).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in graph.connected_components_star(edges, small_graph_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
 
 
 def test_triangle_count_known_graphs(spark):
