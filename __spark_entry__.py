@@ -694,6 +694,20 @@ def q_s5(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_s6(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieve-then-refine ANN: the IVF+PQ index proposes 20 candidates
+    per query (compressed scan), exact full-precision cosine decides the
+    top-5 (similarity.refine_topk) -- the standard two-phase serving
+    recipe.  Both phases replay bit-exactly: candidates via the s5 index
+    oracle at k=20, refinement via the brute-force cosine fragment over
+    exactly those pairs."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cand = similarity.ivfpq_topk(emb, queries, "vec_id", "embedding", dim=64, k=20, num_cells=16, nprobe=4)
+    out = similarity.refine_topk(emb, queries, cand, "vec_id", "embedding", k=5)
+    return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
+
+
 def q_km1(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means, 2 iterations, k=8 on the embeddings
     corpus (operators/clustering.kmeans_lloyd).  Every iteration is
@@ -1262,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_ann_ivf_top5": q_s3,
         "s4_ann_pq_top5": q_s4,
         "s5_ann_ivfpq_top5": q_s5,
+        "s6_ann_refined_top5": q_s6,
         "t1_token_counts": q_t1,
         "t2_quality_scores": q_t2,
         "t3_language_id": q_t3,
@@ -2620,6 +2635,23 @@ def oracle_sql() -> dict[str, str]:
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),
         "s4_ann_pq_top5": _pq_ann_oracle(dim=64, num_sub=8, num_codes=16, k=5),
         "s5_ann_ivfpq_top5": _ivfpq_ann_oracle(dim=64, num_cells=16, nprobe=4, num_sub=8, num_codes=16, k=5),
+        # Retrieve-then-refine: the s5 index replay at k=20 proposes, the
+        # exact brute-force cosine fragment decides -- both phases the
+        # same IEEE sequences as the engine's kernels.
+        "s6_ann_refined_top5": f"""
+            WITH cand AS (
+              SELECT query_id, neighbor_id
+              FROM ({_ivfpq_ann_oracle(dim=64, num_cells=16, nprobe=4, num_sub=8, num_codes=16, k=20)})),
+            s AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_cos_sql("q.embedding", "c.embedding")} AS cos
+              FROM cand
+              JOIN embeddings q ON cand.query_id = q.vec_id
+              JOIN embeddings c ON cand.neighbor_id = c.vec_id)
+            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+            WHERE rk <= 5
+        """,
         "km1_kmeans_centroids": _kmeans_oracle(dim=64, k=8, iters=2),
         "m2_als_contract": """
             SELECT CAST(50 AS BIGINT) AS n_users,

@@ -180,3 +180,39 @@ def test_topk_recall_counts(spark):
     out = {r["query_id"]: r for r in topk_recall(exact, approx, k=2).collect()}
     assert out[1]["n_hits"] == 1 and out[1]["recall_at_2"] == 0.5
     assert out[2]["n_hits"] == 2 and out[2]["recall_at_2"] == 1.0
+
+
+def test_refine_topk_improves_or_matches_raw_index(clustered):
+    """Retrieve-then-refine: exact re-rank of generous candidates must
+    recall at least what the raw compressed index recalls, results must be
+    a subset of the candidates, and scores must equal brute-force cosines."""
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        refine_topk,
+    )
+
+    queries = clustered.where("vec_id IN (0, 10, 20)")
+    exact = brute_force_topk(clustered, queries, "vec_id", "embedding", 3).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    raw = ivfpq_topk(
+        clustered, queries, "vec_id", "embedding", dim=16, k=3, num_cells=3, nprobe=2, num_sub=4, num_codes=8
+    ).collect()
+    cand = ivfpq_topk(
+        clustered, queries, "vec_id", "embedding", dim=16, k=10, num_cells=3, nprobe=2, num_sub=4, num_codes=8
+    )
+    refined = refine_topk(clustered, queries, cand, "vec_id", "embedding", k=3).collect()
+
+    cand_pairs = {(r["query_id"], r["neighbor_id"]) for r in cand.collect()}
+    refined_pairs = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    raw_pairs = {(r["query_id"], r["neighbor_id"]) for r in raw}
+    assert refined_pairs <= cand_pairs
+    recall_refined = len(exact_pairs & refined_pairs) / len(exact_pairs)
+    recall_raw = len(exact_pairs & raw_pairs) / len(exact_pairs)
+    assert recall_refined >= recall_raw
+    # refined scores are TRUE cosines: wherever a pair is in both, equal
+    for r in refined:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cos_sim"] == exact_scores[key]

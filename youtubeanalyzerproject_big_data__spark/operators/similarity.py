@@ -105,6 +105,29 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col
     return _topk_per_query(scored, k)
 
 
+def refine_topk(corpus: DataFrame, queries: DataFrame, candidates: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+    """Retrieve-then-refine: exact-cosine re-rank of an approximate index's
+    candidate lists -- the standard two-phase ANN serving recipe (a cheap
+    compressed index proposes, full-precision vectors decide).
+
+    ``candidates`` is any (query_id, neighbor_id) table (e.g. ivfpq_topk
+    at a generous k).  Candidate lists are query-count * k rows --
+    broadcast-sized by construction -- so they join the corpus map-side
+    (the corpus never shuffles), scoring is the Arrow exact-sequential
+    cosine kernel (bit-identical to brute_force_topk's), and the final
+    cut is the two-stage :func:`_topk_per_query`.  At 1e9 corpus rows
+    the full-precision vectors are touched for only |candidates| rows.
+    """
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_cosine_seq
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cand = candidates.select("query_id", "neighbor_id").join(F.broadcast(q), "query_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cos = make_cosine_seq()
+    scored = c.join(F.broadcast(cand), "neighbor_id").withColumn("cos_sim", cos(F.col("qv"), F.col("cv")))
+    return _topk_per_query(scored, k)
+
+
 def _plane_component(p: int, c: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1): the same
     md5-derivation as functions.hashing.md5_int32(str(c), seed=f'plane{p}'),
