@@ -708,6 +708,14 @@ def q_s6(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_em2(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector L2 and mean-centered L2 norms (the cosine-retrieval
+    preprocessing audit; similarity.normalization_stats).  Corpus mean =
+    one quantized hash aggregate collected as a dim-sized model; norms are
+    map-side sequential folds the oracle replays element-for-element."""
+    return similarity.normalization_stats(load_table(spark, sf, "embeddings"), "vec_id", "embedding")
+
+
 def q_km1(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means, 2 iterations, k=8 on the embeddings
     corpus (operators/clustering.kmeans_lloyd).  Every iteration is
@@ -1240,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se3_stream_interval_join": q_se3,
         "se4_stream_dedup_first_seen": q_se4,
         "em1_label_centroids": q_em1,
+        "em2_normalization_stats": q_em2,
         "km1_kmeans_centroids": q_km1,
         "j1_orders_line_counts_top10": q_j1,
         "j6_topk_enriched_customers": q_j6,
@@ -2054,6 +2063,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
                          / (COUNT(val) * 1000000.0) AS centroid
             FROM x GROUP BY label, p
+        """,
+        # Mean list assembled from the SAME quantized integer sums the
+        # engine collects; both norms are the 0.0 + x1*x1 + ... sequential
+        # chains (list_sum == Catalyst aggregate fold, the _cos_sql
+        # equivalence).
+        "em2_normalization_stats": """
+            WITH x AS (
+              SELECT UNNEST(embedding) AS val, GENERATE_SUBSCRIPTS(embedding, 1) AS p
+              FROM embeddings),
+            mn AS (
+              SELECT p, CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                        / (COUNT(val) * 1000000.0) AS m
+              FROM x GROUP BY p),
+            ml AS (SELECT list(m ORDER BY p) AS mv FROM mn)
+            SELECT vec_id,
+                   ROUND(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS l2_norm,
+                   ROUND(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                         i -> (CAST(embedding[i] AS DOUBLE) - mv[i]) * (CAST(embedding[i] AS DOUBLE) - mv[i])))), 6) AS centered_l2_norm
+            FROM embeddings, ml
         """,
         "a10_rollup_order_stats": f"""
             SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "u1_cdc_merge",
     "f11_funnel_counts",
     "a14_heavy_hitters_gate",
+    "g7_personalized_pagerank",
+    "s6_ann_refined_top5",
 ]
 
 

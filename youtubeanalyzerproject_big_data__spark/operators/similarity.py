@@ -409,6 +409,38 @@ def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def normalization_stats(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector normalization statistics against the corpus mean: L2 norm
+    and mean-centered L2 norm -- the preprocessing audit before cosine
+    retrieval (uncentered corpora with a dominant mean direction inflate
+    all cosines; the centered norm distribution is the diagnostic).
+
+    The global mean is ONE hash aggregate over posexplode'd elements with
+    the integer-quantized sums of :func:`label_centroids` (exact,
+    partition-invariant), collected as a dim-sized model and inlined as a
+    literal array; both norms are then map-side Catalyst sequential folds
+    -- the corpus is scanned twice, shuffled never.
+    """
+    pos = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    q = F.floor(F.col("val").cast("double") * F.lit(1_000_000.0)).cast("long")
+    mean_rows = (
+        pos.groupBy("pos")
+        .agg((F.sum(q).cast("double") / (F.count("val") * F.lit(1_000_000.0))).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    mean_lit = F.array(*[F.lit(float(r["m"])) for r in mean_rows])
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+    centered_sq = F.zip_with(vd, mean_lit, lambda x, m: (x - m) * (x - m))
+    cnorm = F.sqrt(F.aggregate(centered_sq, F.lit(0.0), lambda acc, x: acc + x))
+    return emb.select(
+        F.col(id_col),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(cnorm, 6).alias("centered_l2_norm"),
+    )
+
+
 def _pq_codebook_exact(
     corpus: DataFrame, id_col: str, vec_col: str, dim: int, num_sub: int, num_codes: int, hash_seed: str = "pq"
 ) -> list[list[list[float]]]:
