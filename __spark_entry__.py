@@ -410,6 +410,19 @@ def q_f12(spark: SparkSession, sf: str) -> DataFrame:
     return group_example_sample(load_table(spark, sf, "documents"), "doc_id", "source", n=3, seed="ex")
 
 
+def q_l1(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (o_custkey, o_totalprice):
+    the multi-dimensional layout key behind OPTIMIZE ZORDER -- contiguous
+    key ranges are small hyper-rectangles in BOTH columns, so one layout
+    serves range scans on either (functions/zorder.py; write_zordered
+    materializes the layout, test_zorder.py proves per-file min/max
+    tightening).  Pure bit arithmetic, map-side."""
+    from youtubeanalyzerproject_big_data__spark.functions.zorder import zorder_key
+
+    o = load_table(spark, sf, "orders")
+    return o.select("o_orderkey", zorder_key(o, ["o_custkey", "o_totalprice"], bits=8).alias("zkey"))
+
+
 def q_u1(spark: SparkSession, sf: str) -> DataFrame:
     """CDC merge over orders: a deterministic update batch (5% row updates,
     2% tombstone deletes, 1% inserts under shifted keys, all md5-keyed) is
@@ -1261,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_rolling_user_value": q_w4,
         "g6_triangle_census": q_g6,
         "u1_cdc_merge": q_u1,
+        "l1_zorder_keys": q_l1,
         "f11_funnel_counts": q_f11,
         "sj_customers_with_orders": q_semi,
         "aj_customers_without_orders": q_anti,
@@ -2154,6 +2168,23 @@ def oracle_sql() -> dict[str, str]:
                          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 3
+        """,
+        # Z-order replay: identical rescale ((x-lo)/(hi-lo))*cells -> floor
+        # -> clamp, then the same Morton bit-interleave; integer bit ops
+        # are engine-exact, the rescale is the same IEEE sequence.
+        "l1_zorder_keys": f"""
+            WITH st AS (
+              SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lox, MAX(CAST(o_custkey AS DOUBLE)) AS hix,
+                     MIN(CAST(o_totalprice AS DOUBLE)) AS loy, MAX(CAST(o_totalprice AS DOUBLE)) AS hiy
+              FROM orders),
+            q AS (
+              SELECT o_orderkey,
+                     LEAST(CAST(FLOOR((CAST(o_custkey AS DOUBLE) - lox) / (hix - lox) * 256.0) AS BIGINT), 255) AS qx,
+                     LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - loy) / (hiy - loy) * 256.0) AS BIGINT), 255) AS qy
+              FROM orders, st)
+            SELECT o_orderkey,
+                   CAST({" + ".join(f"(((q{'xy'[c]} >> {b}) & 1) << {b * 2 + c})" for c in range(2) for b in range(8))} AS BIGINT) AS zkey
+            FROM q
         """,
         # CDC replay: identical md5 membership predicates build the batch;
         # NOT IN + UNION ALL is the oracle's merge. *1.1/*0.5 and ROUND(,6)

@@ -1,0 +1,64 @@
+"""Z-order layout: key construction and the pruning property it buys."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _file_spans(path: str, col: str) -> list[tuple[float, float]]:
+    """(min, max) of `col` per parquet file, from footer statistics."""
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index(col)
+        lo = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+        hi = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+        spans.append((float(lo), float(hi)))
+    return spans
+
+
+def test_interleave_known_bits(spark):
+    from youtubeanalyzerproject_big_data__spark.functions.zorder import interleave_bits
+
+    df = spark.range(1).select(
+        interleave_bits([F.lit(0b101).cast("long"), F.lit(0b011).cast("long")], bits=3).alias("z")
+    )
+    # x bits land at positions 0,2,4; y bits at 1,3,5:
+    # x=101 -> 1<<0 + 0<<2 + 1<<4 = 17; y=011 -> 1<<1 + 1<<3 + 0<<5 = 10
+    assert df.collect()[0]["z"] == 27
+
+
+def test_quantize_clamps_top_edge(spark):
+    from youtubeanalyzerproject_big_data__spark.functions.zorder import quantize
+
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "x double")
+    out = [r["q"] for r in df.select(quantize(F.col("x"), 0.0, 10.0, 2).alias("q")).collect()]
+    assert out == [0, 2, 3]  # max value clamps into the last cell
+
+
+def test_zordered_layout_tightens_file_spans(spark, tmp_path_factory):
+    """After write_zordered on (a, b), the summed per-file min/max span of
+    EACH column must shrink vs a hash-scattered layout -- the footer-level
+    fact that makes scans prune files on either column."""
+    import random
+
+    from youtubeanalyzerproject_big_data__spark.functions.zorder import write_zordered
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(10_000), rng.random() * 1000.0) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, a long, b double")
+    base = tmp_path_factory.mktemp("zorder")
+    scattered = str(base / "scattered")
+    df.repartition(16).write.mode("overwrite").parquet(scattered)
+    ordered = str(base / "zordered")
+    write_zordered(df, ["a", "b"], ordered, n_files=16, bits=8)
+
+    for col in ("a", "b"):
+        span_scattered = sum(hi - lo for lo, hi in _file_spans(scattered, col))
+        span_ordered = sum(hi - lo for lo, hi in _file_spans(ordered, col))
+        assert span_ordered < span_scattered * 0.5, (
+            f"{col}: zorder {span_ordered} not < half of scattered {span_scattered}"
+        )
