@@ -348,6 +348,21 @@ def q_w2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_a16(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth histogram of order totals (10 equal-count buckets at
+    exact percentile cutpoints; operators/aggregates.equidepth_histogram)
+    -- the statistics form a skew-robust optimizer keeps."""
+    return agg.equidepth_histogram(load_table(spark, sf, "orders"), "o_totalprice", n_buckets=10)
+
+
+def q_e8(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 session paths: ordered event-type sequences per 1800s-gap
+    session, counted corpus-wide (streaming/events.session_paths) -- the
+    product-analytics path/flow report."""
+    _utc(spark)
+    return ev.session_paths(load_events(spark, sf), gap_seconds=1800, k=20)
+
+
 def q_a15(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type exact percentile profile of `value` (a3 generalized
     to groups; one hash aggregate)."""
@@ -1251,7 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_approx_quantile_gate": q_a13,
         "a14_heavy_hitters_gate": q_a14,
         "a15_grouped_percentiles": q_a15,
+        "a16_equidepth_histogram": q_a16,
         "e6_cohort_retention": q_e6,
+        "e8_session_paths": q_e8,
         "e7_decayed_engagement": q_e7,
         "p1_pivot_flag_status": q_p1,
         "p2_unpivot_priority_stats": q_p2,
@@ -1949,6 +1966,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a12_approx_distinct_gate": """
             SELECT 1 AS within_5pct, COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem
+        """,
+        # Equi-depth replay: quantile_cont's interpolated cutpoints sit
+        # STRICTLY between neighboring data values (or exactly on one when
+        # g=0), so a last-ulp interpolation difference cannot move any
+        # value across a bucket boundary.
+        "a16_equidepth_histogram": f"""
+            WITH c AS (SELECT quantile_cont(o_totalprice, [{", ".join(str(i / 10) for i in range(1, 10))}]) AS cuts FROM orders)
+            SELECT CAST(list_sum(list_transform(cuts, t -> CASE WHEN o_totalprice > t THEN 1 ELSE 0 END)) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(MIN(o_totalprice), 6) AS lo,
+                   ROUND(MAX(o_totalprice), 6) AS hi
+            FROM orders, c
+            GROUP BY bucket ORDER BY bucket
+        """,
+        # Path replay: identical lag/gap/session-number windows on integer
+        # micros; string_agg with the same (ts, event_id) order.
+        "e8_session_paths": """
+            WITH g AS (
+              SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus,
+                     LAG(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+              FROM events),
+            s AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM g),
+            sn AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sess FROM s),
+            p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+                  FROM sn GROUP BY user_id, sess)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
         """,
         "a15_grouped_percentiles": """
             SELECT event_type, COUNT(value) AS cnt,

@@ -102,6 +102,29 @@ def grouped_percentiles(df: DataFrame, group_col: str, value_col: str, percentil
     )
 
 
+def equidepth_histogram(df: DataFrame, value_col: str, n_buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-count) histogram: bucket boundaries at exact
+    percentile cutpoints, bucket = how many cutpoints the value strictly
+    exceeds.  Two passes: one exact-percentile aggregate collects the
+    n_buckets-1 cutpoints (model-sized), then a map-side bucket expression
+    + one hash aggregate.  The uniform-width histogram (A4) misleads on
+    skewed data; this is the optimizer/statistics form."""
+    cuts_row = df.agg(F.percentile(F.col(value_col), [i / n_buckets for i in range(1, n_buckets)]).alias("c")).collect()
+    cuts = [float(x) for x in cuts_row[0]["c"]]
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(value_col) > F.lit(c), 1).otherwise(0)
+    return (
+        df.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min(value_col), 6).alias("lo"),
+            F.round(F.max(value_col), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def frequency_distribution(df: DataFrame, key: str) -> DataFrame:
     """A5: distribution of per-key frequencies (degree distribution shape):
     group by key -> count, then group by count -> how many keys."""

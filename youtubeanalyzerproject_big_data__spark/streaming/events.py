@@ -318,3 +318,46 @@ def funnel_steps(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def session_paths(events: DataFrame, gap_seconds: int = 1800, k: int = 20) -> DataFrame:
+    """Top-k event-type sequences per session (path analysis): sessions cut
+    at ``gap_seconds`` silence (the e2 rule), each session's ordered event
+    types joined into a '>' path, counted across all sessions.
+
+    Shape: one user-partitioned window pass (lag + running session number),
+    one (user, session) aggregate whose ordered-collect happens inside the
+    group (sort_array over structs -- group-sized, never corpus-sized), one
+    model-small path count, TakeOrdered for the top-k.  Timestamps compare
+    as integer micros with event_id tiebreaks -- fully deterministic.
+    """
+    gap_us = gap_seconds * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    run = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id")).rowsBetween(Window.unboundedPreceding, 0)
+    marked = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull() | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("sess_no", F.sum("new_session").over(run))
+    paths = (
+        marked.groupBy("user_id", "sess_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("e"), F.col("event_type").alias("et")))
+                    ),
+                    lambda s: s["et"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
