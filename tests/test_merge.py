@@ -64,3 +64,25 @@ def test_funnel_requires_strict_order(spark):
     )
     out = {r["step"]: r["n_users"] for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_merge_upsert_empty_updates_is_identity(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    updates = spark.createDataFrame([], "k long, s string, _del boolean")
+    out = sorted(map(tuple, merge_upsert(base, updates, ["k"], delete_col="_del").collect()))
+    assert out == [(1, "a"), (2, "b")]
+
+
+def test_funnel_missing_step_yields_zero_row(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import funnel_steps
+
+    rows = [(1, "2024-01-01 10:00:00", "view")]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 1, "click": 0, "purchase": 0}

@@ -148,3 +148,13 @@ def test_chunking_is_shuffle_free(spark):
     df = entrymod.q_c4(spark, SF)
     df.collect()
     assert operator_counts(df).get("Exchange", 0) == 0
+
+
+def test_zorder_keys_are_map_side(spark):
+    """l1: after the min/max scalar aggregate, key computation must be a
+    pure scan+project -- zero Exchange in the returned plan."""
+    from youtubeanalyzerproject_big_data__spark.plans.inspect import operator_counts
+
+    df = entrymod.q_l1(spark, SF)
+    df.collect()
+    assert operator_counts(df).get("Exchange", 0) == 0
