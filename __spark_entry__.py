@@ -1078,6 +1078,13 @@ def q_r1(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.topk_recall(q_s1(spark, sf), q_s2(spark, sf), k=5)
 
 
+def q_r2(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the retrieve-then-refine route (s6) against exact
+    brute force (s1) -- gate-checked like r1, so the refinement benefit
+    over the raw compressed index is a measured, machine-verified fact."""
+    return similarity.topk_recall(q_s1(spark, sf), q_s6(spark, sf), k=5)
+
+
 def q_c2(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget corpus mixing (functions/sampling.token_budget_sample):
     each source/domain is deterministically thinned to a ~800-token
@@ -1330,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_doc_chunks": q_c4,
         "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
+        "r2_ann_refined_recall": q_r2,
         "t6_tfidf_top_terms": q_t6,
         "mm1_media_features": q_mm1,
         "mm2_frame_samples": q_mm2,
@@ -1432,6 +1440,26 @@ allr AS (
 )
 SELECT id, ROUND(rank, 6) AS pagerank FROM allr ORDER BY pagerank DESC, id LIMIT {k}
 """
+
+
+def _refined_ann_oracle(k_cand: int = 20, k: int = 5) -> str:
+    """DuckDB replay of similarity.refine_topk over ivfpq_topk candidates
+    (the s6 two-phase route): the composed-index replay proposes at
+    ``k_cand``, the exact brute-force cosine fragment decides ``k``."""
+    return f"""
+            WITH cand AS (
+              SELECT query_id, neighbor_id
+              FROM ({_ivfpq_ann_oracle(dim=64, num_cells=16, nprobe=4, num_sub=8, num_codes=16, k=k_cand)})),
+            s AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_cos_sql("q.embedding", "c.embedding")} AS cos
+              FROM cand
+              JOIN embeddings q ON cand.query_id = q.vec_id
+              JOIN embeddings c ON cand.neighbor_id = c.vec_id)
+            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+            WHERE rk <= {k}
+        """
 
 
 def _hyperplane_band_sql(dim: int, num_planes: int, bands: int) -> list[str]:
@@ -2743,19 +2771,17 @@ def oracle_sql() -> dict[str, str]:
         # Retrieve-then-refine: the s5 index replay at k=20 proposes, the
         # exact brute-force cosine fragment decides -- both phases the
         # same IEEE sequences as the engine's kernels.
-        "s6_ann_refined_top5": f"""
-            WITH cand AS (
-              SELECT query_id, neighbor_id
-              FROM ({_ivfpq_ann_oracle(dim=64, num_cells=16, nprobe=4, num_sub=8, num_codes=16, k=20)})),
-            s AS (
-              SELECT cand.query_id, cand.neighbor_id,
-                     {_cos_sql("q.embedding", "c.embedding")} AS cos
-              FROM cand
-              JOIN embeddings q ON cand.query_id = q.vec_id
-              JOIN embeddings c ON cand.neighbor_id = c.vec_id)
-            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
-            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
-            WHERE rk <= 5
+        "s6_ann_refined_top5": _refined_ann_oracle(),
+        # Refined-route recall: join of the s1 and s6 replays -- the
+        # measured refinement benefit is itself gate-checked (r1 pattern).
+        "r2_ann_refined_recall": f"""
+            WITH exact AS (SELECT query_id, neighbor_id FROM ({_bruteforce_ann_oracle(k=5)})),
+            approx AS (SELECT query_id, neighbor_id FROM ({_refined_ann_oracle()}))
+            SELECT e.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+                   ROUND(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_5
+            FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+            GROUP BY e.query_id
         """,
         "km1_kmeans_centroids": _kmeans_oracle(dim=64, k=8, iters=2),
         "m2_als_contract": """
