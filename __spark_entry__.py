@@ -1125,6 +1125,25 @@ def q_c5(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, bucket_span=100)
 
 
+def q_c6(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted soft curation: each document survives with
+    probability (1 - dup_token_ratio) -- repetitive docs rarely, clean
+    docs almost always -- via the DETERMINISTIC weighted hash sample
+    (functions/sampling.weighted_hash_sample), so the kept set is
+    engine-replayable, unlike rand()-based importance sampling.
+    Per-source kept counts + token mass."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf, "documents")
+    quality = text.quality_scores(docs, "doc_id", "text").select("doc_id", "dup_token_ratio", "n_tokens")
+    d = docs.select("doc_id", "source").join(quality, "doc_id")
+    kept = weighted_hash_sample(d, "doc_id", F.lit(1.0) - F.col("dup_token_ratio"), seed="qw")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+    )
+
+
 def q_c3(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: documents with doc_id % 97 == 0 stand in
     for a held-out eval suite; every OTHER document is scored for 5-gram
@@ -1334,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_pii_signals": q_t9,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
+        "c6_quality_weighted_sample": q_c6,
         "c4_doc_chunks": q_c4,
         "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
@@ -2617,6 +2637,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_offset // 512 AS BIGINT) AS bin_id,
                    CAST(start_offset % 512 AS BIGINT) AS pos_in_bin
             FROM c
+        """,
+        # Weighted-sample replay: dup_token_ratio exactly as t2 (raw-text
+        # tokens, ROUND 6), keep iff md5 ppm < floor(clamp(1-ratio)*1e6) --
+        # identical doubles -> identical floors, no knife edges.
+        "c6_quality_weighted_sample": rf"""
+            WITH t AS (
+              SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+              FROM documents),
+            q AS (
+              SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     ROUND((len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1), 6) AS dup_ratio
+              FROM t),
+            kept AS (
+              SELECT * FROM q
+              WHERE ({md5_int32_sql("CAST(doc_id AS VARCHAR)", "qw")}) % 1000000
+                    < CAST(floor(least(greatest(1.0 - dup_ratio, 0.0), 1.0) * 1000000) AS BIGINT))
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+            FROM kept GROUP BY source
         """,
         # Decontamination replay: distinct per-doc 5-grams on raw trimmed
         # text (the engine's _shingles spec); the engine joins on xxhash64 of

@@ -137,6 +137,25 @@ def pack_sequences(
     )
 
 
+def weighted_hash_sample(df: DataFrame, key_col: str, prob_col: Column, seed: int | str = 0) -> DataFrame:
+    """Per-row probabilistic keep with row-specific probability
+    ``prob_col`` (e.g. a quality score in [0, 1]) -- soft curation: good
+    documents survive with high probability, bad ones rarely, and the
+    decision is a PURE FUNCTION of (key, seed, probability), so the kept
+    set is reproducible across runs, engines, and partitionings (unlike
+    rand()-based importance sampling, which no oracle can replay).
+
+    Probabilities are floor-quantized to ppm (the token_budget_sample
+    recipe) and compared against the md5 hash lane: keep iff
+    ``md5(key) % 1e6 < floor(clamp(p, 0, 1) * 1e6)``.  Map-side only.
+    """
+    denominator = 1_000_000
+    p = F.least(F.greatest(prob_col, F.lit(0.0)), F.lit(1.0))
+    ppm = F.floor(p * denominator).cast("long")
+    h = F.pmod(md5_int32(F.col(key_col).cast("string"), seed=seed), F.lit(denominator))
+    return df.where(h < ppm)
+
+
 def group_example_sample(df: DataFrame, key_col: str, stratum_col: str, n: int, seed: int | str = 0) -> DataFrame:
     """Deterministic per-stratum examples: the ``n`` rows with the smallest
     (md5-hash, key) per stratum -- the stable "show me N examples from
