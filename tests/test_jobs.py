@@ -70,3 +70,24 @@ def test_run_netagg_writes_artifacts(spark, videos, tmp_path):
     jobs.run_netagg(videos, out)
     for name in ("categorystats", "sizestats", "viewstats", "degreestat"):
         assert spark.read.json(f"{out}/{name}").count() > 0
+
+
+def test_curation_job_end_to_end_deterministic(spark, tmp_path):
+    """The composed curation pipeline writes both artifacts, produces a
+    sane summary, and is rerun-identical (every selection step is hash- or
+    rule-based)."""
+    from youtubeanalyzerproject_big_data__spark.jobs import curation_job
+
+    sf = "/root/testdata/sf0.001"
+    out1, out2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    s1 = curation_job(spark, sf, out1)
+    s2 = curation_job(spark, sf, out2)
+    assert s1 == s2
+    assert s1["n_selected"] > 0 and s1["n_chunks"] >= s1["n_selected"] and s1["n_bins"] > 0
+    sel1 = sorted(map(tuple, spark.read.parquet(f"{out1}/selected").collect()))
+    sel2 = sorted(map(tuple, spark.read.parquet(f"{out2}/selected").collect()))
+    assert sel1 == sel2
+    cols = set(spark.read.parquet(f"{out1}/selected").columns)
+    assert {"doc_id", "source", "n_tokens", "start_offset", "bin_id", "pos_in_bin"} <= cols
+    # decontamination: no eval-set ids survive
+    assert all(r[0] % 97 != 0 for r in sel1)

@@ -132,3 +132,62 @@ def run_netagg(videos: DataFrame, out_dir: str) -> None:
     write_json_artifact(size_stats_job(videos), os.path.join(out_dir, "sizestats"))
     write_json_artifact(view_histogram_job(videos), os.path.join(out_dir, "viewstats"))
     write_json_artifact(degree_stats_job(videos), os.path.join(out_dir, "degreestat"))
+
+
+def curation_job(spark, sf_dir: str, out_dir: str, seq_len: int = 512, budget_per_source: int = 800) -> dict:
+    """End-to-end training-data curation pipeline (the extension-side
+    analog of the reference's Phase-1 jobs): documents in, packed training
+    chunks out, every stage one of the engine's oracle-checked operators.
+
+        quality/lang gate -> near-dup representative selection (c1 rule)
+        -> eval-set decontamination (c3 rule) -> per-source token budget
+        (c2 rule) -> 64/48 chunking (c4) -> sequence packing (c5)
+
+    Writes two parquet artifacts under ``out_dir`` (selected/: the kept
+    document ids with their packing assignment; chunks/: the chunk table)
+    and returns a small summary dict.  Deterministic end to end -- every
+    selection step is hash- or rule-based, so reruns produce identical
+    artifacts (golden-tested).
+    """
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import pack_sequences, token_budget_sample
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import token_count
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators import dedup, textanalysis as text
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text.quality_scores(docs, "doc_id", "text").select("doc_id", "n_tokens", "dup_token_ratio")
+    lang = text.language_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = graph.connected_components_star(pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
+    reps = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    contam = dedup.decontaminate(corpus, eval_docs, "doc_id", "text", n=5)
+    clean_ids = (
+        quality.join(lang, "doc_id")
+        .join(reps, "doc_id", "left_semi")
+        .join(contam.where(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi")
+        .where((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10) & (F.col("dup_token_ratio") <= 0.6))
+        .select("doc_id")
+    )
+    kept = docs.join(clean_ids, "doc_id", "left_semi").select(
+        "doc_id", "source", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    mixed = token_budget_sample(kept, "doc_id", "source", "n_tokens", budget_per_stratum=budget_per_source, seed="mix")
+    packed = pack_sequences(mixed, "doc_id", "n_tokens", seq_len=seq_len, bucket_span=100)
+    chunks = text.chunk_documents(mixed, "doc_id", "text", chunk_tokens=64, stride=48)
+    selected = mixed.select("doc_id", "source", "n_tokens").join(packed.drop("n_tokens"), "doc_id")
+    selected.write.mode("overwrite").parquet(os.path.join(out_dir, "selected"))
+    chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
+    n_sel = selected.count()
+    return {
+        "n_selected": n_sel,
+        "n_chunks": chunks.count(),
+        "n_tokens": (mixed.agg(F.sum("n_tokens")).collect()[0][0] or 0),
+        "n_bins": (packed.agg(F.countDistinct("bin_id")).collect()[0][0] or 0) if n_sel else 0,
+    }
