@@ -2135,7 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         "se2_stream_sessionize": """
             WITH g AS (
               SELECT user_id, ts, event_id,
-                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_ts
               FROM events),
             s AS (
               SELECT user_id,
@@ -2354,10 +2354,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(ec.a) AS BIGINT) AS n_triangles
             FROM wedges w LEFT JOIN e ec ON w.a = ec.a AND w.b = ec.b
         """,
+        # Frame ordered by integer epoch-micros (not raw nanos): the engine
+        # frames at microsecond resolution, so the oracle must collapse
+        # sub-microsecond distinctions before the event_id tiebreak (same
+        # hardening as w4).
         "w2_user_running_value": """
             SELECT event_id, user_id,
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
+                       PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value
             FROM events
         """,
@@ -2407,7 +2411,7 @@ def oracle_sql() -> dict[str, str]:
         "e2_sessionize": """
             WITH g AS (
               SELECT user_id, ts, event_id,
-                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_ts
               FROM events),
             s AS (
               SELECT user_id,
