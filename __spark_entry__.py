@@ -1006,6 +1006,19 @@ def q_se4(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("text_key", "keep_id").orderBy("text_key")
 
 
+def q_se5(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator, gate-checked:
+    stream_user_totals (applyInPandasWithState) driven to a parquet sink in
+    update mode; each user's FINAL state row (max n_events -- the counter
+    is monotone across micro-batches) must equal the batch per-user event
+    count.  Gates the integer half of the state exactly; the float
+    accumulator half is covered by the pytest batch-equivalence test."""
+    _utc(spark)
+    e = load_events(spark, sf).select("user_id", "ts", "value")
+    out = _drive_stream(spark, e, lambda src: ev.stream_user_totals(spark, src), "update", "se5_")
+    return out.groupBy("user_id").agg(F.max("n_events").cast("long").alias("n_events"))
+
+
 def q_em1(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids, position-wise
     (operators/similarity.label_centroids): decimal-exact partial sums make
@@ -1303,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se2_stream_sessionize": q_se2,
         "se3_stream_interval_join": q_se3,
         "se4_stream_dedup_first_seen": q_se4,
+        "se5_stream_user_totals": q_se5,
         "em1_label_centroids": q_em1,
         "em2_normalization_stats": q_em2,
         "km1_kmeans_centroids": q_km1,
@@ -2146,6 +2160,10 @@ def oracle_sql() -> dict[str, str]:
               FROM g)
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "se5_stream_user_totals": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
         """,
         "se3_stream_interval_join": """
             SELECT e.event_id AS err_id, e.user_id AS err_user, c.event_id AS clk_id,
