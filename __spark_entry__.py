@@ -18,6 +18,7 @@ youtubeanalyzerproject_big_data__spark/functions/precision.py):
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -392,7 +393,13 @@ def q_e7(spark: SparkSession, sf: str) -> DataFrame:
     scoring a freshness-aware pipeline uses.  No sequential dependence:
     each event's decayed term is a map-side expression, INTEGER-quantized
     (floor * 1e6) before the per-user sum so the reduction is exact in any
-    order/engine; the reference time is one scalar aggregate."""
+    order/engine; the reference time is one scalar aggregate.
+
+    Residual risk (documented, accepted): exp() comes from JVM Math.exp on
+    one side and DuckDB's libm on the other, neither correctly rounded; a
+    term within an ulp of an integer micro boundary can floor differently
+    (~1e-10/row, grows with SF).  Green at every tested SF; if it ever
+    trips, gate engagement_micro with +/-1 micro tolerance."""
     _utc(spark)
     e = load_events(spark, sf)
     t_ref = e.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
@@ -478,7 +485,11 @@ def q_u1(spark: SparkSession, sf: str) -> DataFrame:
 def q_f11(spark: SparkSession, sf: str) -> DataFrame:
     """Conversion funnel view -> click -> purchase: per-step user counts
     with strict in-order timestamps (streaming/events.funnel_steps; one
-    filtered hash aggregate per step, no per-user event collects)."""
+    filtered hash aggregate per step, no per-user event collects).  UTC
+    pinned like every event-time query: load_events casts NTZ->TIMESTAMP
+    with the session zone, and a non-UTC zone with a DST fold makes
+    wall-clock ordering non-monotonic vs the oracle's epoch-nanos order."""
+    _utc(spark)
     return ev.funnel_steps(load_events(spark, sf), ["view", "click", "purchase"])
 
 
@@ -682,7 +693,7 @@ def q_s3(spark: SparkSession, sf: str) -> DataFrame:
     the corpus per query.  Catalyst variant with a deterministic md5-seeded
     centroid model so the FULL index pipeline (seeding, normalization, cell
     assignment, probing, re-rank) is replayed by the DuckDB oracle
-    (_ivf_ann_oracle); the Arrow GEMM variant (similarity.ivf_topk) is the
+    (_ivf_ann_oracle); the Arrow GEMM variant (similarity._ivf_topk_gemm) is the
     throughput path, recall-tested vs q_s1 in tests."""
     emb = load_table(spark, sf, "embeddings")
     out = similarity.ivf_topk_catalyst(
@@ -922,7 +933,15 @@ def q_e5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _drive_stream(spark: SparkSession, source_df: DataFrame, build, output_mode: str, prefix: str) -> DataFrame:
+def _drive_stream(
+    spark: SparkSession,
+    source_df: DataFrame,
+    build,
+    output_mode: str,
+    prefix: str,
+    n_files: int = 1,
+    order_col: str | None = None,
+) -> DataFrame:
     """Run a streaming operator END-TO-END for the gate: materialize a
     stream-readable source (micro-ts parquet -- the events table's
     TIMESTAMP(NANOS) can't feed readStream directly), build the stream over
@@ -933,25 +952,56 @@ def _drive_stream(spark: SparkSession, source_df: DataFrame, build, output_mode:
     DuckDB-diffs, so streaming/batch equivalence is machine-checked by the
     gate instead of only by pytest.  Fresh temp dirs per call keep repeated
     runs in one session independent (new source, sink, checkpoint).
+
+    With ``n_files > 1`` the source is range-partitioned on ``order_col``
+    into that many parquet files with ascending mtimes; the builder is
+    expected to cap the file source at 1 file/trigger, so the drain runs
+    ``n_files`` micro-batches ARRIVING IN order_col ORDER (the file source
+    picks oldest mtime first) and stateful operators genuinely carry state
+    across batch boundaries.  The ordering is what keeps order-sensitive
+    gates exact: doc_id-ascending files make first-seen dedup's winner the
+    global min id; ts-ascending files keep every row ahead of the
+    watermark, so nothing is late-dropped.  The batch count is asserted
+    > 1 -- a single-batch drain would silently verify nothing about
+    cross-batch state.
     """
+    import glob
     import tempfile
 
     base = tempfile.mkdtemp(prefix=prefix)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    source_df.write.parquet(src)
-    ev.run_stream_to_parquet(build(src), sink, ckpt, output_mode)
+    if n_files > 1:
+        assert order_col is not None
+        source_df.repartitionByRange(n_files, F.col(order_col)).write.parquet(src)
+        parts = sorted(glob.glob(os.path.join(src, "part-*")))
+        t0 = int(time.time()) - 3600
+        for i, p in enumerate(parts):
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+    else:
+        source_df.write.parquet(src)
+    n_batches = ev.run_stream_to_parquet(build(src), sink, ckpt, output_mode)
+    if n_files > 1 and n_batches < 2:
+        raise RuntimeError(f"expected a multi-batch drain, got {n_batches} batch(es) (src={src})")
+    print(f"[stream {prefix.rstrip('_')}] {n_batches} micro-batches")
     return spark.read.parquet(sink)
 
 
 def q_se1(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming tumbling-hour stats, gate-checked: stream_hourly_event_stats
     driven to a parquet sink in complete mode (final overwrite = full
-    aggregate; watermarks drop nothing in complete mode, and the finite
-    source arrives in one availableNow batch).  Oracle = the batch twin's
-    SQL -- window(ts,'1 hour').start equals date_trunc('hour', ts)."""
+    aggregate; complete mode never evicts state, and the source arrives as
+    3 ts-ascending micro-batches via maxFilesPerTrigger=1, so window state
+    genuinely accumulates across batch boundaries).  Oracle = the batch
+    twin's SQL -- window(ts,'1 hour').start equals date_trunc('hour', ts)."""
     _utc(spark)
     out = _drive_stream(
-        spark, load_events(spark, sf), lambda src: ev.stream_hourly_event_stats(spark, src), "complete", "se1_"
+        spark,
+        load_events(spark, sf),
+        lambda src: ev.stream_hourly_event_stats(spark, src, max_files_per_trigger=1),
+        "complete",
+        "se1_",
+        n_files=3,
+        order_col="ts",
     )
     return out.select("hour", "event_type", "num_events", "sum_value").orderBy("hour", "event_type")
 
@@ -968,7 +1018,13 @@ def q_se2(spark: SparkSession, sf: str) -> DataFrame:
     timestamps)."""
     _utc(spark)
     out = _drive_stream(
-        spark, load_events(spark, sf), lambda src: ev.stream_sessionize(spark, src, 1800), "complete", "se2_"
+        spark,
+        load_events(spark, sf),
+        lambda src: ev.stream_sessionize(spark, src, 1800, max_files_per_trigger=1),
+        "complete",
+        "se2_",
+        n_files=3,
+        order_col="ts",
     )
     return (
         out.groupBy("user_id")
@@ -982,13 +1038,24 @@ def q_se2(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_se3(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming stream-stream interval join, gate-checked: error->click
-    pairs within 5 minutes (stream_interval_join) appended to parquet;
-    inner joins emit eagerly per micro-batch, and the single availableNow
-    batch sees both full sides, so the sink equals the batch interval
-    join.  clk_ts is projected to unix micros for a type-stable compare."""
+    pairs within 5 minutes (stream_interval_join) appended to parquet
+    across 3 ts-ascending micro-batches (maxFilesPerTrigger=1).  Inner
+    joins emit eagerly per batch; ts-ordered arrival keeps every row ahead
+    of the 10-minute watermark (nothing late-dropped), and an error near a
+    file boundary is still in join state when its click arrives next batch
+    (eviction needs the watermark to pass err_ts+300s, which ts-ordering
+    forbids before the matching click shows up) -- so the multi-batch sink
+    still equals the batch interval join exactly.  clk_ts is projected to
+    unix micros for a type-stable compare."""
     _utc(spark)
     out = _drive_stream(
-        spark, load_events(spark, sf), lambda src: ev.stream_interval_join(spark, src, 300), "append", "se3_"
+        spark,
+        load_events(spark, sf),
+        lambda src: ev.stream_interval_join(spark, src, 300, max_files_per_trigger=1),
+        "append",
+        "se3_",
+        n_files=3,
+        order_col="ts",
     )
     return out.select(
         "err_id", "err_user", "clk_id", F.unix_micros("clk_ts").alias("clk_us")
@@ -998,24 +1065,45 @@ def q_se3(spark: SparkSession, sf: str) -> DataFrame:
 def q_se4(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming first-seen dedup, gate-checked: stream_exact_dedup's
     append-mode emissions (one row per distinct normalized-text digest,
-    smallest doc_id wins) sunk to parquet; with the whole table in one
-    availableNow batch the winner is the global MIN(doc_id) per digest,
-    which is exactly the d1-style oracle."""
+    smallest doc_id wins) sunk to parquet across 3 micro-batches
+    (maxFilesPerTrigger=1), so the seen-digest state genuinely suppresses
+    re-arrivals in LATER batches.  The source files are doc_id-range
+    partitioned ascending and processed oldest-mtime-first, so the first
+    batch containing a digest also holds its global minimum doc_id --
+    first-seen's winner stays exactly the d1-style MIN(doc_id) oracle."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    out = _drive_stream(spark, docs, lambda src: ev.stream_exact_dedup(spark, src), "append", "se4_")
+    out = _drive_stream(
+        spark,
+        docs,
+        lambda src: ev.stream_exact_dedup(spark, src, max_files_per_trigger=1),
+        "append",
+        "se4_",
+        n_files=3,
+        order_col="doc_id",
+    )
     return out.select("text_key", "keep_id").orderBy("text_key")
 
 
 def q_se5(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator, gate-checked:
-    stream_user_totals (applyInPandasWithState) driven to a parquet sink in
-    update mode; each user's FINAL state row (max n_events -- the counter
-    is monotone across micro-batches) must equal the batch per-user event
-    count.  Gates the integer half of the state exactly; the float
+    stream_user_totals (applyInPandasWithState) driven to a parquet sink
+    in update mode across 3 micro-batches (maxFilesPerTrigger=1), so the
+    per-user accumulator provably SURVIVES batch boundaries: each user's
+    FINAL state row (max n_events -- the counter is monotone across
+    micro-batches) must equal the batch per-user event count, and a
+    boundary-dropped state would undercount.  Gates the integer half of the state exactly; the float
     accumulator half is covered by the pytest batch-equivalence test."""
     _utc(spark)
     e = load_events(spark, sf).select("user_id", "ts", "value")
-    out = _drive_stream(spark, e, lambda src: ev.stream_user_totals(spark, src), "update", "se5_")
+    out = _drive_stream(
+        spark,
+        e,
+        lambda src: ev.stream_user_totals(spark, src, max_files_per_trigger=1),
+        "update",
+        "se5_",
+        n_files=3,
+        order_col="ts",
+    )
     return out.groupBy("user_id").agg(F.max("n_events").cast("long").alias("n_events"))
 
 
@@ -1071,7 +1159,14 @@ def q_t8(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style unigram-LM quality score: per-doc mean log-probability
     under a unigram model fit on the corpus itself, with integer-quantized
     per-token contributions so the sum is partition- and engine-invariant
-    (operators/textanalysis.unigram_logprob)."""
+    (operators/textanalysis.unigram_logprob).
+
+    Residual risk (documented, accepted): the quantization floors ln()
+    computed independently by JVM Math.log and DuckDB's libm, neither
+    correctly rounded; a term within an ulp of an integer micro boundary
+    can floor differently across engines (~1e-10/row, grows with SF).
+    Green at every tested SF; if it ever trips, gate with +/-1 micro
+    tolerance instead of exact hash equality."""
     return text.unigram_logprob(load_table(spark, sf, "documents"), "doc_id", "text")
 
 

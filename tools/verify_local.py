@@ -4,11 +4,18 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same sf dir, then compares row count, column names, and an
 order-insensitive value comparison (exact match after canonicalization).
 
-Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+Usage: python tools/verify_local.py [--json out.json] [sf_dir] [query_name ...]
+
+With ``--json out.json``, also writes a driver-format per-query record
+({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) so a full-contract correctness artifact can be committed each round
+(the driver itself samples only ~50 of the contract queries per round).
+Rows-only queries (no oracle) record null for the oracle-side fields.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -43,8 +50,14 @@ def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
     spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
@@ -63,9 +76,15 @@ def main() -> None:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            records[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                             "spark_rows": None, "oracle_rows": None,
+                             "err": f"spark: {type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         if name not in oracles:
+            records[name] = {"rows_match": len(srows) > 0, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None}
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"WARN {name}: zero rows")
@@ -76,23 +95,37 @@ def main() -> None:
             orows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            records[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                             "spark_rows": len(srows), "oracle_rows": None,
+                             "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
+        schema_ok = sorted(scols) == sorted(ocols)
+        rows_ok = len(srows) == len(orows)
+        values_ok = False
+        if not schema_ok:
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
+        if not rows_ok:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
             sc, oc = canon(srows, scols), canon(orows, ocols)
-            if sc != oc:
+            values_ok = sc == oc
+            if not values_ok:
                 diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        records[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                         "hash_match": values_ok, "spark_rows": len(srows),
+                         "oracle_rows": len(orows), "err": None}
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(p[:400] for p in problems))
         else:
             print(f"ok   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(records)} queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
 
 

@@ -89,16 +89,31 @@ def global_stats(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
-def grouped_percentiles(df: DataFrame, group_col: str, value_col: str, percentiles=(0.25, 0.5, 0.75, 0.9)) -> DataFrame:
-    """Per-group exact percentiles (A3 generalized): one hash aggregate;
-    Spark's exact ``percentile`` buffers each group's values on the
-    reducer, so this is for grouping keys with bounded group size -- at
-    100 TB with huge groups, swap in percentile_approx (a13 gates its
-    error) and keep the same shape."""
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles=(0.25, 0.5, 0.75, 0.9),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group percentiles (A3 generalized): one hash aggregate.
+
+    ``approx=False`` (default): Spark's exact ``percentile`` buffers each
+    group's values on the reducer -- fine for bounded group sizes, a
+    memory bomb for billion-row groups.  ``approx=True`` is the 100 TB
+    path: ``percentile_approx`` (GK sketch) holds O(accuracy) state per
+    group regardless of group size, with rank error <= 1/accuracy.  Same
+    output shape either way; the a16 gate query machine-checks the approx
+    variant's rank-window guarantee against the exact form."""
     c = F.col(value_col)
+    if approx:
+        pctl = lambda p: F.percentile_approx(c, p, F.lit(accuracy))  # noqa: E731
+    else:
+        pctl = lambda p: F.percentile(c, p)  # noqa: E731
     return df.groupBy(group_col).agg(
         F.count(c).alias("cnt"),
-        *[F.round(F.percentile(c, p), 4).alias(f"p{int(p * 100)}") for p in percentiles],
+        *[F.round(pctl(p), 4).alias(f"p{int(p * 100)}") for p in percentiles],
     )
 
 

@@ -37,6 +37,12 @@ def merge_upsert(
     flag).  ``hint_small_updates`` broadcast-hints the key anti-join (the
     normal CDC shape); pass False for rare base-sized batches and let AQE
     choose.
+
+    PRECONDITION: ``updates`` must be unique per key.  Standard MERGE
+    raises when multiple source rows match one target key; this rewrite
+    instead passes every such row through the union, silently emitting
+    duplicates.  Compact the CDC batch to last-write-wins per key (e.g. a
+    row_number over an ordering column) before calling.
     """
     value_cols = [c for c in base.columns if c not in key_cols]
     if delete_col is not None:

@@ -12,7 +12,7 @@ Three paths:
     buckets (multi-probe over b-bit bands), then exact cosine re-ranks.
     Bucketing turns all-pairs into per-bucket joins; recall is tunable via
     bands/rows.
-  * ivf_topk -- inverted-file index: corpus partitioned into cells around
+  * ivf_topk_catalyst -- inverted-file index: corpus partitioned into cells around
     centroids; queries probe only the ``nprobe`` nearest cells.  The
     centroid table is a tiny model (num_cells x dim), trained once and
     broadcast in UDF closures; scan cost per query drops by
@@ -294,7 +294,7 @@ def ivf_topk_catalyst(
     nprobe: int = 4,
 ) -> DataFrame:
     """IVF ANN with ENGINE-PORTABLE arithmetic -- the oracle-checkable twin
-    of :func:`ivf_topk`.
+    of :func:`_ivf_topk_gemm`.
 
     Same inverted-file shape (assign corpus rows to nearest centroid cell,
     probe nprobe cells per query, exact re-rank inside them), but the model
@@ -305,8 +305,9 @@ def ivf_topk_catalyst(
     exact-sequential batches (vectorized over rows, sequential over dims --
     see functions._arrow_udfs): pure-Catalyst forms lose either way (HOF
     folds run interpreted; unrolled chains blow Janino's 64 KB limit).
-    :func:`ivf_topk` remains the free-arithmetic variant (numpy GEMM
-    argmax); both scale identically (probe cost ~ nprobe/num_cells).
+    This is the ONE public IVF entry point; the free-arithmetic numpy-GEMM
+    twin is internal (:func:`_ivf_topk_gemm`) and scales identically
+    (probe cost ~ nprobe/num_cells).
     """
     from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import (
         make_cell_probe,
@@ -329,7 +330,7 @@ def ivf_topk_catalyst(
     return _topk_per_query(scored, k)
 
 
-def ivf_topk(
+def _ivf_topk_gemm(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str,
@@ -338,7 +339,14 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
 ) -> DataFrame:
-    """ANN top-k via an IVF (inverted-file) index.
+    """INTERNAL free-arithmetic IVF variant (numpy GEMM argmax).
+
+    ivf_topk_catalyst is the one public IVF entry point (the wired s3/s5
+    route); this twin trades engine-portable arithmetic for BLAS argmax
+    throughput and exists for tests/experiments.  Same index shape, same
+    output schema, same scaling.
+
+    ANN top-k via an IVF (inverted-file) index.
 
     Corpus rows are assigned to their nearest centroid cell (one
     Arrow-batched argmax GEMM per batch); each query probes its ``nprobe``

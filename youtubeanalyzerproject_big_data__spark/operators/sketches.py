@@ -44,18 +44,31 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 64) -> DataFram
     arrivals, so total decrement <= N_p/k).
     """
 
+    # NULL keys must count too: the gate's exact groupBy keeps the NULL
+    # group, so the sketch dropping NaN (value_counts default) would make a
+    # heavy NULL key fail completeness spuriously.  NaN is unusable as a
+    # dict key (NaN != NaN), so nulls ride a private sentinel and turn back
+    # into None on output.
+    _NULL = "\x00__mg_null__"
+
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            vc = pdf["_k"].value_counts()
+            vc = pdf["_k"].value_counts(dropna=False)
             for key, c in vc.items():
+                key = _NULL if pd.isna(key) else key
                 counters[key] = counters.get(key, 0) + int(c)
             if len(counters) > k:
                 s = pd.Series(counters)
                 cut = int(s.nlargest(k + 1).iloc[-1])
                 s = s - cut
                 counters = {key: int(c) for key, c in s.items() if c > 0}
-        yield pd.DataFrame({"_k": list(counters.keys()), "est": [int(v) for v in counters.values()]})
+        yield pd.DataFrame(
+            {
+                "_k": [None if key == _NULL else key for key in counters],
+                "est": [int(v) for v in counters.values()],
+            }
+        )
 
     keyed = df.select(F.col(key_col).cast("string").alias("_k"))
     summaries = keyed.mapInPandas(summarize, "_k string, est long")
@@ -81,8 +94,17 @@ def heavy_hitters_gate(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
         heavy.agg(
             F.count(F.lit(1)).cast("long").alias("n_heavy"),
             F.count("est").cast("long").alias("n_heavy_found"),
-            F.min((F.col("est").isNotNull()) & (F.col("est") <= F.col("exact"))).cast("int").alias("no_overestimate"),
-            F.min(F.col("exact") - F.coalesce("est", F.lit(0)) <= threshold).cast("int").alias("underestimate_ok"),
+            # min() over an EMPTY heavy set returns NULL; the contract output
+            # must be NULL-free (repo invariant) and an empty heavy set is
+            # vacuously green, so coalesce to 1.
+            F.coalesce(
+                F.min((F.col("est").isNotNull()) & (F.col("est") <= F.col("exact"))).cast("int"),
+                F.lit(1),
+            ).alias("no_overestimate"),
+            F.coalesce(
+                F.min(F.col("exact") - F.coalesce("est", F.lit(0)) <= threshold).cast("int"),
+                F.lit(1),
+            ).alias("underestimate_ok"),
         )
         .select(
             "n_heavy",

@@ -39,5 +39,9 @@ def get_spark(app_name: str = "youtubeanalyzer-spark", master: str | None = None
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-framed [Stage ...] lines to stdout;
+        # harness channels that tail-capture stdout (bench.py's one-line JSON
+        # contract) get their buffer eaten by them, so keep stdout clean.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -15,13 +15,32 @@ from pyspark.sql import functions as F
 from youtubeanalyzerproject_big_data__spark.functions.precision import dec_avg, dec_sum
 
 
+def _read_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source readStream with an optional per-trigger file cap.
+
+    ``maxFilesPerTrigger`` is the lever that turns a finite availableNow
+    drain into a genuine MULTI-micro-batch run: with N source files and a
+    cap of 1, state crosses N-1 batch boundaries instead of zero.  The
+    file source picks oldest-modification-time first (latestFirst defaults
+    false), so a caller that writes range-partitioned files with ascending
+    mtimes controls arrival order -- what the gate queries rely on for
+    order-sensitive operators (first-seen dedup, watermarked joins).
+    """
+    reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     sink_dir: str,
     checkpoint_dir: str,
     output_mode: str = "append",
     timeout_sec: int = 300,
-) -> None:
+) -> int:
     """Drive a streaming DataFrame to a parquet table via ``foreachBatch``
     and block until the (finite) source is drained (availableNow trigger).
 
@@ -37,10 +56,16 @@ def run_stream_to_parquet(
     into a GATE-checked equivalence: the driver queries (se1-se4) sink a
     stream over the sf events/documents tables with this helper, read the
     sunk table back, and DuckDB-diff it against the batch twin's oracle.
+
+    Returns the number of micro-batches processed, so callers can assert a
+    multi-batch run actually crossed batch boundaries (the gate queries
+    pair this with ``maxFilesPerTrigger`` on the source).
     """
     write_mode = "overwrite" if output_mode == "complete" else "append"
+    batch_ids: list[int] = []
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
         batch_df.write.mode(write_mode).parquet(sink_dir)
 
     q = (
@@ -53,6 +78,7 @@ def run_stream_to_parquet(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise RuntimeError(f"stream did not drain within {timeout_sec}s (sink={sink_dir})")
+    return len(batch_ids)
 
 
 def hourly_event_stats(events: DataFrame) -> DataFrame:
@@ -73,14 +99,19 @@ def hourly_event_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_hourly_event_stats(spark: SparkSession, source_dir: str, watermark: str = "2 hours") -> DataFrame:
+def stream_hourly_event_stats(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming twin of hourly_event_stats over a parquet file source.
 
     Watermark bounds state: late events beyond ``watermark`` are dropped and
     closed windows are evicted from the state store -- this is what keeps
     unbounded streams bounded-memory at scale.
     """
-    stream = spark.readStream.schema(spark.read.parquet(source_dir).schema).parquet(source_dir)
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -133,7 +164,9 @@ def user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
+def stream_user_totals(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
     per-user running (n_events, sum_value) accumulator that survives across
     micro-batches.
@@ -149,7 +182,7 @@ def stream_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = spark.readStream.schema(spark.read.parquet(source_dir).schema).parquet(source_dir)
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
 
     def update(key, pdfs, state):
         n, total = state.get if state.exists else (0, 0.0)
@@ -169,7 +202,11 @@ def stream_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
 
 
 def stream_exact_dedup(
-    spark: SparkSession, source_dir: str, id_col: str = "doc_id", text_col: str = "text"
+    spark: SparkSession,
+    source_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming ingestion dedup: emit each document's key the FIRST time
     its normalized-text digest is seen; every later arrival (same batch or
@@ -190,7 +227,7 @@ def stream_exact_dedup(
 
     from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize
 
-    stream = spark.readStream.schema(spark.read.parquet(source_dir).schema).parquet(source_dir)
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
     keyed = stream.select(
         F.md5(normalize(F.col(text_col))).alias("text_key"), F.col(id_col).alias("doc_id")
     )
@@ -214,11 +251,16 @@ def stream_exact_dedup(
     )
 
 
-def stream_sessionize(spark: SparkSession, source_dir: str, gap_seconds: int = 1800) -> DataFrame:
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Stateful streaming sessionization via session_window (native state
     operator; applyInPandasWithState would be the route for custom state
     transitions beyond gap-close semantics)."""
-    stream = spark.readStream.schema(spark.read.parquet(source_dir).schema).parquet(source_dir)
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
     return (
         stream.withWatermark("ts", "2 hours")
         .groupBy("user_id", F.session_window("ts", f"{gap_seconds} seconds").alias("sess"))
@@ -227,7 +269,12 @@ def stream_sessionize(spark: SparkSession, source_dir: str, gap_seconds: int = 1
     )
 
 
-def stream_interval_join(spark: SparkSession, source_dir: str, window_seconds: int = 300) -> DataFrame:
+def stream_interval_join(
+    spark: SparkSession,
+    source_dir: str,
+    window_seconds: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Stream-stream interval join: error events paired with the same
     user's click events in the following ``window_seconds`` -- the
     streaming twin of joins.interval_join_binned (driver query e5).
@@ -242,8 +289,7 @@ def stream_interval_join(spark: SparkSession, source_dir: str, window_seconds: i
     Inner join => rows emit eagerly per micro-batch (only outer joins hold
     results back for watermark closure).
     """
-    schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
     errors = (
         stream.where(F.col("event_type") == "error")
         .select(
