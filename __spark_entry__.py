@@ -40,6 +40,7 @@ from youtubeanalyzerproject_big_data__spark.operators import (
     textanalysis as text,
     topk,
 )
+from youtubeanalyzerproject_big_data__spark import serve
 from youtubeanalyzerproject_big_data__spark.streaming import events as ev
 
 # ---------------------------------------------------------------------------
@@ -370,6 +371,33 @@ def q_a15(spark: SparkSession, sf: str) -> DataFrame:
     return agg.grouped_percentiles(load_events(spark, sf), "event_type", "value")
 
 
+def q_a17(spark: SparkSession, sf: str) -> DataFrame:
+    """Approx grouped percentiles gated per group: the 100 TB path of a15
+    (grouped_percentiles(approx=True) -- GK sketch, O(accuracy) state per
+    group instead of buffering the whole group on a reducer) must land its
+    per-group p50 inside the exact rank window [p49, p51].
+
+    The window gate is the sketch's actual mathematical contract (rank
+    error <= 1/accuracy = 1e-4 << 0.01), so it holds on ANY value
+    distribution -- unlike a relative-error gate, which gets fragile when
+    the median sits near zero.  Oracle pins the contract bit + the exact
+    median (a13's gate pattern, per group)."""
+    e = load_events(spark, sf)
+    out = e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile("value", 0.49).alias("p49"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.51).alias("p51"),
+    )
+    return out.select(
+        "event_type",
+        ((F.col("approx_p50") >= F.col("p49")) & (F.col("approx_p50") <= F.col("p51")))
+        .cast("int")
+        .alias("in_rank_window"),
+        F.round("p50", 4).alias("exact_p50"),
+    ).orderBy("event_type")
+
+
 def q_e6(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention: users grouped by first-active day, counted on each
     later active day offset -- the classic product-analytics retention
@@ -480,6 +508,33 @@ def q_u1(spark: SparkSession, sf: str) -> DataFrame:
     )
     updates = upd.unionByName(dele).unionByName(ins)
     return merge_upsert(base, updates, ["o_orderkey"], delete_col="_del")
+
+
+def q_v1(spark: SparkSession, sf: str) -> DataFrame:
+    """Phase-2 serve layer end-to-end (serve.QueryService): the reference
+    GUI's cache-or-compute contract as a gate-checked query instead of a
+    test-only claim.  A videos-shaped model is derived deterministically
+    from events (category=event_type, views=value, length=epoch-micros mod
+    1000, rate=user_id mod 5 + 1), served TWICE through QueryService --
+    first call misses the cache, runs the Phase-1 category-stats job and
+    materializes the JSON artifact (write-through + _SUCCESS commit
+    marker); second call hits the artifact -- and the HIT-path read is
+    what the oracle diffs, so the materialize/read-back round-trip itself
+    is verified, not just the underlying aggregate.  UTC pinned: length
+    derives from the NTZ->timestamp cast."""
+    import tempfile
+
+    _utc(spark)
+    videos = load_events(spark, sf).select(
+        F.col("event_type").alias("category"),
+        F.col("value").alias("views"),
+        (F.unix_micros("ts") % 1000).cast("double").alias("length"),
+        ((F.col("user_id") % 5) + 1).cast("double").alias("rate"),
+    )
+    svc = serve.QueryService(spark, videos, tempfile.mkdtemp(prefix="v1_cache_"))
+    svc.serve("categorystats")  # miss: compute + materialize
+    out = svc.serve("categorystats")  # hit: read the committed artifact
+    return out.select("category", "num_videos", "avg_views", "max_views", "avg_length", "avg_rating")
 
 
 def q_f11(spark: SparkSession, sf: str) -> DataFrame:
@@ -1401,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_heavy_hitters_gate": q_a14,
         "a15_grouped_percentiles": q_a15,
         "a16_equidepth_histogram": q_a16,
+        "a17_approx_grouped_percentiles_gate": q_a17,
         "e6_cohort_retention": q_e6,
         "e8_session_paths": q_e8,
         "e7_decayed_engagement": q_e7,
@@ -1426,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_rolling_user_value": q_w4,
         "g6_triangle_census": q_g6,
         "u1_cdc_merge": q_u1,
+        "v1_served_category_stats": q_v1,
         "l1_zorder_keys": q_l1,
         "f11_funnel_counts": q_f11,
         "sj_customers_with_orders": q_semi,
@@ -2151,6 +2208,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM sn GROUP BY user_id, sess)
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        # Serve-layer replay: the oracle recomputes the Phase-1
+        # category-stats job over the same derived videos model; the Spark
+        # side answers from the materialized JSON artifact (cache HIT), so
+        # equality proves the write-through/read-back round-trip too.  The
+        # 5-category result is far under the job's top-50 limit.
+        "v1_served_category_stats": f"""
+            WITH v AS (
+              SELECT event_type AS category, value AS views,
+                     CAST((epoch_ns(ts) // 1000) % 1000 AS DOUBLE) AS length,
+                     CAST((user_id % 5) + 1 AS DOUBLE) AS rate
+              FROM events)
+            SELECT category, COUNT(*) AS num_videos,
+                   {_davg("views")} AS avg_views,
+                   ROUND(MAX(views), 6) AS max_views,
+                   {_davg("length")} AS avg_length,
+                   {_davg("rate")} AS avg_rating
+            FROM v GROUP BY category
+        """,
+        # GK-sketch gate, per group: the oracle pins the rank-window
+        # contract bit (holds mathematically for rank error 1e-4) plus the
+        # exact median; sketch internals are engine-specific by design.
+        "a17_approx_grouped_percentiles_gate": """
+            SELECT event_type, 1 AS in_rank_window,
+                   ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS exact_p50
+            FROM events GROUP BY event_type
         """,
         "a15_grouped_percentiles": """
             SELECT event_type, COUNT(value) AS cnt,

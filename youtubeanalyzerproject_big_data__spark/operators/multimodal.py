@@ -77,6 +77,42 @@ def _require_auto_codec(modality: str) -> None:
         )
 
 
+def _ffmpeg_decode_stats(blob: bytes, modality: str) -> tuple[float, int]:
+    """Real audio/video decode via the ffmpeg CLI: normalized mean level +
+    sample/pixel count, the (feat_mean, feat_dim) pair of the fake kernel.
+
+    audio -> mono s16le PCM, feat_mean = mean |amplitude| / 32768;
+    video -> gray rawvideo,  feat_mean = mean pixel / 255.
+    Decodes from a pipe (no temp files), output capped by the blob itself.
+    """
+    import subprocess
+
+    if modality == "audio":
+        args = ["-f", "s16le", "-ac", "1"]
+    elif modality == "video":
+        args = ["-f", "rawvideo", "-pix_fmt", "gray"]
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(modality)
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", *args, "pipe:1"],
+        input=blob,
+        capture_output=True,
+        check=False,
+    )
+    if proc.returncode != 0 or not proc.stdout:
+        raise ValueError(f"ffmpeg failed to decode {modality} blob: {proc.stderr.decode(errors='replace')[:200]}")
+    raw = proc.stdout
+    if modality == "audio":
+        import array
+
+        samples = array.array("h")
+        samples.frombytes(raw[: len(raw) - (len(raw) % 2)])
+        n = len(samples)
+        return (sum(abs(s) for s in samples) / (32768.0 * max(n, 1)), n)
+    n = len(raw)
+    return (sum(raw) / (255.0 * max(n, 1)), n)
+
+
 def attach_media_metadata(df: DataFrame, id_col: str, content_col: str, modality: str) -> DataFrame:
     """Wrap a raw binary column in the typed media schema (Catalyst-only:
     length + md5 are built-ins; no Python in this path)."""
@@ -99,9 +135,11 @@ def extract_features(
     'fake' kernel: deterministic features from the first ``feat_dim`` bytes
     (mean normalized to [0,1]) -- stands in for an image-embedding or
     audio-MFCC kernel with the identical dataflow shape.  'auto' decodes
-    for real when the codec is present (PIL: feat_mean = mean pixel
-    intensity / 255, feat_dim = pixel count) and raises otherwise -- the
-    fake kernel stays the oracle path either way.
+    for real when the codec is present (PIL for image: feat_mean = mean
+    pixel intensity / 255, feat_dim = pixel count; ffmpeg for audio/video:
+    mean |PCM amplitude| / 32768 over decoded samples, resp. mean gray
+    pixel / 255 over decoded frames) and raises otherwise -- the fake
+    kernel stays the oracle path either way.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,8 +155,11 @@ def extract_features(
                 feats, dims = [], []
                 for modality, content in zip(pdf["modality"], pdf["content"]):
                     _require_auto_codec(modality)
-                    if modality != "image":
-                        raise NotImplementedError("auto decode implemented for image only")
+                    if modality in ("audio", "video"):
+                        m, d = _ffmpeg_decode_stats(bytes(content), modality)
+                        feats.append(m)
+                        dims.append(d)
+                        continue
                     from PIL import Image
 
                     img = Image.open(_io.BytesIO(bytes(content))).convert("L")
@@ -232,13 +273,21 @@ def transform_media(
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024, decode_stub: Literal["fail", "fake"] = "fail") -> DataFrame:
+def sample_video_frames(
+    media: DataFrame,
+    every_n_bytes: int = 1024,
+    decode_stub: Literal["fail", "fake", "auto"] = "fail",
+    fps: float = 1.0,
+) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled 'frame'.
 
     The fake kernel emits a row per ``every_n_bytes`` chunk with a
-    deterministic chunk hash -- the real kernel would emit decoded frames.
-    Demonstrates the 1->N mapInPandas fan-out shape (row explosion happens
-    inside Arrow batches, not via Python-row UDFs).
+    deterministic chunk hash -- same 1->N fan-out shape as real frame
+    extraction (row explosion happens inside Arrow batches, not via
+    Python-row UDFs).  'auto' extracts REAL frames at ``fps`` frames/sec
+    via the ffmpeg CLI when the binary ships (one PNG per sampled frame,
+    md5-hashed) and raises otherwise; the fake kernel stays the oracle
+    path either way.
     """
     schema = T.StructType(
         [
@@ -255,6 +304,13 @@ def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024, decode_stub
             if decode_stub == "fail":
                 raise NotImplementedError("video codecs unavailable; use decode_stub='fake'")
             rows: list[tuple[str, int, str]] = []
+            if decode_stub == "auto":
+                for mid, modality, content in zip(pdf["media_id"], pdf["modality"], pdf["content"]):
+                    _require_auto_codec(modality)
+                    for frame_no, digest in _ffmpeg_sample_frames(bytes(content), fps):
+                        rows.append((mid, frame_no, digest))
+                yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_md5"])
+                continue
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
                 for i in range(0, max(len(blob), 1), every_n_bytes):
@@ -263,3 +319,32 @@ def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024, decode_stub
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_md5"])
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+def _ffmpeg_sample_frames(blob: bytes, fps: float) -> list[tuple[int, str]]:
+    """Extract frames at ``fps`` via ffmpeg into a temp dir (one PNG per
+    frame, deleted after hashing); returns [(frame_no, md5)].  Temp files
+    are unavoidable here: ffmpeg's image2 muxer needs seekable per-frame
+    outputs, and frames-in-a-pipe would need PNG-boundary parsing."""
+    import hashlib
+    import os as _os
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="frames_") as d:
+        src = _os.path.join(d, "in.bin")
+        with open(src, "wb") as f:
+            f.write(blob)
+        proc = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", src, "-vf", f"fps={fps}", _os.path.join(d, "f_%06d.png")],
+            capture_output=True,
+            check=False,
+        )
+        frames = sorted(p for p in _os.listdir(d) if p.startswith("f_") and p.endswith(".png"))
+        if proc.returncode != 0 and not frames:
+            raise ValueError(f"ffmpeg failed to extract frames: {proc.stderr.decode(errors='replace')[:200]}")
+        out = []
+        for i, name in enumerate(frames):
+            with open(_os.path.join(d, name), "rb") as f:
+                out.append((i, hashlib.md5(f.read()).hexdigest()))
+        return out
