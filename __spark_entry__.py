@@ -1162,6 +1162,37 @@ def q_se5(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("n_events").cast("long").alias("n_events"))
 
 
+def q_se6(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-state streaming dedup (stream_dedup_with_ttl), gate-checked:
+    the production TTL form of se4 -- digest state expires ttl_seconds of
+    event time after last arrival (EventTimeTimeout), capping the state
+    store at one TTL window of distinct digests.  Event time is derived
+    deterministically (ts = timestamp_seconds(doc_id + 1e9) -- the offset
+    keeps doc_id 0 off epoch 0, where the INITIAL watermark would drop it
+    as late; doc_id-range file order IS event-time order so the 0s
+    watermark never drops anything else); the gate TTL exceeds the
+    data's event-time span, so no
+    digest expires and the oracle stays se4's MIN(doc_id)-per-digest --
+    while pytest's small-TTL two-batch replay verifies the expiry/re-emit
+    contract the gate can't reach.  3 micro-batches (maxFilesPerTrigger=1)
+    exercise cross-batch suppression AND per-batch timeout bookkeeping."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .withColumn("ts", F.timestamp_seconds(F.col("doc_id") + F.lit(1_000_000_000)))
+    )
+    out = _drive_stream(
+        spark,
+        docs,
+        lambda src: ev.stream_dedup_with_ttl(spark, src, max_files_per_trigger=1),
+        "append",
+        "se6_",
+        n_files=3,
+        order_col="doc_id",
+    )
+    return out.select("text_key", "keep_id").orderBy("text_key")
+
+
 def q_em1(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids, position-wise
     (operators/similarity.label_centroids): decimal-exact partial sums make
@@ -1468,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se3_stream_interval_join": q_se3,
         "se4_stream_dedup_first_seen": q_se4,
         "se5_stream_user_totals": q_se5,
+        "se6_stream_dedup_ttl": q_se6,
         "em1_label_centroids": q_em1,
         "em2_normalization_stats": q_em2,
         "km1_kmeans_centroids": q_km1,
@@ -2353,6 +2385,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_type = 'error' AND c.event_type = 'click'
         """,
         "se4_stream_dedup_first_seen": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_key,
+                   MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        # TTL dedup at gate scale: the TTL exceeds the event-time span, so
+        # nothing expires and the answer equals se4's; the expiry path is
+        # pinned by the small-TTL pytest replay instead.
+        "se6_stream_dedup_ttl": r"""
             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_key,
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1

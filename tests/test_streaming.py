@@ -174,3 +174,60 @@ def test_stream_interval_join_matches_batch(spark, tmp_path_factory):
     q.awaitTermination(120)
     got = {(r["err_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM ij_test").collect()}
     assert got == expected
+
+
+def test_stream_dedup_ttl_expires_and_reemits(spark, tmp_path_factory):
+    """Bounded-state TTL dedup: within the TTL a repeated digest is
+    suppressed like se4; once the watermark passes last-arrival + TTL the
+    digest's state expires (EventTimeTimeout) and a later duplicate
+    RE-EMITS -- the exactness/state trade the operator exists for."""
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_dedup_with_ttl
+
+    src = str(tmp_path_factory.mktemp("docs_ttl_stream"))
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    # batch 1: two arrivals of one digest (min id wins) + a second digest
+    spark.createDataFrame(
+        [(3, "hello world", t0), (1, "hello   WORLD ", t0), (2, "other text", t0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        stream_dedup_with_ttl(spark, src, ttl_seconds=60)
+        .writeStream.format("memory")
+        .queryName("ttl_dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["keep_id"] for r in spark.sql("SELECT * FROM ttl_dedup_stream").collect()}
+        assert got == {1, 2}
+
+        # batch 2: 30s later (inside TTL) -- duplicate suppressed, and the
+        # arrival SLIDES the digest's expiry forward to t0+30+60.
+        spark.createDataFrame([(9, "hello world", t0 + dt.timedelta(seconds=30))], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["keep_id"] for r in spark.sql("SELECT * FROM ttl_dedup_stream").collect()}
+        assert got == {1, 2}  # still suppressed
+
+        # batch 3: 10 min later -- watermark (max event time - 0s) passes
+        # every key's timeout; a fresh row advances it, both old digests
+        # expire, and the repeated text re-emits with the NEW id.
+        spark.createDataFrame([(20, "unrelated advance", t0 + dt.timedelta(seconds=600))], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 4: the duplicate text again, now past its expired state
+        spark.createDataFrame([(21, "hello world", t0 + dt.timedelta(seconds=610))], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["keep_id"] for r in spark.sql("SELECT * FROM ttl_dedup_stream").collect()}
+        assert got == {1, 2, 20, 21}  # re-emission after TTL expiry
+    finally:
+        q.stop()

@@ -251,6 +251,72 @@ def stream_exact_dedup(
     )
 
 
+def stream_dedup_with_ttl(
+    spark: SparkSession,
+    source_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str = "ts",
+    ttl_seconds: int = 10**9,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """BOUNDED-STATE streaming dedup: first-seen per digest, but a digest's
+    state expires ``ttl_seconds`` of EVENT TIME after its last arrival
+    (GroupStateTimeout.EventTimeTimeout), so a duplicate arriving after the
+    TTL re-emits.  This is the production form of stream_exact_dedup for
+    unbounded key spaces: state size ~ |distinct digests seen within one
+    TTL window|, not |all digests ever| -- the standard streaming-dedup
+    exactness/state trade (dropDuplicatesWithinWatermark semantics, done
+    via applyInPandasWithState because the native operator keeps an
+    arbitrary first ROW per key, which is nondeterministic under Spark's
+    unordered batches; this keeps the min-id winner deterministic).
+
+    Each arrival EXTENDS the key's timeout (last-arrival + TTL, the
+    sliding-TTL form); the source must carry ``event_time_col`` and the
+    stream watermarks on it (0s delay -- callers order files by event time,
+    the gate's mtime trick), because EventTimeTimeout fires exactly when
+    the watermark passes the key's timeout timestamp.
+    Output: (text_key, keep_id) per (digest, TTL-window) emission.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize
+
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
+    keyed = stream.select(
+        F.md5(normalize(F.col(text_col))).alias("text_key"),
+        F.col(id_col).alias("doc_id"),
+        F.col(event_time_col).alias("ts"),
+    ).withWatermark("ts", "0 seconds")
+
+    def first_seen_ttl(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()  # idle past TTL: forget the digest entirely
+            return
+        seen = state.exists and bool(state.get[0])
+        keep = None
+        ts_max_ms = None
+        for pdf in pdfs:
+            m = pdf["doc_id"].min()
+            keep = m if keep is None else min(keep, m)
+            t = pdf["ts"].max()
+            t_ms = int(t.value // 1_000_000)  # pandas Timestamp ns -> epoch ms
+            ts_max_ms = t_ms if ts_max_ms is None else max(ts_max_ms, t_ms)
+        state.update((True,))
+        state.setTimeoutTimestamp(ts_max_ms + ttl_seconds * 1000)
+        if not seen:
+            yield pd.DataFrame({"text_key": [key[0]], "keep_id": [keep]})
+
+    return keyed.groupBy("text_key").applyInPandasWithState(
+        first_seen_ttl,
+        outputStructType="text_key string, keep_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     source_dir: str,
