@@ -690,6 +690,18 @@ def q_d5(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(load_table(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.46)
 
 
+def q_d6(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring span removal (dedup.duplicated_span_removal): every
+    30-char normalized window occurring in >= 2 docs is spliced out of
+    every doc; per affected doc, span count / chars removed / md5 of the
+    cleaned text.  The whole pipeline -- window hashing, dup-set join,
+    island merge, splice fold -- is replayed by the oracle, so the cleaned
+    TEXT (via its md5) is verified, not just the counts."""
+    return dedup.duplicated_span_removal(
+        load_table(spark, sf, "documents"), "doc_id", "text", span_len=30
+    ).orderBy("doc_id")
+
+
 def q_d7(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup clustering: near-dup pairs (d2 semantics) -> connected
     components -> every document labeled with its duplicate-cluster id
@@ -1531,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh_pairs": q_d3,
         "d4_simhash_pairs": q_d4,
         "d5_embedding_near_dups": q_d5,
+        "d6_duplicated_span_removal": q_d6,
         "d7_dup_clusters": q_d7,
         "d8_cross_corpus_dups": q_d8,
         "d9_embedding_lsh_near_dups": q_d9,
@@ -2737,6 +2750,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(n_common / (s1.n + s2.n - n_common), 6) >= 0.8
         """,
 
+        # Exact-substring span removal, full replay: stride-1 window md5s
+        # via lateral generate_series, >=2-distinct-doc dup set, islands
+        # merge (gap > span_len breaks), LAG-segment splice, md5 of the
+        # reassembled text.  Mirrors dedup.duplicated_span_removal 1:1.
+        "d6_duplicated_span_removal": r"""
+            WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                       FROM documents),
+            w0 AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 29)) AS i FROM n),
+            w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, md5(substr(t, CAST(i AS INT), 30)) AS h
+                  FROM w0),
+            d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+            m AS (SELECT doc_id, pos FROM w JOIN d USING (h)),
+            b AS (SELECT doc_id, pos,
+                         CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2147483648) + 30
+                              THEN 1 ELSE 0 END AS brk
+                  FROM m),
+            i AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM b),
+            sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 29 AS e FROM i GROUP BY doc_id, isl),
+            sp2 AS (SELECT doc_id, s, e,
+                           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+                    FROM sp),
+            x AS (SELECT sp2.doc_id, s, e,
+                         substr(t, CAST(pe + 1 AS INT), CAST(s - pe - 1 AS INT)) AS piece
+                  FROM sp2 JOIN n USING (doc_id)),
+            y AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                         CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars,
+                         MAX(e) AS me,
+                         COALESCE(string_agg(piece, '' ORDER BY s), '') AS kept
+                  FROM x GROUP BY doc_id),
+            z AS (SELECT y.doc_id, n_spans, removed_chars,
+                         kept || substr(t, CAST(me + 1 AS INT)) AS clean
+                  FROM y JOIN n ON y.doc_id = n.doc_id)
+            SELECT doc_id, n_spans, removed_chars,
+                   CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
+            FROM z
+        """,
         "d5_embedding_near_dups": f"""
             SELECT a.vec_id AS id1, b.vec_id AS id2,
                    ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim

@@ -223,3 +223,55 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert out[1]["contaminated"] and out[1]["n_eval_hits"] == 1 and out[1]["n_grams"] == 3
     assert not out[2]["contaminated"] and out[2]["n_eval_hits"] == 0
     assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_duplicated_span_removal_splices_shared_spans(spark):
+    """Exact-substring span removal: a 40-char block shared by two docs is
+    merged into ONE maximal span (the 11 overlapping 30-char windows
+    coalesce) and spliced from BOTH; unique docs and docs whose repetition
+    is only WITHIN themselves are untouched."""
+    import hashlib
+
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import duplicated_span_removal
+
+    shared = "0123456789abcdefghijklmnopqrstuvwxyz!@#$"  # 40 chars, no spaces
+    assert len(shared) == 40
+    internal = "z" * 30
+    docs = spark.createDataFrame(
+        [
+            (1, f"head-one {shared} tail-one"),
+            (2, f"other-head {shared} other-longer-tail"),
+            (3, "completely unique text with no shared windows at all here"),
+            (4, f"self {internal} mid {internal} end"),  # within-doc only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_removal(docs, "doc_id", "text", span_len=30).collect()}
+    assert set(out) == {1, 2}
+    # The flanking spaces are shared too (both docs read " <block> "), so
+    # the maximal cross-doc span is 42 chars, space to space.
+    for doc_id, text in [(1, f"head-one {shared} tail-one"), (2, f"other-head {shared} other-longer-tail")]:
+        r = out[doc_id]
+        assert r["n_spans"] == 1
+        assert r["removed_chars"] == 42
+        cleaned = text.replace(f" {shared} ", "")
+        assert r["clean_len"] == len(cleaned)
+        assert r["clean_md5"] == hashlib.md5(cleaned.encode()).hexdigest()
+
+
+def test_duplicated_span_removal_arrow_catalyst_equivalence(spark):
+    """The hashlib kernel and the interpreted Catalyst HOF must produce
+    identical results (same md5s over the same windows)."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import duplicated_span_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared prefix block abcdefghij shared tail piece one"),
+            (2, "shared prefix block abcdefghij different ending here"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, duplicated_span_removal(docs, "doc_id", "text", span_len=20, use_arrow=True).collect()))
+    c = sorted(map(tuple, duplicated_span_removal(docs, "doc_id", "text", span_len=20, use_arrow=False).collect()))
+    assert a == c and len(a) == 2

@@ -213,3 +213,34 @@ def make_probe_cells(cents, nprobe: int):
         return pd.Series(list(order))
 
     return _probe
+
+
+def make_char_window_hashes(span_len: int):
+    """Arrow-batched stride-1 char-window md5s over ALREADY-NORMALIZED text
+    -- byte-identical to the Catalyst transform(sequence, md5(substr))
+    form in dedup.duplicated_span_removal (Python str slicing and Spark
+    substr both index code points; md5 runs over UTF-8 either way).
+
+    Exists for the same reason as make_word_ngrams: the interpreted HOF
+    costs ~ms/doc while hashlib's C md5 does the same windows in ~us/doc.
+    Returns [] for texts shorter than span_len (mirrors the where-guard).
+    """
+    import hashlib
+
+    @pandas_udf("array<string>")
+    def _win_hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < span_len:
+                out.append([])
+                continue
+            enc = t.encode("utf-8")
+            if len(enc) == len(t):  # pure ASCII: slice bytes, no re-encode
+                out.append([hashlib.md5(enc[i : i + span_len]).hexdigest() for i in range(len(t) - span_len + 1)])
+            else:
+                out.append(
+                    [hashlib.md5(t[i : i + span_len].encode("utf-8")).hexdigest() for i in range(len(t) - span_len + 1)]
+                )
+        return pd.Series(out)
+
+    return _win_hashes

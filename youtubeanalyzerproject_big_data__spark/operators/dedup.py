@@ -562,3 +562,97 @@ def decontaminate(
             (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def duplicated_span_removal(
+    df: DataFrame, id_col: str, text_col: str, span_len: int = 30, use_arrow: bool = True
+) -> DataFrame:
+    """Exact-substring (span-level) dedup: find every ``span_len``-char
+    window of normalized text that also occurs in ANOTHER document, merge
+    overlapping/adjacent hits into maximal spans per document, and splice
+    them out -- the span-removal family of corpus dedup (every copy of a
+    cross-document duplicated substring is removed from every document),
+    the finer-grained complement to whole-doc (d1) and near-dup (d2-d5)
+    routes: it catches shared boilerplate INSIDE otherwise-unique docs.
+
+    Plan (all Catalyst, no Python):
+      1. one map-side pass hashes all stride-1 windows (doc_id, pos,
+         md5(window)) -- the substring itself never shuffles;
+      2. hash -> distinct-doc frequency, keep hashes in >= 2 docs (one
+         hash-keyed aggregate), join back to window occurrences (AQE
+         broadcasts the dup set when small);
+      3. islands merge per doc (window over doc_id, per-doc data bounded
+         by doc length);
+      4. splice via one sorted-spans fold (F.aggregate accumulator
+         carries (kept_text, last_end)) -- group-sized, no reducer ever
+         holds more than one document.
+
+    Scale notes: the window table is ~|corpus chars| rows of
+    (id, pos, 32-hex) -- a constant-factor blowup, linear like the
+    suffix-array approach but shuffle-heavier; at extreme scale cut
+    shuffle width with stride>1 candidate windows + local re-scan, the
+    standard approximation.  Windows hash per doc cost O(len * span_len)
+    via interpreted HOF; the repartition-first rule applies (see
+    _shingles).
+
+    Output, only for affected docs: (doc_id, n_spans, removed_chars,
+    clean_len, clean_md5).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    norm = (
+        df.select(F.col(id_col).alias("doc_id"), normalize(F.col(text_col)).alias("t"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    if use_arrow:
+        # Same hashes via hashlib's C md5 (see make_char_window_hashes);
+        # the interpreted-HOF twin below is the readable spec.
+        from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_char_window_hashes
+
+        hashes = make_char_window_hashes(span_len)(F.col("t"))
+    else:
+        idx = F.sequence(F.lit(1), F.length("t") - (span_len - 1))
+        hashes = F.transform(idx, lambda i: F.md5(F.col("t").substr(i, F.lit(span_len))))
+    wins = (
+        norm.where(F.length("t") >= span_len)
+        .select("doc_id", F.posexplode(hashes).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    dup = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs")).where("ndocs >= 2").select("h")
+    marked = wins.join(dup, "h").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_max.isNull() | (F.col("pos") > prev_max + span_len), 1).otherwise(0)
+    spans = (
+        marked.withColumn("brk", brk)
+        .withColumn("isl", F.sum("brk").over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("pos").cast("long").alias("s"), (F.max("pos") + span_len - 1).cast("long").alias("e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    acc0 = F.struct(F.lit("").alias("kept"), F.lit(0).cast("long").alias("last_e"))
+    fold = F.aggregate(
+        F.col("spans"),
+        acc0,
+        lambda acc, sp: F.struct(
+            F.concat(acc["kept"], F.col("t").substr(acc["last_e"] + 1, sp["s"] - acc["last_e"] - 1)).alias("kept"),
+            sp["e"].alias("last_e"),
+        ),
+    )
+    clean = F.concat(fold["kept"], F.col("t").substr(fold["last_e"] + 1, F.length("t") - fold["last_e"]))
+    return (
+        per_doc.join(norm, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "removed_chars",
+            F.length(clean).cast("long").alias("clean_len"),
+            F.md5(clean).alias("clean_md5"),
+        )
+    )
