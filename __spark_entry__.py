@@ -1331,6 +1331,19 @@ def q_c5(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, bucket_span=100)
 
 
+def q_c7(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order shuffle + round-robin sharding
+    (functions/sampling.training_shuffle): the md5-seeded global
+    permutation a pipeline applies before writing training shards.  The
+    global rank is a distributed prefix sum over 256 md5-prefix buckets --
+    no global-window single reducer -- and the oracle replays the
+    permutation with ROW_NUMBER over the same md5 keys, so rank, shard,
+    and position are all value-checked."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import training_shuffle
+
+    return training_shuffle(load_table(spark, sf, "documents"), "doc_id", n_shards=8, seed=0).orderBy("ord_rank")
+
+
 def q_c6(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-weighted soft curation: each document survives with
     probability (1 - dup_token_ratio) -- repetitive docs rarely, clean
@@ -1565,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
+        "c7_training_shuffle": q_c7,
         "c4_doc_chunks": q_c4,
         "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
@@ -2927,6 +2941,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_offset // 512 AS BIGINT) AS bin_id,
                    CAST(start_offset % 512 AS BIGINT) AS pos_in_bin
             FROM c
+        """,
+        # Shuffle replay: ROW_NUMBER over the same md5 permutation keys
+        # equals the engine's bucketed prefix-sum rank (bucket = key
+        # prefix, so bucket-then-key order IS key order); doc_id tiebreak
+        # makes the order total even under (impossible) digest collisions.
+        "c7_training_shuffle": """
+            WITH k AS (SELECT doc_id, md5(concat('0:', CAST(doc_id AS VARCHAR))) AS key
+                       FROM documents),
+            r AS (SELECT doc_id,
+                         CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS ord_rank
+                  FROM k)
+            SELECT doc_id, ord_rank,
+                   CAST(ord_rank % 8 AS BIGINT) AS shard,
+                   CAST(ord_rank // 8 AS BIGINT) AS pos_in_shard
+            FROM r
         """,
         # Weighted-sample replay: dup_token_ratio exactly as t2 (raw-text
         # tokens, ROUND 6), keep iff md5 ppm < floor(clamp(1-ratio)*1e6) --

@@ -106,3 +106,27 @@ def test_group_example_sample_partition_invariant(spark):
         for r in df.withColumn("rk", F.row_number().over(w)).where("rk <= 4").collect()
     )
     assert a == [(s, d, r) for s, d, r in naive]
+
+
+def test_training_shuffle_is_balanced_permutation(spark):
+    """training_shuffle yields a true permutation (ranks 0..n-1, each doc
+    once), round-robin shards balanced to +/-1, consistent rank->shard/pos
+    arithmetic, and a DIFFERENT order under a different seed."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import training_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = training_shuffle(df, "doc_id", n_shards=8, seed=0).collect()
+    assert sorted(r["ord_rank"] for r in out) == list(range(100))
+    assert {r["doc_id"] for r in out} == set(range(100))
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in out)
+    assert set(sizes) == set(range(8)) and max(sizes.values()) - min(sizes.values()) <= 1
+    for r in out:
+        assert r["shard"] == r["ord_rank"] % 8 and r["pos_in_shard"] == r["ord_rank"] // 8
+
+    order0 = [r["doc_id"] for r in sorted(out, key=lambda r: r["ord_rank"])]
+    out1 = training_shuffle(df, "doc_id", n_shards=8, seed=1).collect()
+    order1 = [r["doc_id"] for r in sorted(out1, key=lambda r: r["ord_rank"])]
+    assert order0 != order1  # new epoch seed -> new permutation
+    assert sorted(order1) == sorted(order0)

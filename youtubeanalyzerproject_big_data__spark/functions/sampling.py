@@ -206,3 +206,55 @@ def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str, fracti
     for stratum, fraction in sorted(fractions.items()):
         pred = pred | ((F.col(stratum_col) == stratum) & (h < int(round(fraction * denominator))))
     return df.where(pred)
+
+
+def training_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 8, seed: int | str = 0, bucket_hex: int = 2
+) -> DataFrame:
+    """Deterministic global training-order shuffle + round-robin sharding:
+    every document gets a position in an md5-seeded permutation of the
+    corpus and a shard assignment -- the randomize-then-shard step before
+    writing training shards, reproducible across engines and runs (change
+    ``seed`` per epoch for a fresh permutation).
+
+    The global rank is the same distributed prefix-sum shape as
+    pack_sequences (a naive ``row_number() over (order by key)`` funnels
+    100 TB through ONE reducer):
+
+    1. bucket = first ``bucket_hex`` hex chars of the md5 key -- 16^k
+       contiguous KEY ranges, uniformly sized because md5 is uniform; each
+       is a parallel window partition for the local rank (raise
+       ``bucket_hex`` as the corpus grows: 2 -> 256 reducers, 4 -> 65k);
+    2. per-bucket counts get the only serial cumsum, over 16^k rows;
+    3. offsets broadcast back; global rank = offset + local rank, map-side.
+
+    Round-robin (``rank % n_shards``) keeps shard sizes balanced to +/-1
+    doc by construction, not in expectation.  Returns
+    (doc_id, ord_rank, shard, pos_in_shard).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    d = df.select(F.col(id_col).alias("doc_id")).withColumn("_key", key).withColumn(
+        "_bucket", F.substring("_key", 1, bucket_hex)
+    )
+    # _bucket is a PREFIX of _key, so (bucket asc, key asc) == global key order.
+    w_local = Window.partitionBy("_bucket").orderBy("_key", "doc_id")
+    local = d.withColumn("_local_rank", F.row_number().over(w_local))
+    w_buckets = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(w_buckets), F.lit(0)).cast("long"))
+        .select("_bucket", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .withColumn("ord_rank", (F.col("_offset") + F.col("_local_rank") - 1).cast("long"))
+        .select(
+            "doc_id",
+            "ord_rank",
+            F.pmod(F.col("ord_rank"), F.lit(n_shards)).cast("long").alias("shard"),
+            F.expr(f"CAST(ord_rank DIV {n_shards} AS BIGINT)").alias("pos_in_shard"),
+        )
+    )
