@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_lane_sql, md5_int32_sql
+from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize as textfns_normalize
 from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum
 from youtubeanalyzerproject_big_data__spark.io import load_events, load_table
 from youtubeanalyzerproject_big_data__spark.operators import (
@@ -700,6 +701,25 @@ def q_d6(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicated_span_removal(
         load_table(spark, sf, "documents"), "doc_id", "text", span_len=30
     ).orderBy("doc_id")
+
+
+def q_u2(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup-index maintenance (dedup.update_digest_index):
+    the first 400 doc_ids play the historic corpus (its digest index built
+    by the d1 digest rule), the rest arrive as the ingestion batch; the
+    updated index keeps historic first-seen winners ('kept') and admits
+    only genuinely new digests from the batch ('new', min batch id).  The
+    index side is scanned once and never shuffled -- batch keys broadcast
+    both ways (see operator docstring)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+    index = (
+        hist.select("doc_id", F.md5(textfns_normalize(F.col("text"))).alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    return dedup.update_digest_index(index, batch, "doc_id", "text").orderBy("text_key")
 
 
 def q_d7(spark: SparkSession, sf: str) -> DataFrame:
@@ -1539,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_rolling_user_value": q_w4,
         "g6_triangle_census": q_g6,
         "u1_cdc_merge": q_u1,
+        "u2_incremental_dedup_index": q_u2,
         "v1_served_category_stats": q_v1,
         "l1_zorder_keys": q_l1,
         "f11_funnel_counts": q_f11,
@@ -2545,6 +2566,19 @@ def oracle_sql() -> dict[str, str]:
         # CDC replay: identical md5 membership predicates build the batch;
         # NOT IN + UNION ALL is the oracle's merge. *1.1/*0.5 and ROUND(,6)
         # are the same IEEE double ops on both sides.
+        # Incremental-index replay: historic index from doc_id < 400,
+        # batch digests folded in; first-seen (historic) winners stable.
+        "u2_incremental_dedup_index": r"""
+            WITH n AS (SELECT doc_id,
+                              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+                       FROM documents),
+            hist AS (SELECT k, MIN(doc_id) AS keep FROM n WHERE doc_id < 400 GROUP BY k),
+            newb AS (SELECT k, MIN(doc_id) AS keep FROM n WHERE doc_id >= 400 GROUP BY k)
+            SELECT k AS text_key, keep AS keep_id, 'kept' AS status FROM hist
+            UNION ALL
+            SELECT k AS text_key, keep AS keep_id, 'new' AS status
+            FROM newb WHERE k NOT IN (SELECT k FROM hist)
+        """,
         "u1_cdc_merge": f"""
             WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders),
             upd AS (

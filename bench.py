@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "a14_heavy_hitters_gate",
     "g7_personalized_pagerank",
     "s6_ann_refined_top5",
+    # round 4 additions
+    "d6_duplicated_span_removal",
+    "c7_training_shuffle",
 ]
 
 

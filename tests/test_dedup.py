@@ -275,3 +275,43 @@ def test_duplicated_span_removal_arrow_catalyst_equivalence(spark):
     a = sorted(map(tuple, duplicated_span_removal(docs, "doc_id", "text", span_len=20, use_arrow=True).collect()))
     c = sorted(map(tuple, duplicated_span_removal(docs, "doc_id", "text", span_len=20, use_arrow=False).collect()))
     assert a == c and len(a) == 2
+
+
+def test_update_digest_index_first_seen_stable(spark):
+    """Incremental index fold: a batch duplicate of an indexed digest never
+    displaces the historic winner (even with a smaller id); unseen digests
+    enter with the batch's min id; batch-internal dups collapse first."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import update_digest_index
+
+    import hashlib
+
+    def dig(t):  # real digests so join keys match md5(normalize(text))
+        return hashlib.md5(t.encode()).hexdigest()
+
+    index = spark.createDataFrame([(dig("seen before"), 5)], "text_key string, keep_id long")
+    batch = spark.createDataFrame(
+        [
+            (1, "seen before"),  # smaller id than historic winner 5
+            (7, "brand new"),
+            (6, "brand new"),  # batch-internal dup: 6 wins
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["text_key"]: (r["keep_id"], r["status"]) for r in update_digest_index(index, batch, "doc_id", "text").collect()}
+    assert out[dig("seen before")] == (5, "kept")
+    assert out[dig("brand new")] == (6, "new")
+    assert len(out) == 2
+
+
+def test_update_digest_index_never_shuffles_index(spark):
+    """The index side must reach both joins without an Exchange: batch keys
+    broadcast into a semi probe, existing keys broadcast into the anti --
+    two BroadcastHashJoins, zero SortMergeJoin."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import update_digest_index
+    from youtubeanalyzerproject_big_data__spark.plans.inspect import executed_plan
+
+    index = spark.createDataFrame([(f"k{i}", i) for i in range(100)], "text_key string, keep_id long")
+    batch = spark.createDataFrame([(200, "a"), (201, "b")], "doc_id long, text string")
+    plan = executed_plan(update_digest_index(index, batch, "doc_id", "text"))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan

@@ -158,3 +158,26 @@ def test_zorder_keys_are_map_side(spark):
     df = entrymod.q_l1(spark, SF)
     df.collect()
     assert operator_counts(df).get("Exchange", 0) == 0
+
+
+def test_training_shuffle_has_no_global_data_window(spark):
+    """c7: the doc-level rank window must be partitioned by the md5-prefix
+    bucket (parallel local ranks); the only unpartitioned window runs over
+    the model-sized bucket counts, and offsets return via broadcast."""
+    plan = _plan(entrymod.q_c7(spark, SF))
+    assert "_bucket" in plan and "Window" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_span_removal_windows_are_doc_partitioned(spark):
+    """d6: both analytic windows (islands break + running island id) must
+    be partitioned by doc_id -- per-reducer data is bounded by one doc's
+    length, never the corpus."""
+    plan = _plan(entrymod.q_d6(spark, SF))
+    import re
+
+    # every Window operator's partition spec mentions doc_id
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    win_specs = [s for s in specs if s]
+    assert win_specs, f"no Window partition specs found in plan:\n{plan[:500]}"
+    assert all("doc_id" in s for s in win_specs), win_specs

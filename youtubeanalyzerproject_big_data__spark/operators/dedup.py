@@ -656,3 +656,31 @@ def duplicated_span_removal(
             F.md5(clean).alias("clean_md5"),
         )
     )
+
+
+def update_digest_index(index: DataFrame, new_docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Incremental dedup-index maintenance for continuous ingestion: fold a
+    (small) new document batch into the corpus digest index
+    (text_key, keep_id) -- the artifact se4/d1 build -- keeping first-seen
+    winners stable.  Returns the UPDATED index plus a status column
+    ('kept' = pre-existing entry, unchanged; 'new' = digest first seen in
+    this batch, keep_id = the batch's min id).
+
+    Index-scale discipline: the 100 TB index is scanned ONCE and never
+    shuffled.  The batch digests broadcast twice: a broadcast semi-join
+    marks which batch keys already exist (probing the index map-side), and
+    the resulting existing-key set (<= |batch|) broadcasts back for the
+    batch-minus-index anti-join.  A direct new-minus-index anti-join would
+    have to shuffle the whole index (the big side of an anti-join can't be
+    the broadcast build), which is exactly what this shape avoids.
+    """
+    nd = (
+        new_docs.select(F.col(id_col).alias("doc_id"), F.md5(normalize(F.col(text_col))).alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    existing = index.join(F.broadcast(nd.select("text_key")), "text_key", "left_semi").select("text_key")
+    fresh = nd.join(F.broadcast(existing), "text_key", "left_anti")
+    return index.select("text_key", "keep_id", F.lit("kept").alias("status")).unionByName(
+        fresh.select("text_key", "keep_id", F.lit("new").alias("status"))
+    )
