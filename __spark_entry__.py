@@ -1288,6 +1288,15 @@ def q_t8(spark: SparkSession, sf: str) -> DataFrame:
     return text.unigram_logprob(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_t10(spark: SparkSession, sf: str) -> DataFrame:
+    """Add-1-smoothed bigram-LM fluency score per document
+    (operators/textanalysis.bigram_logprob): ln((c(w1 w2)+1)/(c(w1)+V))
+    summed over bigram occurrences, integer-quantized before the per-doc
+    sum (t8's recipe, one model order up).  Same libm-ulp residual risk as
+    t8, documented there."""
+    return text.bigram_logprob(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_t9(spark: SparkSession, sf: str) -> DataFrame:
     """PII detection/redaction signals per document (email/phone/digit-run
     pattern counts + md5 of the digit-redacted text).  Map-side regexp
@@ -1596,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_repetition_signals": q_t7,
         "t8_unigram_logprob": q_t8,
         "t9_pii_signals": q_t9,
+        "t10_bigram_logprob": q_t10,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -2926,6 +2936,33 @@ def oracle_sql() -> dict[str, str]:
         # exact integer arithmetic in both engines; the only float op is the
         # final rounded mean.  DOUBLE casts mirror the engine's c/N double
         # division and double 1e6 multiply bit-for-bit.
+        # Bigram-LM replay: same tokenization as t8, bigrams via 1-based
+        # list indexing, add-1 smoothing over (unigram count + |vocab|),
+        # identical floor-micro quantization before the per-doc sum.
+        "t10_bigram_logprob": r"""
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+              FROM documents),
+            bg AS (
+              SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+              FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tk)),
+            bf AS (SELECT doc_id, w1, bigram, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2, 3),
+            bc AS (SELECT bigram, w1, CAST(SUM(tf) AS BIGINT) AS c2 FROM bf GROUP BY 1, 2),
+            u AS (SELECT unnest(toks) AS token FROM tk),
+            uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM u GROUP BY token),
+            v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM uc),
+            lp AS (SELECT bigram,
+                          CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE)) * 1e6) AS BIGINT) AS lpm
+                   FROM bc JOIN uc ON bc.w1 = uc.token, v),
+            pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                          CAST(SUM(tf * lpm) AS BIGINT) AS s
+                   FROM bf JOIN lp USING (bigram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(pd.s, 0) AS BIGINT) AS sum_lp_micro,
+                   ROUND(COALESCE(pd.s, 0) / (greatest(COALESCE(pd.n_bigrams, 0), 1) * 1e6), 6) AS mean_logprob
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
         "t8_unigram_logprob": r"""
             WITH tk AS (
               SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token

@@ -152,3 +152,28 @@ def test_chunk_documents_windows_and_tail(spark):
     assert c1[3]["chunk_md5"] == hashlib.md5(b"w9").hexdigest()
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
     assert 3 not in by_doc
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-1 bigram LM on a 2-doc corpus: terms are hand-checkable.
+    Corpus: 'a b a b' + 'c d' + 'solo' -> V=5; c(a)=2 c(b)=2;
+    c2('a b')=2, c2('b a')=1, c2('c d')=1."""
+    import math
+
+    import pytest
+
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b a b"), (2, "c d"), (3, "solo")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    # vocab = {a, b, c, d, solo} -> V=5 ('solo' forms no bigram but counts)
+    # doc 1: 2x ln((2+1)/(2+5)) for 'a b' + 1x ln((1+1)/(2+5)) for 'b a'
+    exp1 = 2 * math.floor(math.log(3 / 7) * 1e6) + math.floor(math.log(2 / 7) * 1e6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_lp_micro"] == pytest.approx(exp1, abs=2)  # cross-libm ulp slack
+    assert out[1]["mean_logprob"] == pytest.approx(exp1 / 3e6, abs=1e-5)
+    # doc 2: 1x ln((1+1)/(1+5))
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["sum_lp_micro"] == pytest.approx(math.floor(math.log(2 / 6) * 1e6), abs=2)
+    # doc 3: single token -> sentinel zeros
+    assert out[3]["n_bigrams"] == 0 and out[3]["sum_lp_micro"] == 0 and out[3]["mean_logprob"] == 0.0

@@ -302,3 +302,70 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
         .where(F.col("rk") <= k)
         .select("doc_id", "token", F.round("score", 6).alias("tfidf"), F.col("rk").cast("long").alias("rk"))
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under an add-1-smoothed
+    bigram LM fit on the corpus itself: ln((c(w1 w2)+1) / (c(w1)+V)) per
+    bigram occurrence -- the next step up from t8's unigram score, and the
+    standard cheap fluency signal (word-salad docs score far below
+    grammatical ones even when their unigrams are common).
+
+    Scale design mirrors unigram_logprob: one (doc, bigram) hash
+    aggregate; the bigram and unigram tables derived from it are
+    model-sized and broadcast back; V (vocabulary size) is a scalar.
+    Contributions are integer-quantized (floor(ln * 1e6)) before the
+    per-document sum, so the reduction is partition- and engine-invariant.
+    Returns (doc_id, n_bigrams, sum_lp_micro, mean_logprob); docs with
+    < 2 tokens keep 0/0.0 sentinels.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)).alias("bigram"),
+        ),
+    )
+    bg = (
+        df.select(F.col(id_col).alias("doc_id"), F.when(F.size(toks) >= 2, grams).alias("g"))
+        .select("doc_id", F.explode("g").alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+    )
+    bf = bg.groupBy("doc_id", "w1", "bigram").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    bc = bf.groupBy("bigram", "w1").agg(F.sum("tf").cast("long").alias("c2"))
+    uni = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    vsz = uni.count()  # scalar |vocab|, model-sized
+    lp_micro = F.floor(
+        F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.lit(vsz)).cast("double")) * 1e6
+    ).cast("long")
+    lp = bc.join(F.broadcast(uni), bc.w1 == uni.token).select("bigram", lp_micro.alias("lp_micro"))
+    # no broadcast hint on lp: the bigram table outgrows the unigram vocab
+    # at corpus scale; AQE converts this join to broadcast while it's small.
+    per_doc = (
+        bf.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_micro")).cast("long").alias("sum_lp_micro"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_lp_micro", F.lit(0)).cast("long").alias("sum_lp_micro"),
+            F.round(
+                F.coalesce("sum_lp_micro", F.lit(0))
+                / (F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)) * 1e6),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
