@@ -1297,6 +1297,18 @@ def q_t10(spark: SparkSession, sf: str) -> DataFrame:
     return text.bigram_logprob(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_t11(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 for the query {table, scan, merge}
+    (operators/textanalysis.bm25_topk): map-side term filter, model-sized
+    df/avgdl aggregates inlined, quantized per-term contributions,
+    TakeOrdered top-k with doc_id tiebreak.  idf crosses libm (Python
+    math.log literal vs DuckDB ln) -- same documented ulp residual as
+    t8/e7."""
+    return text.bm25_topk(
+        load_table(spark, sf, "documents"), "doc_id", "text", ["table", "scan", "merge"], k=10
+    )
+
+
 def q_t9(spark: SparkSession, sf: str) -> DataFrame:
     """PII detection/redaction signals per document (email/phone/digit-run
     pattern counts + md5 of the digit-redacted text).  Map-side regexp
@@ -1606,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_unigram_logprob": q_t8,
         "t9_pii_signals": q_t9,
         "t10_bigram_logprob": q_t10,
+        "t11_bm25_topk": q_t11,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -2936,6 +2949,31 @@ def oracle_sql() -> dict[str, str]:
         # exact integer arithmetic in both engines; the only float op is the
         # final rounded mean.  DOUBLE casts mirror the engine's c/N double
         # division and double 1e6 multiply bit-for-bit.
+        # BM25 replay: identical IEEE sequence -- (idf * (tf*2.2)) / denom
+        # * 1e6 floored; avgdl as the same double division; literals 2.2 /
+        # 0.25 / 0.75 / 1.2 round-trip exactly.  ln crosses libm (t8-class
+        # documented ulp residual).
+        "t11_bm25_topk": r"""
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+              FROM documents),
+            l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM l),
+            h AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+                  WHERE token IN ('table', 'scan', 'merge') GROUP BY 1, 2),
+            d AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfq FROM h GROUP BY token),
+            s AS (SELECT h.doc_id,
+                         CAST(floor(
+                           ln(1.0 + (g.n - d.dfq + 0.5) / (d.dfq + 0.5))
+                           * (CAST(tf AS DOUBLE) * 2.2)
+                           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                                                          / (CAST(g.sdl AS DOUBLE) / CAST(g.n AS DOUBLE))))
+                           * 1e6) AS BIGINT) AS c
+                  FROM h JOIN d USING (token) JOIN l ON h.doc_id = l.doc_id, g)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms, CAST(SUM(c) AS BIGINT) AS score_micro
+            FROM s GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 10
+        """,
         # Bigram-LM replay: same tokenization as t8, bigrams via 1-based
         # list indexing, add-1 smoothing over (unigram count + |vocab|),
         # identical floor-micro quantization before the per-doc sum.

@@ -177,3 +177,29 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[2]["sum_lp_micro"] == pytest.approx(math.floor(math.log(2 / 6) * 1e6), abs=2)
     # doc 3: single token -> sentinel zeros
     assert out[3]["n_bigrams"] == 0 and out[3]["sum_lp_micro"] == 0 and out[3]["mean_logprob"] == 0.0
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    """BM25 sanity on a controlled corpus: a doc hitting both query terms
+    outranks single-term docs; a term-free doc never appears; rarer terms
+    contribute more (higher idf)."""
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark engine filler words here"),  # both terms
+            (2, "spark only document with some filler words"),  # common term only
+            (3, "engine only document with some filler words"),  # rarer term only
+            (4, "nothing relevant in this one at all"),
+            (5, "spark spark spark spark spark spark spark here"),  # tf saturation
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["spark", "engine"], k=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert 4 not in ranked
+    assert ranked[0] == 1  # both-terms doc wins
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_hit_terms"] == 2
+    # saturation: 7x tf of a term must NOT beat one hit of both terms
+    assert by_id[5]["score_micro"] < by_id[1]["score_micro"]

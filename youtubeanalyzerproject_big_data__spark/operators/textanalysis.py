@@ -369,3 +369,59 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a bag-of-terms query -- the
+    classic lexical-search scorer (idf * saturated tf, length-normalized).
+
+    Scale design: the corpus is scanned ONCE; per-doc query-term tfs come
+    from a map-side token filter (only query-term hits survive into the
+    aggregate, so the shuffle is |hits|, not |tokens|), doc length is a
+    map-side expression, df/avgdl/N are model-sized aggregates inlined as
+    literals, and the final top-k compiles to TakeOrderedAndProject (no
+    full sort).  Per-term contributions are integer-quantized
+    (floor * 1e6) before the per-doc sum, so scores are partition- and
+    engine-invariant; ties break on doc_id.  idf uses the
+    Robertson-Sparck-Jones form ln(1 + (N-df+0.5)/(df+0.5)), never
+    negative.  Returns (doc_id, n_hit_terms, score_micro) -- the k best.
+    """
+    terms = list(dict.fromkeys(terms))
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).select("doc_id", "_toks", F.size("_toks").cast("long").alias("dl"))
+    lengths = docs.select("doc_id", "dl")
+    n_docs, sum_dl = docs.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    avgdl = float(sum_dl) / float(max(n_docs, 1))
+
+    hits = (
+        docs.select("doc_id", F.explode("_toks").alias("token"))
+        .where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = {r["token"]: r["n"] for r in hits.groupBy("token").agg(F.count_distinct("doc_id").alias("n")).collect()}
+    import math
+
+    idf = {t: math.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5)) for t in terms}
+    idf_col = F.create_map(*[x for t in terms for x in (F.lit(t), F.lit(idf[t]))])[F.col("token")]
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = F.floor(idf_col * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom * 1e6).cast("long")
+    scored = (
+        hits.join(lengths, "doc_id")
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_terms"), F.sum("c").cast("long").alias("score_micro"))
+    )
+    return scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
