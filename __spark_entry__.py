@@ -834,6 +834,16 @@ def q_s6(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_em3(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization gate (similarity.scalar_quantize_int8_gate):
+    per-dimension affine uint8 coding of the embeddings table with the
+    half-step reconstruction bound asserted over every value -- the 4x
+    storage cut, contract-checked.  Every arithmetic step is a fixed IEEE
+    sequence the oracle replays bit-for-bit (min/max/scale/round-trip are
+    exact double ops on both engines)."""
+    return similarity.scalar_quantize_int8_gate(load_table(spark, sf, "embeddings"), "vec_id", "embedding")
+
+
 def q_em2(spark: SparkSession, sf: str) -> DataFrame:
     """Per-vector L2 and mean-centered L2 norms (the cosine-retrieval
     preprocessing audit; similarity.normalization_stats).  Corpus mean =
@@ -1568,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se6_stream_dedup_ttl": q_se6,
         "em1_label_centroids": q_em1,
         "em2_normalization_stats": q_em2,
+        "em3_int8_quantization_gate": q_em3,
         "km1_kmeans_centroids": q_km1,
         "j1_orders_line_counts_top10": q_j1,
         "j6_topk_enriched_customers": q_j6,
@@ -2467,6 +2478,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_key,
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        # Quantization replay: same UNNEST/pos convention as em1; scale,
+        # code, and round-trip error are the identical double sequence, so
+        # the half-step gate bit matches exactly (constant dims: sc=0 ->
+        # code 0, error 0, vacuously within bound).
+        "em3_int8_quantization_gate": """
+            WITH x AS (
+              SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+                     GENERATE_SUBSCRIPTS(embedding, 1) AS p
+              FROM embeddings),
+            x2 AS (SELECT vec_id, CAST(p - 1 AS INT) AS pos, v FROM x),
+            s AS (SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM x2 GROUP BY pos),
+            jj AS (SELECT x2.pos, v, dmin, dmax, (dmax - dmin) / 255.0 AS sc
+                   FROM x2 JOIN s USING (pos)),
+            c AS (SELECT pos, v, dmin, dmax, sc,
+                         CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
+                              ELSE CAST(GREATEST(0, LEAST(255, FLOOR((v - dmin) / sc + 0.5))) AS BIGINT)
+                         END AS code
+                  FROM jj),
+            e AS (SELECT pos, dmin, dmax,
+                         CASE WHEN ABS(v - (dmin + code * sc)) <= sc * 0.5 THEN 1 ELSE 0 END AS ok
+                  FROM c)
+            SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(MIN(ok) AS INT) AS all_within_half_step,
+                   ROUND(MIN(dmin), 6) AS dim_min,
+                   ROUND(MIN(dmax), 6) AS dim_max
+            FROM e GROUP BY pos
         """,
         "em1_label_centroids": f"""
             WITH x AS (

@@ -216,3 +216,22 @@ def test_refine_topk_improves_or_matches_raw_index(clustered):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["cos_sim"] == exact_scores[key]
+
+
+def test_int8_quantization_gate_holds_and_handles_constant_dim(spark):
+    """Every value must round-trip within half a quantization step; a
+    constant dimension degenerates to scale 0 / code 0 / zero error and
+    still gates green."""
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import scalar_quantize_int8_gate
+
+    rows = [
+        (1, [0.0, 7.5, -1.0]),
+        (2, [1.0, 7.5, 0.25]),
+        (3, [0.123, 7.5, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["pos"]: r for r in scalar_quantize_int8_gate(emb, "vec_id", "embedding").collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(r["all_within_half_step"] == 1 for r in out.values())
+    assert all(r["n_values"] == 3 for r in out.values())
+    assert out[1]["dim_min"] == out[1]["dim_max"] == 7.5  # constant dim

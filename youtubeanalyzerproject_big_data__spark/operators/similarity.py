@@ -610,3 +610,45 @@ def topk_recall(
         )
         .select(query_col, "n_hits", F.round(F.col("n_hits") / F.col("_k"), 6).alias(f"recall_at_{k}"))
     )
+
+
+def scalar_quantize_int8_gate(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of an embedding column with a
+    machine-checked reconstruction contract -- the 4x storage cut (float32
+    -> uint8 codes + per-dim affine params) embedding stores apply before
+    ANN indexing.
+
+    code = clamp(floor((x - min_d) / scale_d + 0.5), 0, 255) with
+    scale_d = (max_d - min_d) / 255; reconstruction min_d + code*scale_d
+    is then within scale_d/2 of x BY CONSTRUCTION -- and that bound is the
+    gate: one row per dimension asserting every corpus value round-trips
+    within half a quantization step (constant dimensions degenerate to
+    code 0, error exactly 0).
+
+    Scale: per-dim min/max is one model-sized aggregate broadcast back;
+    coding + error check are map-side expressions over the posexploded
+    corpus; the output aggregate is dim-sized.  Every arithmetic step is
+    a fixed IEEE sequence the DuckDB oracle replays bit-for-bit.
+    """
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v0"),
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    stats = x.groupBy("pos").agg(F.min("v").alias("dmin"), F.max("v").alias("dmax"))
+    j = x.join(F.broadcast(stats), "pos")
+    sc = (F.col("dmax") - F.col("dmin")) / F.lit(255.0)
+    code = F.when(sc == 0, F.lit(0).cast("long")).otherwise(
+        F.greatest(F.lit(0).cast("long"), F.least(F.lit(255).cast("long"), F.floor((F.col("v") - F.col("dmin")) / sc + F.lit(0.5))))
+    )
+    err_ok = (F.abs(F.col("v") - (F.col("dmin") + code * sc)) <= sc * F.lit(0.5)).cast("int")
+    return (
+        j.select("pos", "dmin", "dmax", err_ok.alias("ok"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.min("ok").alias("all_within_half_step"),
+            F.round(F.min("dmin"), 6).alias("dim_min"),
+            F.round(F.min("dmax"), 6).alias("dim_max"),
+        )
+        .orderBy("pos")
+    )
