@@ -191,3 +191,11 @@ def test_auto_codec_samples_video_frames_via_ffmpeg(spark):
     vid_feats = multimodal.extract_features(media, decode_stub="auto").collect()
     assert vid_feats[0]["feat_dim"] == 64 * 64 * 15  # gray rawvideo: w*h*frames
     assert 0.0 < vid_feats[0]["feat_mean"] < 1.0
+
+    # real spatial downscale: re-encoded clip decodes to quarter dimensions
+    small = multimodal.transform_media(media, op="resize", factor=2, decode_stub="auto").collect()
+    assert 0 < small[0]["n_bytes"] < len(blob) * 2  # re-encoded, sane size
+    df2 = spark.createDataFrame([(2, bytearray(bytes(small[0]["content"])))], "doc_id long, blob binary")
+    media2 = multimodal.attach_media_metadata(df2, "doc_id", "blob", "video")
+    feats2 = multimodal.extract_features(media2, decode_stub="auto").collect()
+    assert feats2[0]["feat_dim"] == 32 * 32 * 15  # (64/2)^2 per frame

@@ -232,15 +232,18 @@ def transform_media(
 
                 for modality, content in zip(pdf["modality"], pdf["content"]):
                     _require_auto_codec(modality)
-                    if modality != "image":
-                        raise NotImplementedError("auto resize implemented for image only")
-                    from PIL import Image
+                    if modality == "video":
+                        small = _ffmpeg_resize_video(bytes(content), factor)
+                    elif modality == "image":
+                        from PIL import Image
 
-                    img = Image.open(_io.BytesIO(bytes(content)))
-                    small_img = img.resize((max(img.width // factor, 1), max(img.height // factor, 1)))
-                    buf = _io.BytesIO()
-                    small_img.save(buf, format="PNG")
-                    small = buf.getvalue()
+                        img = Image.open(_io.BytesIO(bytes(content)))
+                        small_img = img.resize((max(img.width // factor, 1), max(img.height // factor, 1)))
+                        buf = _io.BytesIO()
+                        small_img.save(buf, format="PNG")
+                        small = buf.getvalue()
+                    else:
+                        raise NotImplementedError("auto resize implemented for image and video only")
                     contents.append(small)
                     sizes.append(len(small))
                     digests.append(hashlib.md5(small).hexdigest())
@@ -348,3 +351,30 @@ def _ffmpeg_sample_frames(blob: bytes, fps: float) -> list[tuple[int, str]]:
             with open(_os.path.join(d, name), "rb") as f:
                 out.append((i, hashlib.md5(f.read()).hexdigest()))
         return out
+
+
+def _ffmpeg_resize_video(blob: bytes, factor: int) -> bytes:
+    """Real video spatial downscale via the ffmpeg CLI: scale=iw/f:ih/f
+    (dimensions forced even for yuv420p), re-encoded to MP4.  Temp files on
+    both ends: the mp4 muxer needs a seekable output."""
+    import os as _os
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="resize_") as d:
+        src, dst = _os.path.join(d, "in.bin"), _os.path.join(d, "out.mp4")
+        with open(src, "wb") as f:
+            f.write(blob)
+        proc = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-y", "-i", src,
+                "-vf", f"scale=trunc(iw/{factor}/2)*2:trunc(ih/{factor}/2)*2",
+                "-an", dst,
+            ],
+            capture_output=True,
+            check=False,
+        )
+        if proc.returncode != 0 or not _os.path.exists(dst):
+            raise ValueError(f"ffmpeg failed to resize video: {proc.stderr.decode(errors='replace')[:200]}")
+        with open(dst, "rb") as f:
+            return f.read()
