@@ -24,7 +24,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_lane_sql, md5_int32_sql
+from youtubeanalyzerproject_big_data__spark.functions.hashing import (
+    md5_int32_lane_sql,
+    md5_int32_lanes as md5_int32_lanes_col,
+    md5_int32_sql,
+)
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize as textfns_normalize
 from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum
 from youtubeanalyzerproject_big_data__spark.io import load_events, load_table
@@ -565,6 +569,56 @@ def q_w4(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 6).alias("rolling_sum"),
         F.round(F.min("value").over(w), 6).alias("rolling_min"),
         F.round(F.max("value").over(w), 6).alias("rolling_max"),
+    )
+
+
+def q_w5(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 10-MINUTE per-user stats (time-based RANGE frame, the
+    companion to w4's ROWS frame): each event aggregates every event of
+    the same user in the trailing 600 s window, however many rows that is
+    -- the rate/velocity primitive (events-per-window, value-per-window).
+    Frames are value-defined (epoch-micros range, peers included), so no
+    row tiebreak is needed; sums are decimal-exact.  Both engines frame on
+    the same integer micros with inclusive bounds."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+        F.round(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 6).alias("trailing_sum"),
+    )
+
+
+def q_l2(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-invariant table fingerprint of events: per-row md5 over a
+    canonical encoding (ints + micros + DECIMAL-formatted value, '|'-
+    joined), two 32-bit lanes XOR-folded corpus-wide + the row count --
+    the replication/consistency-check primitive (two clusters compare 3
+    integers to validate a 100 TB copy).  XOR is associative/commutative
+    and never overflows, so the reduction is map-side, partition-order-
+    free, and engine-exact; value goes through decimal(18,6)->string so
+    both engines hash identical bytes (double formatting differs)."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.coalesce(F.col("event_type"), F.lit("__null__")),
+        F.unix_micros("ts").cast("string"),
+        F.col("value").cast(DEC).cast("string"),
+    )
+    lanes = md5_int32_lanes_col(canon, seed="fp", lanes=2)
+    return e.select(lanes[0].alias("l0"), lanes[1].alias("l1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor("l0").cast("long").alias("fp_lane0"),
+        F.bit_xor("l1").cast("long").alias("fp_lane1"),
     )
 
 
@@ -1589,11 +1643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_user_running_value": q_w2,
         "w3_order_lag_quartiles": q_w3,
         "w4_rolling_user_value": q_w4,
+        "w5_trailing_window_rate": q_w5,
         "g6_triangle_census": q_g6,
         "u1_cdc_merge": q_u1,
         "u2_incremental_dedup_index": q_u2,
         "v1_served_category_stats": q_v1,
         "l1_zorder_keys": q_l1,
+        "l2_table_fingerprint": q_l2,
         "f11_funnel_counts": q_f11,
         "sj_customers_with_orders": q_semi,
         "aj_customers_without_orders": q_anti,
@@ -2610,6 +2666,20 @@ def oracle_sql() -> dict[str, str]:
         # Z-order replay: identical rescale ((x-lo)/(hi-lo))*cells -> floor
         # -> clamp, then the same Morton bit-interleave; integer bit ops
         # are engine-exact, the rescale is the same IEEE sequence.
+        # Fingerprint replay: identical canonical bytes (decimal(18,6)
+        # string form on both engines), same md5 lanes, XOR fold.
+        "l2_table_fingerprint": f"""
+            WITH c AS (
+              SELECT concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                               COALESCE(event_type, '__null__'),
+                               CAST(epoch_ns(ts) // 1000 AS VARCHAR),
+                               CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)) AS canon
+              FROM events)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "fp", 0)}) AS BIGINT) AS fp_lane0,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "fp", 1)}) AS BIGINT) AS fp_lane1
+            FROM c
+        """,
         "l1_zorder_keys": f"""
             WITH st AS (
               SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lox, MAX(CAST(o_custkey AS DOUBLE)) AS hix,
@@ -2681,6 +2751,16 @@ def oracle_sql() -> dict[str, str]:
         # not raw nanos: Spark frames rows at microsecond resolution, so the
         # oracle must collapse sub-microsecond distinctions the same way
         # before the (ts, event_id) tiebreak.
+        # RANGE-frame replay: value-defined frames over the same integer
+        # micros, inclusive bounds, peers included -- no tiebreak needed.
+        "w5_trailing_window_rate": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER win AS BIGINT) AS trailing_n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE), 6) AS trailing_sum
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        """,
         "w4_rolling_user_value": """
             SELECT event_id, user_id,
                    CAST(COUNT(*) OVER win AS BIGINT) AS rolling_n,

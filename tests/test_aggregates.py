@@ -48,3 +48,23 @@ def test_frequency_distribution(videos):
 
 def test_distinct_count(videos):
     assert agg.distinct_count(videos, "uploader").collect()[0]["n_distinct"] == 4
+
+
+def test_table_fingerprint_order_invariant_and_sensitive(spark):
+    """l2's XOR-fold fingerprint: identical under any partitioning/order;
+    any single-row change flips it."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_lanes
+
+    def fp(df):
+        lanes = md5_int32_lanes(F.col("s"), seed="fp", lanes=2)
+        row = df.select(lanes[0].alias("l0"), lanes[1].alias("l1")).agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor("l0").alias("a"), F.bit_xor("l1").alias("b")
+        ).collect()[0]
+        return (row["n"], row["a"], row["b"])
+
+    base = spark.createDataFrame([(f"row-{i}",) for i in range(100)], "s string")
+    assert fp(base) == fp(base.repartition(13)) == fp(base.orderBy(F.desc("s")))
+    changed = spark.createDataFrame([(f"row-{i}" if i != 50 else "row-50x",) for i in range(100)], "s string")
+    assert fp(changed) != fp(base)
