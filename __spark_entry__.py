@@ -1373,6 +1373,15 @@ def q_t11(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t12(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift monitor (operators/textanalysis.token_drift_kl):
+    KL(P_old || P_new) over add-1-smoothed token distributions, the first
+    250 doc_ids playing the prior snapshot and the rest the new batch.
+    Quantized vocab-sized sum; t8-class libm residual documented."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return text.token_drift_kl(docs.where("doc_id < 250"), docs.where("doc_id >= 250"), "text")
+
+
 def q_t9(spark: SparkSession, sf: str) -> DataFrame:
     """PII detection/redaction signals per document (email/phone/digit-run
     pattern counts + md5 of the digit-redacted text).  Map-side regexp
@@ -1686,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_pii_signals": q_t9,
         "t10_bigram_logprob": q_t10,
         "t11_bm25_topk": q_t11,
+        "t12_token_drift_kl": q_t12,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -3067,6 +3077,29 @@ def oracle_sql() -> dict[str, str]:
         # exact integer arithmetic in both engines; the only float op is the
         # final rounded mean.  DOUBLE casts mirror the engine's c/N double
         # division and double 1e6 multiply bit-for-bit.
+        # Drift replay: same tokenization, same add-1 smoothed p/q with
+        # scalar totals, same (p * ln(p/q)) * 1e9 floor sequence.
+        "t12_token_drift_kl": r"""
+            WITH tk AS (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+              FROM documents),
+            c AS (SELECT token,
+                         CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+                         CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+                  FROM tk GROUP BY token),
+            g AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old, CAST(SUM(c_new) AS BIGINT) AS n_new,
+                         CAST(COUNT(*) AS BIGINT) AS vsz
+                  FROM c),
+            t AS (SELECT CAST(floor(
+                           (CAST(c_old + 1 AS DOUBLE) / CAST(n_old + vsz AS DOUBLE))
+                           * ln((CAST(c_old + 1 AS DOUBLE) / CAST(n_old + vsz AS DOUBLE))
+                                / (CAST(c_new + 1 AS DOUBLE) / CAST(n_new + vsz AS DOUBLE)))
+                           * 1e9) AS BIGINT) AS term
+                  FROM c, g)
+            SELECT g.n_old AS n_old_tokens, g.n_new AS n_new_tokens, g.vsz AS vocab_size,
+                   s.k AS kl_micro9, ROUND(s.k / 1e9, 6) AS kl
+            FROM g, (SELECT CAST(SUM(term) AS BIGINT) AS k FROM t) s
+        """,
         # BM25 replay: identical IEEE sequence -- (idf * (tf*2.2)) / denom
         # * 1e6 floored; avgdl as the same double division; literals 2.2 /
         # 0.25 / 0.75 / 1.2 round-trip exactly.  ln crosses libm (t8-class

@@ -203,3 +203,19 @@ def test_bm25_ranks_matching_docs_first(spark):
     assert by_id[1]["n_hit_terms"] == 2
     # saturation: 7x tf of a term must NOT beat one hit of both terms
     assert by_id[5]["score_micro"] < by_id[1]["score_micro"]
+
+
+def test_token_drift_kl_zero_on_identical_and_positive_on_shift(spark):
+    """KL(P||P) must be ~0 (exactly 0 in quantized micro-nats up to floor
+    jitter); a vocabulary shift must be clearly positive; counts add up."""
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import token_drift_kl
+
+    a = spark.createDataFrame([(1, "x y z x y z"), (2, "x x y")], "doc_id long, text string")
+    same = token_drift_kl(a, a, "text").collect()[0]
+    assert same["n_old_tokens"] == same["n_new_tokens"] == 9
+    assert abs(same["kl"]) < 1e-6  # identical distributions
+
+    b = spark.createDataFrame([(3, "p q r p q r p q r")], "doc_id long, text string")
+    drift = token_drift_kl(a, b, "text").collect()[0]
+    assert drift["kl"] > 0.1  # disjoint vocabularies -> large divergence
+    assert drift["vocab_size"] == 6

@@ -425,3 +425,37 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit_terms"), F.sum("c").cast("long").alias("score_micro"))
     )
     return scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
+
+
+def token_drift_kl(old_docs: DataFrame, new_docs: DataFrame, text_col: str) -> DataFrame:
+    """Data-drift monitor between two corpus snapshots: KL(P_old || P_new)
+    over add-1-smoothed token distributions -- the cheap alarm a pipeline
+    runs per ingestion batch (a jump means the new slice's language shifted:
+    new domain, new boilerplate, encoding breakage).
+
+    One union-scan with a side tag, one (token, side) hash aggregate to a
+    model-sized vocab table, scalar totals inlined; per-token contributions
+    p*ln(p/q) are integer-quantized (floor * 1e9 -- terms are tiny) so the
+    vocab-sized sum is partition- and engine-invariant.  ln crosses libm
+    with the documented t8-class ulp residual.  Returns one row:
+    (n_old_tokens, n_new_tokens, vocab_size, kl_micro9, kl).
+    """
+    tagged = old_docs.select(F.lit(0).alias("side"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")).unionByName(
+        new_docs.select(F.lit(1).alias("side"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    )
+    counts = tagged.groupBy("token").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("c_old"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("c_new"),
+    )
+    n_old, n_new, vsz = counts.agg(F.sum("c_old"), F.sum("c_new"), F.count(F.lit(1))).collect()[0]
+    n_old, n_new, vsz = int(n_old or 0), int(n_new or 0), int(vsz or 0)
+    p = (F.col("c_old") + 1).cast("double") / F.lit(float(n_old + vsz))
+    q = (F.col("c_new") + 1).cast("double") / F.lit(float(n_new + vsz))
+    term = F.floor(p * F.log(p / q) * 1e9).cast("long")
+    return counts.agg(F.sum(term).cast("long").alias("kl_micro9")).select(
+        F.lit(n_old).cast("long").alias("n_old_tokens"),
+        F.lit(n_new).cast("long").alias("n_new_tokens"),
+        F.lit(vsz).cast("long").alias("vocab_size"),
+        "kl_micro9",
+        F.round(F.col("kl_micro9") / 1e9, 6).alias("kl"),
+    )
