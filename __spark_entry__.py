@@ -376,6 +376,19 @@ def q_a15(spark: SparkSession, sf: str) -> DataFrame:
     return agg.grouped_percentiles(load_events(spark, sf), "event_type", "value")
 
 
+def q_a18(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profile of orders (operators/aggregates.profile_columns):
+    per-column rows/nulls/distinct/min/max in ONE scan (multi-distinct
+    agg + map-side unpivot) -- the trust-but-verify audit before a
+    pipeline consumes a new partition.  o_totalprice stringifies through
+    decimal(18,6) so both engines print identical min/max bytes."""
+    return agg.profile_columns(
+        load_table(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+        decimal_cols={"o_totalprice"},
+    ).orderBy("column")
+
+
 def q_a17(spark: SparkSession, sf: str) -> DataFrame:
     """Approx grouped percentiles gated per group: the 100 TB path of a15
     (grouped_percentiles(approx=True) -- GK sketch, O(accuracy) state per
@@ -1627,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_grouped_percentiles": q_a15,
         "a16_equidepth_histogram": q_a16,
         "a17_approx_grouped_percentiles_gate": q_a17,
+        "a18_column_profile": q_a18,
         "e6_cohort_retention": q_e6,
         "e8_session_paths": q_e8,
         "e7_decayed_engagement": q_e7,
@@ -2406,6 +2420,44 @@ def oracle_sql() -> dict[str, str]:
                    {_davg("length")} AS avg_length,
                    {_davg("rate")} AS avg_rating
             FROM v GROUP BY category
+        """,
+        # Profile replay: per-column UNION ALL of the same aggregates;
+        # o_totalprice min/max through DECIMAL(18,6) strings.
+        "a18_column_profile": """
+            SELECT 'o_custkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   COALESCE(CAST(MIN(o_custkey) AS VARCHAR), '__null__') AS min_str,
+                   COALESCE(CAST(MAX(o_custkey) AS VARCHAR), '__null__') AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+                   COALESCE(CAST(MIN(o_orderkey) AS VARCHAR), '__null__'),
+                   COALESCE(CAST(MAX(o_orderkey) AS VARCHAR), '__null__')
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   COALESCE(MIN(o_orderpriority), '__null__'),
+                   COALESCE(MAX(o_orderpriority), '__null__')
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   COALESCE(MIN(o_orderstatus), '__null__'),
+                   COALESCE(MAX(o_orderstatus), '__null__')
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                   COALESCE(CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,6)) AS VARCHAR), '__null__'),
+                   COALESCE(CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,6)) AS VARCHAR), '__null__')
+            FROM orders
         """,
         # GK-sketch gate, per group: the oracle pins the rank-window
         # contract bit (holds mathematically for rank error 1e-4) plus the

@@ -68,3 +68,24 @@ def test_table_fingerprint_order_invariant_and_sensitive(spark):
     assert fp(base) == fp(base.repartition(13)) == fp(base.orderBy(F.desc("s")))
     changed = spark.createDataFrame([(f"row-{i}" if i != 50 else "row-50x",) for i in range(100)], "s string")
     assert fp(changed) != fp(base)
+
+
+def test_profile_columns_counts_nulls_and_formats_decimals(spark):
+    """One-scan column profile: null accounting, distincts, and the
+    decimal-stringified min/max for float columns; all-null columns keep
+    the '__null__' sentinel."""
+    from youtubeanalyzerproject_big_data__spark.operators.aggregates import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.25), (3, "a", None), (4, "b", 0.125)],
+        "k long, s string, v double",
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["k", "s", "v"], decimal_cols={"v"}).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 4
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["v"]["n_nulls"] == 1 and out["v"]["min_str"] == "0.125000" and out["v"]["max_str"] == "2.250000"
+
+    empty = spark.createDataFrame([(None,), (None,)], "x string")
+    e = profile_columns(empty, ["x"]).collect()[0]
+    assert e["n_nulls"] == 2 and e["min_str"] == "__null__" and e["max_str"] == "__null__"

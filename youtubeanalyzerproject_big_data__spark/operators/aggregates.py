@@ -200,3 +200,49 @@ def cube_stats(df: DataFrame, keys: list[str], value: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("num_rows"), dec_sum(value, f"sum_{value}"))
         .orderBy(*[F.col(k).asc_nulls_first() for k in keys])
     )
+
+
+def profile_columns(df: DataFrame, cols: list, decimal_cols: set | None = None) -> DataFrame:
+    """Data-quality profile: one output row per column with
+    (column, n_rows, n_nulls, n_distinct, min_str, max_str) -- the audit a
+    pipeline runs on every new table/partition before trusting it (null
+    explosions, cardinality collapse, out-of-range values all show here).
+
+    ONE scan: all per-column aggregates run in a single agg (Spark plans
+    multi-distinct via expand -- cost scales with #cols, not #scans), then
+    the single result row unpivots into per-column rows map-side.
+    ``decimal_cols`` names float columns whose min/max must stringify
+    through DECIMAL(18,6) so both engines print identical bytes (double
+    formatting differs across engines).
+    """
+    from youtubeanalyzerproject_big_data__spark.functions.precision import DEC
+
+    decimal_cols = decimal_cols or set()
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).cast("long").alias(f"_cnt_{c}"),
+            F.count_distinct(c).cast("long").alias(f"_dst_{c}"),
+            F.min(c).alias(f"_min_{c}"),
+            F.max(c).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+
+    def s(prefix: str, c: str):
+        v = F.col(f"{prefix}{c}")
+        if c in decimal_cols:
+            v = v.cast(DEC)
+        return F.coalesce(v.cast("string"), F.lit("__null__"))
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_cnt_{c}")).cast("long").alias("n_nulls"),
+            F.col(f"_dst_{c}").alias("n_distinct"),
+            s("_min_", c).alias("min_str"),
+            s("_max_", c).alias("max_str"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
