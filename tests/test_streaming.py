@@ -231,3 +231,51 @@ def test_stream_dedup_ttl_expires_and_reemits(spark, tmp_path_factory):
         assert got == {1, 2, 20, 21}  # re-emission after TTL expiry
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path_factory):
+    """The claim watermarks make ('late events beyond the delay are
+    DROPPED, closed windows evicted') verified end-to-end: a window
+    finalizes once the watermark passes its end, and a later very-late
+    event for that window never changes the emitted result."""
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_hourly_event_stats
+
+    src = str(tmp_path_factory.mktemp("late_stream"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    h0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    # batch 1: two rows in the 10:00 window
+    spark.createDataFrame(
+        [(1, h0 + dt.timedelta(minutes=5), 1, "view", 1.0), (2, h0 + dt.timedelta(minutes=10), 1, "view", 2.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        stream_hourly_event_stats(spark, src, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("late_stream_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event at 13:00 -> watermark 12:30, far past 11:00 -> the
+        # 10:00 window finalizes and emits
+        spark.createDataFrame([(3, h0 + dt.timedelta(hours=3), 1, "view", 5.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        rows = {r["hour"]: r for r in spark.sql("SELECT * FROM late_stream_sink").collect()}
+        assert h0 in rows and rows[h0]["num_events"] == 2
+
+        # batch 3: a VERY late event into the finalized 10:00 window ->
+        # dropped; the emitted window must not change or re-emit
+        spark.createDataFrame([(4, h0 + dt.timedelta(minutes=20), 1, "view", 100.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = [r for r in spark.sql("SELECT * FROM late_stream_sink").collect() if r["hour"] == h0]
+        assert len(got) == 1 and got[0]["num_events"] == 2  # late row dropped, no re-emit
+    finally:
+        q.stop()
