@@ -389,6 +389,50 @@ def q_a18(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_a19(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group HLL gate (a12 generalized to groups): approx distinct
+    users per event_type (rsd=0.01) must land within 5% of the exact
+    count -- the per-partition cardinality monitor that replaces the
+    distinct shuffle at 100 TB.  HLL++ is deterministic for a given
+    dataset, so the gate bit is stable; the oracle pins it plus the exact
+    counts."""
+    e = load_events(spark, sf)
+    out = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    return out.select(
+        "event_type",
+        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05).cast("int").alias("within_5pct"),
+        F.col("exact").cast("long").alias("exact_distinct"),
+    ).orderBy("event_type")
+
+
+def q_e9(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type transition matrix: per-user time-ordered event pairs
+    (lag window, (ts, event_id) tiebreak) counted into (from_type,
+    to_type, n_transitions, p) with p = n / out-transitions-from-from_type
+    -- the Markov-chain view of user behavior (what follows a view? how
+    often does click lead to purchase?).  One user-partitioned window +
+    two hash aggregates; p is an exact integer ratio rounded to 6."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(w_from), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
 def q_a17(spark: SparkSession, sf: str) -> DataFrame:
     """Approx grouped percentiles gated per group: the 100 TB path of a15
     (grouped_percentiles(approx=True) -- GK sketch, O(accuracy) state per
@@ -1641,8 +1685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_equidepth_histogram": q_a16,
         "a17_approx_grouped_percentiles_gate": q_a17,
         "a18_column_profile": q_a18,
+        "a19_group_distinct_gate": q_a19,
         "e6_cohort_retention": q_e6,
         "e8_session_paths": q_e8,
+        "e9_transition_matrix": q_e9,
         "e7_decayed_engagement": q_e7,
         "p1_pivot_flag_status": q_p1,
         "p2_unpivot_priority_stats": q_p2,
@@ -2420,6 +2466,28 @@ def oracle_sql() -> dict[str, str]:
                    {_davg("length")} AS avg_length,
                    {_davg("rate")} AS avg_rating
             FROM v GROUP BY category
+        """,
+        # Per-group HLL gate: sketch internals are engine-specific, so the
+        # oracle pins the contract bit + exact counts (a12's pattern).
+        "a19_group_distinct_gate": """
+            SELECT event_type, 1 AS within_5pct,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type
+        """,
+        # Transition replay: same lag over (epoch-micros, event_id) order;
+        # p is the exact integer ratio rounded identically.
+        "e9_transition_matrix": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_ns(ts) // 1000, event_id) AS from_type
+              FROM events),
+            c AS (SELECT from_type, event_type AS to_type,
+                         CAST(COUNT(*) AS BIGINT) AS n_transitions
+                  FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, n_transitions,
+                   ROUND(n_transitions / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+            FROM c
         """,
         # Profile replay: per-column UNION ALL of the same aggregates;
         # o_totalprice min/max through DECIMAL(18,6) strings.
