@@ -1430,6 +1430,14 @@ def q_t11(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t13(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token-entropy diversity score
+    (operators/textanalysis.token_entropy): Shannon entropy in nats over
+    each doc's own token distribution, quantized sums; both tails are
+    curation cuts (looped text ~0, token soup ~ln(n))."""
+    return text.token_entropy(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_t12(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus drift monitor (operators/textanalysis.token_drift_kl):
     KL(P_old || P_new) over add-1-smoothed token distributions, the first
@@ -1756,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_bigram_logprob": q_t10,
         "t11_bm25_topk": q_t11,
         "t12_token_drift_kl": q_t12,
+        "t13_token_entropy": q_t13,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -3197,6 +3206,29 @@ def oracle_sql() -> dict[str, str]:
         # exact integer arithmetic in both engines; the only float op is the
         # final rounded mean.  DOUBLE casts mirror the engine's c/N double
         # division and double 1e6 multiply bit-for-bit.
+        # Entropy replay: same tokenization; per-doc n via a window, the
+        # identical -(tf/n)ln(tf/n) floor-micro sequence.
+        "t13_token_entropy": r"""
+            WITH tk AS (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+            x AS (SELECT doc_id, tf, CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM tf),
+            t AS (SELECT doc_id, n,
+                         CAST(floor(-((CAST(tf AS DOUBLE) / CAST(n AS DOUBLE))
+                                      * ln(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6) AS BIGINT) AS term
+                  FROM x),
+            pd AS (SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_tokens,
+                          CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                          CAST(SUM(term) AS BIGINT) AS entropy_micro
+                   FROM t GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(pd.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+                   CAST(COALESCE(pd.entropy_micro, 0) AS BIGINT) AS entropy_micro,
+                   ROUND(COALESCE(pd.entropy_micro, 0) / 1e6, 6) AS entropy
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
         # Drift replay: same tokenization, same add-1 smoothed p/q with
         # scalar totals, same (p * ln(p/q)) * 1e9 floor sequence.
         "t12_token_drift_kl": r"""

@@ -219,3 +219,21 @@ def test_token_drift_kl_zero_on_identical_and_positive_on_shift(spark):
     drift = token_drift_kl(a, b, "text").collect()[0]
     assert drift["kl"] > 0.1  # disjoint vocabularies -> large divergence
     assert drift["vocab_size"] == 6
+
+
+def test_token_entropy_tails(spark):
+    """Degenerate text scores ~0; a uniform distribution scores ln(k)."""
+    import math
+
+    import pytest
+
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "a b c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs, "doc_id", "text").collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct_tokens"] == 1
+    assert out[2]["entropy"] == pytest.approx(math.log(4), abs=1e-5)  # uniform over 4
+    assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0

@@ -459,3 +459,48 @@ def token_drift_kl(old_docs: DataFrame, new_docs: DataFrame, text_col: str) -> D
         "kl_micro9",
         F.round(F.col("kl_micro9") / 1e9, 6).alias("kl"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) --
+    the diversity twin of the repetition signals: near-zero entropy flags
+    degenerate/looped text, unusually high entropy flags token soup, and
+    both tails are curation cuts.
+
+    One (doc, token) hash aggregate; per-doc totals ride a doc-partitioned
+    window (group-sized); each -(tf/n)ln(tf/n) term is integer-quantized
+    (floor * 1e6) before the per-doc sum, so the result is partition- and
+    engine-invariant (ln crosses libm -- t8-class documented residual).
+    Returns (doc_id, n_tokens, n_distinct_tokens, entropy_micro, entropy);
+    empty docs keep 0 sentinels.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id")
+    frac = F.col("tf").cast("double") / F.col("n").cast("double")
+    per_doc = (
+        tf.withColumn("n", F.sum("tf").over(w))
+        .select("doc_id", "n", F.floor(-(frac * F.log(frac)) * 1e6).cast("long").alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.sum("term").cast("long").alias("entropy_micro"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).cast("long").alias("n_distinct_tokens"),
+            F.coalesce("entropy_micro", F.lit(0)).cast("long").alias("entropy_micro"),
+            F.round(F.coalesce("entropy_micro", F.lit(0)) / 1e6, 6).alias("entropy"),
+        )
+    )
