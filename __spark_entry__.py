@@ -1430,6 +1430,14 @@ def q_t11(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t14(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 distinctive tokens per source
+    (operators/textanalysis.distinctive_terms): smoothed log-odds of each
+    source's token rate vs the rest of the corpus, quantized, two-stage
+    top-k cut.  t8-class libm residual on ln, documented there."""
+    return text.distinctive_terms(load_table(spark, sf, "documents"), "source", "text", k=5)
+
+
 def q_t13(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document token-entropy diversity score
     (operators/textanalysis.token_entropy): Shannon entropy in nats over
@@ -1765,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_bm25_topk": q_t11,
         "t12_token_drift_kl": q_t12,
         "t13_token_entropy": q_t13,
+        "t14_distinctive_terms": q_t14,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -3206,6 +3215,30 @@ def oracle_sql() -> dict[str, str]:
         # exact integer arithmetic in both engines; the only float op is the
         # final rounded mean.  DOUBLE casts mirror the engine's c/N double
         # division and double 1e6 multiply bit-for-bit.
+        # Distinctive-terms replay: same smoothed log-odds sequence with
+        # scalar totals; ROW_NUMBER over (score DESC, token) = the
+        # engine's two-stage top-k (order-equivalent by construction).
+        "t14_distinctive_terms": r"""
+            WITH tk AS (
+              SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+              FROM documents),
+            g AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_gt FROM tk GROUP BY 1, 2),
+            t AS (SELECT token, CAST(SUM(c_gt) AS BIGINT) AS c_t FROM g GROUP BY token),
+            ns AS (SELECT source, CAST(SUM(c_gt) AS BIGINT) AS n_g FROM g GROUP BY source),
+            tots AS (SELECT CAST(SUM(c_gt) AS BIGINT) AS n_all FROM g),
+            v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM t),
+            sc AS (SELECT g.source, g.token,
+                          CAST(floor(ln(
+                            (CAST(c_gt + 1 AS DOUBLE) / CAST(n_g + vsz AS DOUBLE))
+                            / (CAST(c_t - c_gt + 1 AS DOUBLE) / CAST(n_all - n_g + vsz AS DOUBLE))
+                          ) * 1e6) AS BIGINT) AS score_micro
+                   FROM g JOIN t USING (token) JOIN ns USING (source), tots, v),
+            r AS (SELECT source, token, score_micro,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                                 ORDER BY score_micro DESC, token) AS INT) AS rank
+                  FROM sc)
+            SELECT source, token, score_micro, rank FROM r WHERE rank <= 5
+        """,
         # Entropy replay: same tokenization; per-doc n via a window, the
         # identical -(tf/n)ln(tf/n) floor-micro sequence.
         "t13_token_entropy": r"""

@@ -237,3 +237,28 @@ def test_token_entropy_tails(spark):
     assert out[1]["entropy"] == 0.0 and out[1]["n_distinct_tokens"] == 1
     assert out[2]["entropy"] == pytest.approx(math.log(4), abs=1e-5)  # uniform over 4
     assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
+
+
+def test_distinctive_terms_surface_group_specific_tokens(spark):
+    """Tokens unique to a group must top its list; shared filler must not."""
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "the quick crawler fetched the page"),
+            (2, "web", "the crawler parsed the page html"),
+            (3, "chat", "the quick reply said hello there"),
+            (4, "chat", "hello again said the reply bot"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = distinctive_terms(docs, "source", "text", k=3).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["source"], []).append((r["rank"], r["token"]))
+    web_tokens = {t for _, t in top["web"]}
+    chat_tokens = {t for _, t in top["chat"]}
+    assert web_tokens & {"crawler", "page", "html", "parsed", "fetched"}
+    assert chat_tokens & {"hello", "reply", "said", "bot"}
+    assert "the" not in web_tokens and "the" not in chat_tokens  # shared filler
+    assert all(len(v) == 3 for v in top.values())

@@ -504,3 +504,63 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.coalesce("entropy_micro", F.lit(0)) / 1e6, 6).alias("entropy"),
         )
     )
+
+
+def distinctive_terms(df: DataFrame, group_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-k distinctive tokens per group (smoothed log-odds of the
+    group's token rate vs the REST of the corpus) -- the corpus-comparison
+    primitive ('what makes source A read differently?'), used for domain
+    tagging and contamination triage.
+
+    score(g, t) = ln( ((c_gt+1)/(n_g+V)) / ((c_t-c_gt+1)/(n_rest_g+V)) ),
+    integer-quantized.  One (group, token) hash aggregate; per-token
+    global counts join back (AQE picks broadcast while the vocab is
+    small); per-group totals and V are model-sized literals.  The final
+    cut is the two-stage partial top-k (map-side slice per partition
+    before the window), so no reducer sees a full vocabulary.
+    Returns (group, token, score_micro, rank); ties break on token.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_gt"))
+    )
+    tot = g.groupBy("token").agg(F.sum("c_gt").cast("long").alias("c_t"))
+    per_group = {r["grp"]: int(r["n"]) for r in g.groupBy("grp").agg(F.sum("c_gt").alias("n")).collect()}
+    n_all = sum(per_group.values())
+    vsz = tot.count()
+    n_g = F.create_map(*[x for grp, n in sorted(per_group.items()) for x in (F.lit(grp), F.lit(n))])[F.col("grp")]
+    scored = g.join(tot, "token").select(
+        "grp",
+        "token",
+        F.floor(
+            F.log(
+                ((F.col("c_gt") + 1).cast("double") / (n_g + F.lit(vsz)).cast("double"))
+                / ((F.col("c_t") - F.col("c_gt") + 1).cast("double") / (F.lit(n_all) - n_g + F.lit(vsz)).cast("double"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    # two-stage top-k: partial slice per (partition, group), final window
+    part = (
+        scored.groupBy(F.spark_partition_id().alias("_pid"), "grp")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct((-F.col("score_micro")).alias("ns"), F.col("token").alias("t")))),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("grp", F.explode("top").alias("x"))
+        .select("grp", F.col("x.t").alias("token"), (-F.col("x.ns")).alias("score_micro"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score_micro"), F.asc("token"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "token", "score_micro", "rank")
+    )
