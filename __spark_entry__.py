@@ -18,6 +18,7 @@ youtubeanalyzerproject_big_data__spark/functions/precision.py):
 from __future__ import annotations
 
 import os
+import sys
 import time
 from collections.abc import Callable
 
@@ -583,7 +584,11 @@ def q_v1(spark: SparkSession, sf: str) -> DataFrame:
     marker); second call hits the artifact -- and the HIT-path read is
     what the oracle diffs, so the materialize/read-back round-trip itself
     is verified, not just the underlying aggregate.  UTC pinned: length
-    derives from the NTZ->timestamp cast."""
+    derives from the NTZ->timestamp cast.  The cache dir is query-lifetime
+    only: the hit-path artifact is pinned (collected, cache-sized by
+    contract) before the dir is removed, so repeated verify/bench runs
+    leave no orphaned v1_cache_* directories behind."""
+    import shutil
     import tempfile
 
     _utc(spark)
@@ -593,10 +598,16 @@ def q_v1(spark: SparkSession, sf: str) -> DataFrame:
         (F.unix_micros("ts") % 1000).cast("double").alias("length"),
         ((F.col("user_id") % 5) + 1).cast("double").alias("rate"),
     )
-    svc = serve.QueryService(spark, videos, tempfile.mkdtemp(prefix="v1_cache_"))
-    svc.serve("categorystats")  # miss: compute + materialize
-    out = svc.serve("categorystats")  # hit: read the committed artifact
-    return out.select("category", "num_videos", "avg_views", "max_views", "avg_length", "avg_rating")
+    cache_dir = tempfile.mkdtemp(prefix="v1_cache_")
+    try:
+        svc = serve.QueryService(spark, videos, cache_dir)
+        svc.serve("categorystats")  # miss: compute + materialize
+        hit = svc.serve("categorystats")  # hit: read the committed artifact
+        out = hit.select("category", "num_videos", "avg_views", "max_views", "avg_length", "avg_rating")
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_f11(spark: SparkSession, sf: str) -> DataFrame:
@@ -1190,7 +1201,8 @@ def _drive_stream(
     n_batches = ev.run_stream_to_parquet(build(src), sink, ckpt, output_mode)
     if n_files > 1 and n_batches < 2:
         raise RuntimeError(f"expected a multi-batch drain, got {n_batches} batch(es) (src={src})")
-    print(f"[stream {prefix.rstrip('_')}] {n_batches} micro-batches")
+    # stderr: stdout stays reserved for the driver's contract output
+    print(f"[stream {prefix.rstrip('_')}] {n_batches} micro-batches", file=sys.stderr)
     return spark.read.parquet(sink)
 
 

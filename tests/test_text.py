@@ -262,3 +262,22 @@ def test_distinctive_terms_surface_group_specific_tokens(spark):
     assert chat_tokens & {"hello", "reply", "said", "bot"}
     assert "the" not in web_tokens and "the" not in chat_tokens  # shared filler
     assert all(len(v) == 3 for v in top.values())
+
+
+def test_distinctive_terms_drops_null_groups(spark):
+    """A NULL group label must be dropped, not crash the per-group-total
+    lookup (the old create_map literal rejected null keys at runtime)."""
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "crawler crawler page"),
+            (2, None, "orphan tokens with no source label"),
+            (3, "chat", "hello hello reply"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = distinctive_terms(docs, "source", "text", k=2).collect()
+    groups = {r["source"] for r in out}
+    assert groups == {"web", "chat"}  # null group dropped, others unaffected
+    assert all(r["rank"] <= 2 for r in out)

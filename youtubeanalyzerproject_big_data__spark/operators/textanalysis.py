@@ -515,24 +515,29 @@ def distinctive_terms(df: DataFrame, group_col: str, text_col: str, k: int = 5) 
     score(g, t) = ln( ((c_gt+1)/(n_g+V)) / ((c_t-c_gt+1)/(n_rest_g+V)) ),
     integer-quantized.  One (group, token) hash aggregate; per-token
     global counts join back (AQE picks broadcast while the vocab is
-    small); per-group totals and V are model-sized literals.  The final
-    cut is the two-stage partial top-k (map-side slice per partition
-    before the window), so no reducer sees a full vocabulary.
+    small); per-group totals join back as an explicit broadcast (a
+    create_map literal would reject NULL keys at runtime and grow with
+    group cardinality); corpus total and V are scalar literals.  NULL
+    groups are dropped up front (no "rest of corpus" is defined for an
+    unlabeled doc).  The final cut is the two-stage partial top-k
+    (map-side slice per partition before the window), so no reducer sees
+    a full vocabulary.
     Returns (group, token, score_micro, rank); ties break on token.
     """
     from pyspark.sql import Window
 
     g = (
-        df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        df.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
         .groupBy("grp", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("c_gt"))
     )
     tot = g.groupBy("token").agg(F.sum("c_gt").cast("long").alias("c_t"))
-    per_group = {r["grp"]: int(r["n"]) for r in g.groupBy("grp").agg(F.sum("c_gt").alias("n")).collect()}
-    n_all = sum(per_group.values())
+    gtot = g.groupBy("grp").agg(F.sum("c_gt").cast("long").alias("_n_g"))
+    n_all = gtot.agg(F.sum("_n_g")).collect()[0][0] or 0
     vsz = tot.count()
-    n_g = F.create_map(*[x for grp, n in sorted(per_group.items()) for x in (F.lit(grp), F.lit(n))])[F.col("grp")]
-    scored = g.join(tot, "token").select(
+    n_g = F.col("_n_g")
+    scored = g.join(tot, "token").join(F.broadcast(gtot), "grp").select(
         "grp",
         "token",
         F.floor(

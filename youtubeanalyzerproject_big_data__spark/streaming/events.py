@@ -298,11 +298,15 @@ def stream_dedup_with_ttl(
         keep = None
         ts_max_ms = None
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue  # empty Arrow chunk: min/max would yield NaN/NaT
             m = pdf["doc_id"].min()
             keep = m if keep is None else min(keep, m)
             t = pdf["ts"].max()
             t_ms = int(t.value // 1_000_000)  # pandas Timestamp ns -> epoch ms
             ts_max_ms = t_ms if ts_max_ms is None else max(ts_max_ms, t_ms)
+        if ts_max_ms is None:
+            return  # every chunk empty: leave state/timeout untouched
         state.update((True,))
         state.setTimeoutTimestamp(ts_max_ms + ttl_seconds * 1000)
         if not seen:
