@@ -134,6 +134,25 @@ def _cell_order(m: np.ndarray, cents) -> np.ndarray:
     return np.argsort(-scores, axis=1, kind="stable")
 
 
+def make_kmeans_assign(cents):
+    """Nearest-centroid cell by squared-L2 (dist ASC, cell ASC tiebreak),
+    exact-sequential -- bit-identical to the interpreted
+    zip_with/aggregate fold in clustering._sq_l2 + array_min struct pick
+    (equivalence-tested in tests/test_properties.py).  np.argmin's
+    first-occurrence-of-min rule IS the ascending-cell tiebreak."""
+    cents = [list(map(float, c)) for c in cents]
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        m = _as_matrix(v)
+        d = np.column_stack([_seq_sq_l2_lit(m, c) for c in cents])
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return _assign
+
+
 def make_cell_top1(cents):
     """Nearest-cell assignment (dot DESC, cell ASC tiebreak), exact."""
     cents = [list(map(float, c)) for c in cents]

@@ -9,8 +9,10 @@ whose payload is the k x dim partial-sum grid, never the vectors.
 
 Cross-engine determinism (the same recipe as graph.pagerank and
 similarity.label_centroids):
-  * assignment distance is a sequential IEEE fold (zip_with + aggregate)
-    with (dist ASC, cell ASC) tiebreaks;
+  * assignment distance is a sequential IEEE fold with (dist ASC, cell
+    ASC) tiebreaks -- Arrow-vectorized by default (_arrow_udfs.
+    make_kmeans_assign, bit-identical to the zip_with + aggregate
+    expression form, which _assign(use_arrow=False) retains);
   * centroid updates integer-quantize each element (floor(val * 1e6)),
     sum as int64 (exact in any order), and divide back with one
     correctly-rounded IEEE division;
@@ -42,8 +44,19 @@ def _sq_l2(vec_col, cent: list[float]):
     )
 
 
-def _assign(emb: DataFrame, vec_col: str, cents: list[list[float]]) -> DataFrame:
-    """Nearest-centroid cell per row; ties to the smallest cell id."""
+def _assign(emb: DataFrame, vec_col: str, cents: list[list[float]], use_arrow: bool = True) -> DataFrame:
+    """Nearest-centroid cell per row; ties to the smallest cell id.
+
+    ``use_arrow`` (default) assigns via an Arrow-batched kernel whose
+    per-row result is bit-identical to the Catalyst form (same recipe as
+    similarity's make_cosine_seq: the k x dim interpreted F.aggregate
+    folds were the km1 CPU tax).  ``use_arrow=False`` keeps the pure
+    zip_with/aggregate + array_min expression -- the reference semantics
+    the equivalence test pins the kernel against."""
+    if use_arrow:
+        from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_kmeans_assign
+
+        return emb.withColumn("cell", make_kmeans_assign(cents)(F.col(vec_col)))
     choices = F.array(
         *[F.struct(_sq_l2(F.col(vec_col), c).alias("d"), F.lit(j).alias("j")) for j, c in enumerate(cents)]
     )
@@ -65,6 +78,7 @@ def kmeans_lloyd(
     k: int = 8,
     iters: int = 2,
     hash_seed: str = "km",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """``iters`` Lloyd iterations; returns the final centroid grid.
 
@@ -86,7 +100,7 @@ def kmeans_lloyd(
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for it in range(iters):
-        assigned = _assign(base, "v", cents)
+        assigned = _assign(base, "v", cents, use_arrow=use_arrow)
         grid = _update_grid(assigned, "v")
         if it == iters - 1:
             return grid.select(
