@@ -1366,31 +1366,51 @@ def q_em1(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.label_centroids(emb, "label", "embedding")
 
 
+def _c1_plan(spark: SparkSession, sf: str):
+    """Lazy c1 pipeline over ONE cached documents scan; returns
+    (result_df, cached_base).  Split out so tests/test_plans.py can assert
+    the single-scan shape before the eager pin in q_c1 hides it."""
+    base = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    prof = text.profile_text(base, "doc_id", "text").select("doc_id", "n_tokens", "dup_token_ratio", "lang_pred")
+    pairs = dedup.ngram_jaccard_pairs(base, "doc_id", "text", n=3, threshold=0.8)
+    comp = graph.connected_components_star(pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
+    reps = (
+        base.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    result = (
+        prof.join(reps, "doc_id", "left_semi")
+        .where((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10) & (F.col("dup_token_ratio") <= 0.6))
+        .select("doc_id", "n_tokens", "lang_pred")
+    )
+    return result, base
+
+
 def q_c1(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus curation end-to-end: the selection step of a training-data
     pipeline composed from the engine's own operators -- keep documents that
     are (a) English by marker vote, (b) above quality floors (length,
     repetition), and (c) the REPRESENTATIVE of their near-dup cluster
-    (smallest doc_id; singletons represent themselves).  One declarative
-    plan: per-doc scoring is map-side, dedup clustering reuses d2->star-CC,
-    and the final join keys are narrow ids."""
-    docs = load_table(spark, sf, "documents")
-    quality = text.quality_scores(docs, "doc_id", "text").select("doc_id", "n_tokens", "dup_token_ratio")
-    lang = text.language_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    comp = graph.connected_components_star(pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
-    reps = (
-        docs.select("doc_id")
-        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
-        .select("doc_id")
-    )
-    return (
-        quality.join(lang, "doc_id")
-        .join(reps, "doc_id", "left_semi")
-        .where((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10) & (F.col("dup_token_ratio") <= 0.6))
-        .select("doc_id", "n_tokens", "lang_pred")
-    )
+    (smallest doc_id; singletons represent themselves).
+
+    Single-scan design (r4 advice): documents is scanned ONCE into a cached
+    (doc_id, text) base; quality+lang come from one combined projection
+    (text.profile_text) and the d2 shingle index reads the same cache -- the
+    old form re-scanned and re-tokenized the corpus three times, which at
+    100 TB is two full passes of wasted IO/CPU.  The curated id list
+    (bounded: it only shrinks the corpus) is pinned eagerly, then the cache
+    is released (pin-result-then-unpersist, same as ngram_jaccard_pairs)."""
+    result, base = _c1_plan(spark, sf)
+    pinned = result.localCheckpoint(eager=True)
+    base.unpersist()
+    return pinned
 
 
 def q_t6(spark: SparkSession, sf: str) -> DataFrame:

@@ -60,6 +60,23 @@ def test_rollup_plans_single_expand_aggregate(spark):
     assert "Expand" in plan
 
 
+def test_c1_single_documents_scan(spark):
+    """c1: quality, language-ID, and the shingle index must all feed off ONE
+    cached documents scan -- the old form re-scanned/re-tokenized the corpus
+    three times (r4 advice item 3)."""
+    result, base = entrymod._c1_plan(spark, SF)
+    try:
+        plan = _plan(result)
+        scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan parquet" in ln]
+        # every documents FileScan printed is the SAME cached relation's
+        # child (identical plan ids): one physical cache-filling scan
+        doc_scans = {ln.strip() for ln in scan_lines if "documents" in ln}
+        assert len(doc_scans) <= 1, doc_scans
+        assert plan.count("InMemoryTableScan") >= 2  # prof + reps read the cache
+    finally:
+        base.unpersist()
+
+
 def test_ann_rerank_is_two_stage_topk(spark):
     """s1: the ANN re-rank must be a partial-then-final top-k -- a map-side
     ObjectHashAggregate keyed by spark_partition_id() ahead of the

@@ -80,6 +80,40 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), pred.alias("lang_pred"), best.alias("marker_hits"))
 
 
+def profile_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality + language-ID signals in ONE map-side projection -- the
+    shared-intermediate form of quality_scores + language_id for pipelines
+    (q_c1) that need both: at corpus scale, two separate operators mean two
+    full scans/tokenizations of the text where one pass suffices.  Column
+    semantics are IDENTICAL to the standalone operators (same expression
+    builders), so oracles written against them replay unchanged."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long")
+    n_space = F.length(F.regexp_replace(t, r"[^\s]", "")).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    stop = _marker_count(t, LANG_MARKERS["en"])
+    scores = [(lang, _marker_count(t, words)) for lang, words in sorted(LANG_MARKERS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    pred: Column = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_space / F.greatest(n_chars, F.lit(1)), 6).alias("space_ratio"),
+        F.round((n_tok - n_distinct) / F.greatest(n_tok, F.lit(1)), 6).alias("dup_token_ratio"),
+        F.round(stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(F.greatest(n_chars, F.lit(0)) / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+        pred.alias("lang_pred"),
+        best.alias("marker_hits"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (stable content
     hash), plus a 64-bit prefix as integer for compact storage/joins."""
