@@ -1700,6 +1700,33 @@ def q_als(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_m3(spark: SparkSession, sf: str) -> DataFrame:
+    """ALS run-to-run reproducibility gate: train the SAME seeded pipeline
+    twice in one session and compare order-invariant md5 digests of the
+    full rec output.  Seeded ALS's engine claim is repeatability -- same
+    seed, same data, same factorization -- and this pins it (m1 itself
+    stays rows-only: no engine-independent oracle can replay the
+    factorization, but the engine CAN witness its own determinism).
+    Digest = sum of per-row md5_int32 over (user_idx, user_label,
+    recs_csv) -- order-free by construction (functions/hashing.py), so
+    partition/arrival order can't fake a mismatch.  Constant-contract
+    oracle, m2-style."""
+    from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
+
+    def run_digest():
+        recs = q_als(spark, sf)
+        return recs.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                md5_int32(F.concat_ws("|", F.col("user_idx").cast("string"), "user_label", "recs_csv"))
+            ).cast("long").alias("digest"),
+        ).collect()[0]
+
+    r1, r2 = run_digest(), run_digest()
+    same = 1 if (r1["n"] == r2["n"] and r1["digest"] == r2["digest"]) else 0
+    return spark.createDataFrame([(int(r1["n"]), same)], "n_users long, runs_identical long")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: revenue-per-nation over the full dimension chain at sf0.001."""
     return q_q5(spark, "/root/testdata/sf0.001")
@@ -1823,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_personalized_pagerank": q_ppr,
         "m1_als_recommendations": q_als,
         "m2_als_contract": q_m2,
+        "m3_als_determinism_gate": q_m3,
     }
 
 
@@ -3623,6 +3651,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(50 AS BIGINT) AS n_users,
                    CAST(50 AS BIGINT) AS n_distinct_users,
                    CAST(50 AS BIGINT) AS n_full_rec_lists
+        """,
+        "m3_als_determinism_gate": """
+            SELECT CAST(50 AS BIGINT) AS n_users,
+                   CAST(1 AS BIGINT) AS runs_identical
         """,
         "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
         "g7_personalized_pagerank": _ppr_oracle(
