@@ -1626,6 +1626,53 @@ def q_mm3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mm4(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL byte-parsing decode in-gate, no external codec: every event row
+    becomes a 16-sample 16-bit PCM WAV (struct-packed via the stdlib wave
+    module, samples a pure function of event_id), and
+    extract_features(decode_stub='stdlib') walks the RIFF/fmt/data chunks
+    back out.  decode(encode(x)) == x, so the oracle needs no WAV parser --
+    it aggregates the sample formula directly; any header-offset or
+    byte-order bug in the decoder breaks the hash.  Division is by 2^19
+    (exact in binary FP), so no libm residual.  Repartitions before the
+    construction kernel (per-row CPU; small parquet arrives
+    single-partition)."""
+    ev_ids = (
+        load_events(spark, sf)
+        .select(F.col("event_id").cast("long").alias("event_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import io as _io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for eid in pdf["event_id"]:
+                samples = [((int(eid) * 7919 + j * 104729) % 20000) - 10000 for j in range(16)]
+                buf = _io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack("<16h", *samples))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"event_id": pdf["event_id"], "blob": blobs})
+
+    raw = ev_ids.mapInPandas(build, schema="event_id long, blob binary")
+    media = multimodal.attach_media_metadata(raw, "event_id", "blob", "audio")
+    feats = multimodal.extract_features(media, decode_stub="stdlib")
+    return feats.select(
+        "media_id",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        F.col("feat_dim").cast("long").alias("feat_dim"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
     over the order->part bipartite graph; top-100 (O1).  Oracle: 10 unrolled
@@ -1845,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_media_features": q_mm1,
         "mm2_frame_samples": q_mm2,
         "mm3_resized_features": q_mm3,
+        "mm4_stdlib_wav_decode": q_mm4,
         "g4_pagerank_top100": q_pagerank,
         "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
         "g7_personalized_pagerank": q_ppr,
@@ -3626,6 +3674,16 @@ def oracle_sql() -> dict[str, str]:
                          / (255.0 * greatest(least(strlen(rs), 8), 1)), 6) AS feat_mean,
                    CAST(8 AS INTEGER) AS feat_dim
             FROM r
+        """,
+        # mm4: decode(encode(x)) == x -- the oracle aggregates the WAV
+        # sample formula directly, no RIFF parser needed; /2^19 is FP-exact.
+        "mm4_stdlib_wav_decode": """
+            SELECT CAST(event_id AS VARCHAR) AS media_id,
+                   ROUND(SUM(ABS(((event_id * 7919 + t.j * 104729) % 20000) - 10000))
+                         / (32768.0 * 16), 6) AS feat_mean,
+                   CAST(16 AS BIGINT) AS feat_dim
+            FROM events, range(16) t(j)
+            GROUP BY event_id
         """,
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),

@@ -82,33 +82,50 @@ def test_transform_media_resize_chains_into_features(spark):
         multimodal.transform_media(media, factor=4).collect()
 
 
-def test_auto_codec_routes_to_real_decoder_when_present(spark):
-    """decode_stub='auto' uses real codecs (PIL) when the environment has
-    them: a tiny generated PNG must decode to its true pixel stats and
-    resize to a real smaller PNG.  Skipped where codecs don't ship (this
-    container); the fake kernel remains the oracle path regardless."""
+def _make_bmp(pixels):
+    """Hand-packed 24-bpp bottom-up BMP from rows of (r, g, b) tuples --
+    stdlib struct only, so the real-decode test runs in codec-less
+    environments."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) // 4 * 4
+    img = b""
+    for row in reversed(pixels):  # positive height = bottom-up row order
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        img += line + b"\x00" * (stride - len(line))
+    pix_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(img), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return header + info + img
+
+
+def test_real_image_decode_stdlib_bmp(spark):
+    """decode_stub='stdlib' REALLY parses bytes -- a hand-packed 24-bpp BMP
+    (3 wide: exercises the 4-byte row-stride padding) must decode to its
+    true ITU-R 601-2 luma stats.  No PIL required; when PIL ships, the
+    'auto' route must agree on the same blob to within a luma-rounding ulp."""
     import pytest
 
     from youtubeanalyzerproject_big_data__spark.operators import multimodal
 
-    if not multimodal.codec_available("image"):
-        pytest.skip("PIL not available in this environment")
-    import io
-
-    from PIL import Image
-    from pyspark.sql import functions as F
-
-    buf = io.BytesIO()
-    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
-    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (128, 128, 128), (0, 0, 0)],
+    ]
+    expected_lumas = [(299 * r + 587 * g + 114 * b) // 1000 for row in pixels for (r, g, b) in row]
+    blob = _make_bmp(pixels)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
     media = multimodal.attach_media_metadata(df, "doc_id", "blob", "image")
 
-    feats = multimodal.extract_features(media, decode_stub="auto").collect()
-    assert feats[0]["feat_dim"] == 64 and feats[0]["feat_mean"] == pytest.approx(128 / 255.0)
+    feats = multimodal.extract_features(media, decode_stub="stdlib").collect()
+    assert feats[0]["feat_dim"] == 6
+    assert feats[0]["feat_mean"] == sum(expected_lumas) / (255.0 * 6)
 
-    small = multimodal.transform_media(media, op="resize", factor=4, decode_stub="auto").collect()
-    resized = Image.open(io.BytesIO(bytes(small[0]["content"])))
-    assert resized.size == (2, 2)
+    if multimodal.codec_available("image"):  # PIL rounds luma; stdlib truncates
+        auto = multimodal.extract_features(media, decode_stub="auto").collect()
+        assert auto[0]["feat_dim"] == 6
+        assert auto[0]["feat_mean"] == pytest.approx(feats[0]["feat_mean"], abs=6 / (255.0 * 6))
 
 
 def test_auto_codec_raises_honestly_when_absent(spark):
@@ -130,35 +147,51 @@ def test_auto_codec_raises_honestly_when_absent(spark):
         multimodal.extract_features(media, decode_stub="auto").collect()
 
 
-def test_auto_codec_decodes_audio_via_ffmpeg(spark):
-    """decode_stub='auto' routes audio through the ffmpeg CLI when the
-    binary ships: a generated 16-bit PCM WAV (stdlib wave, no codec needed
-    to WRITE it) must decode to its true amplitude stats.  Skipped where
-    ffmpeg doesn't ship (this container); fake stays the oracle path."""
-    import pytest
-
-    from youtubeanalyzerproject_big_data__spark.operators import multimodal
-
-    if not multimodal.codec_available("audio"):
-        pytest.skip("ffmpeg not available in this environment")
+def test_real_audio_decode_stdlib_wav(spark):
+    """decode_stub='stdlib' REALLY walks RIFF chunks -- a generated 16-bit
+    PCM WAV (stdlib wave module) must decode to its exact amplitude stats.
+    No ffmpeg required; when ffmpeg ships, the 'auto' route must agree on
+    the same mono blob."""
     import io
     import struct
     import wave
 
-    from pyspark.sql import functions as F
+    import pytest
 
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal
+
+    amps = [1000] * 60 + [-2000] * 40
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(8000)
-        w.writeframes(struct.pack("<100h", *([1000] * 100)))  # constant amplitude
+        w.writeframes(struct.pack("<100h", *amps))
     df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
     media = multimodal.attach_media_metadata(df, "doc_id", "blob", "audio")
 
-    feats = multimodal.extract_features(media, decode_stub="auto").collect()
+    feats = multimodal.extract_features(media, decode_stub="stdlib").collect()
     assert feats[0]["feat_dim"] == 100
-    assert feats[0]["feat_mean"] == pytest.approx(1000 / 32768.0, rel=1e-3)
+    assert feats[0]["feat_mean"] == sum(abs(a) for a in amps) / (32768.0 * 100)
+
+    if multimodal.codec_available("audio"):
+        auto = multimodal.extract_features(media, decode_stub="auto").collect()
+        assert auto[0]["feat_dim"] == 100
+        assert auto[0]["feat_mean"] == pytest.approx(feats[0]["feat_mean"], rel=1e-3)
+
+
+def test_stdlib_decode_rejects_garbage_and_video(spark):
+    """The stdlib route must fail loudly on non-BMP/non-WAV bytes and on
+    video (ffmpeg-only) -- never silently emit fake features."""
+    import pytest
+
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"not media at all"))], "doc_id long, blob binary")
+    for modality, msg in (("image", "BMP"), ("audio", "RIFF"), ("video", "stdlib")):
+        media = multimodal.attach_media_metadata(df, "doc_id", "blob", modality)
+        with pytest.raises(Exception, match=msg):
+            multimodal.extract_features(media, decode_stub="stdlib").collect()
 
 
 def test_auto_codec_samples_video_frames_via_ffmpeg(spark):

@@ -113,6 +113,80 @@ def _ffmpeg_decode_stats(blob: bytes, modality: str) -> tuple[float, int]:
     return (sum(raw) / (255.0 * max(n, 1)), n)
 
 
+def _bmp_decode_stats(blob: bytes) -> tuple[float, int]:
+    """Pure-stdlib BMP decode: struct-unpack of BITMAPFILEHEADER +
+    BITMAPINFOHEADER, uncompressed 8-bpp (paletted) / 24-bpp / 32-bpp.
+    Returns (mean gray / 255, pixel count) with the ITU-R 601-2 integer
+    luma (299R+587G+114B)//1000 -- PIL's convert('L') formula -- so the
+    stdlib route reports the same statistic family as the PIL route.
+    This is a REAL byte-parsing decoder (no PIL needed): padded row
+    strides, bottom-up vs top-down heights, and palette indirection are
+    all honored (mean is row-order-invariant anyway)."""
+    import struct
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob (missing BM magic / truncated header)")
+    pix_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size} (need BITMAPINFOHEADER+)")
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0 or bpp not in (8, 24, 32) or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression} {width}x{height}")
+    stride = (width * (bpp // 8) + 3) // 4 * 4  # rows pad to 4-byte words
+    pal_base = 14 + hdr_size
+    total = 0
+    n = width * abs(height)
+    for r in range(abs(height)):
+        base = pix_off + r * stride
+        for c in range(width):
+            if bpp == 8:
+                entry = pal_base + 4 * blob[base + c]  # BGRA palette entry
+                b8, g8, r8 = blob[entry], blob[entry + 1], blob[entry + 2]
+            else:
+                o = base + c * (bpp // 8)
+                b8, g8, r8 = blob[o], blob[o + 1], blob[o + 2]
+            total += (299 * r8 + 587 * g8 + 114 * b8) // 1000
+    return (total / (255.0 * max(n, 1)), n)
+
+
+def _wav_decode_stats(blob: bytes) -> tuple[float, int]:
+    """Pure-stdlib WAV decode: RIFF chunk walk (word-aligned), fmt chunk
+    validation (PCM, 16-bit), int16 data chunk.  Returns
+    (mean |amplitude| / 32768, sample count across channels) -- identical
+    to the ffmpeg route for mono input (ffmpeg's -ac 1 downmixes
+    multichannel; this decoder counts every channel's samples instead,
+    documented divergence)."""
+    import array
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        csz = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = struct.unpack_from("<H", fmt, 0)[0]
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) - (len(data) % 2)])
+    n = len(samples)
+    return (sum(abs(s) for s in samples) / (32768.0 * max(n, 1)), n)
+
+
 def attach_media_metadata(df: DataFrame, id_col: str, content_col: str, modality: str) -> DataFrame:
     """Wrap a raw binary column in the typed media schema (Catalyst-only:
     length + md5 are built-ins; no Python in this path)."""
@@ -127,7 +201,7 @@ def attach_media_metadata(df: DataFrame, id_col: str, content_col: str, modality
 
 def extract_features(
     media: DataFrame,
-    decode_stub: Literal["fail", "fake", "auto"] = "fail",
+    decode_stub: Literal["fail", "fake", "auto", "stdlib"] = "fail",
     feat_dim: int = 8,
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
@@ -138,8 +212,11 @@ def extract_features(
     for real when the codec is present (PIL for image: feat_mean = mean
     pixel intensity / 255, feat_dim = pixel count; ffmpeg for audio/video:
     mean |PCM amplitude| / 32768 over decoded samples, resp. mean gray
-    pixel / 255 over decoded frames) and raises otherwise -- the fake
-    kernel stays the oracle path either way.
+    pixel / 255 over decoded frames) and raises otherwise.  'stdlib'
+    decodes for real with NO external codec: struct-unpacked BMP for
+    images (_bmp_decode_stats) and RIFF-walked 16-bit PCM WAV for audio
+    (_wav_decode_stats) -- the in-gate real byte-parsing route for
+    codec-less environments (driver query mm4); video still needs ffmpeg.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,6 +226,32 @@ def extract_features(
                     "media codecs (PIL/librosa/ffmpeg) not available in this environment; "
                     "use decode_stub='fake' for plumbing tests"
                 )
+            if decode_stub == "stdlib":
+                feats, dims = [], []
+                for modality, content in zip(pdf["modality"], pdf["content"]):
+                    blob = bytes(content) if content is not None else b""
+                    if modality == "image":
+                        m, d = _bmp_decode_stats(blob)
+                    elif modality == "audio":
+                        m, d = _wav_decode_stats(blob)
+                    else:
+                        raise NotImplementedError(
+                            "decode_stub='stdlib' covers BMP images and 16-bit PCM WAV audio; "
+                            f"no pure-stdlib decoder for {modality!r}"
+                        )
+                    feats.append(m)
+                    dims.append(d)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": pdf["modality"],
+                        "n_bytes": pdf["n_bytes"],
+                        "content_md5": pdf["content_md5"],
+                        "feat_mean": feats,
+                        "feat_dim": pd.array(dims, dtype="int32"),
+                    }
+                )
+                continue
             if decode_stub == "auto":
                 import io as _io
 
