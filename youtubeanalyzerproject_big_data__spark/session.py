@@ -15,15 +15,39 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Streaming state-store backends.  'hdfs' (Spark's default) keeps state as
+# in-memory maps snapshotted to the checkpoint dir -- fine while every
+# executor's keys fit in heap.  'rocksdb' spills state to local SSD with
+# incremental checkpointing -- the provider that makes bounded-state claims
+# (se6's TTL design) real at 100 TB key cardinalities.  The conf is a
+# per-session SQLConf read at query start, so it can also be flipped at
+# runtime: spark.conf.set('spark.sql.streaming.stateStore.providerClass', ...).
+STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
 
-def get_spark(app_name: str = "youtubeanalyzer-spark", master: str | None = None) -> SparkSession:
+
+def get_spark(
+    app_name: str = "youtubeanalyzer-spark",
+    master: str | None = None,
+    state_store: str | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
     At test scale we run ``local[N]``; at cluster scale the same settings
     hold: AQE owns post-shuffle partition counts, so
     ``spark.sql.shuffle.partitions`` is an upper bound, not a schedule.
+
+    ``state_store`` ('hdfs' | 'rocksdb', default env SPARK_GRAFT_STATE_STORE
+    or Spark's default): streaming state backend; see STATE_STORE_PROVIDERS.
+    Applied via spark.conf.set so it takes effect even when an existing
+    session is reused (builder confs don't reach a live session).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    state_store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if state_store is not None and state_store not in STATE_STORE_PROVIDERS:
+        raise ValueError(f"unknown state_store {state_store!r}; pick from {sorted(STATE_STORE_PROVIDERS)}")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -44,4 +68,7 @@ def get_spark(app_name: str = "youtubeanalyzer-spark", master: str | None = None
         # contract) get their buffer eaten by them, so keep stdout clean.
         .config("spark.ui.showConsoleProgress", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if state_store is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", STATE_STORE_PROVIDERS[state_store])
+    return spark
