@@ -825,6 +825,19 @@ def q_d6(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_d10(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup_flags): km1's
+    k-means cells bound the quadratic pair work (within-cell only -- the
+    SemDeDup trick, arXiv:2303.09540), exact-sequential cosine scores
+    candidates, smallest id represents each near-dup set.  Threshold 0.44
+    calibrated to the synthetic embeddings (cell-local cosines; drops a
+    real fraction without emptying cells).  Oracle replays the full Lloyd
+    trajectory (shared with km1's oracle) + the within-cell pair rule."""
+    return dedup.semantic_dedup_flags(
+        load_table(spark, sf, "embeddings"), "vec_id", "embedding", dim=64, k=8, iters=2, threshold=0.44
+    ).orderBy("id")
+
+
 def q_u2(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup-index maintenance (dedup.update_digest_index):
     the first 400 doc_ids play the historic corpus (its digest index built
@@ -1860,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_dup_clusters": q_d7,
         "d8_cross_corpus_dups": q_d8,
         "d9_embedding_lsh_near_dups": q_d9,
+        "d10_semantic_dedup": q_d10,
         "c1_corpus_curation": q_c1,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
@@ -2310,29 +2324,34 @@ WHERE rk <= {k}
 """
 
 
-def _kmeans_oracle(dim: int = 64, k: int = 8, iters: int = 2) -> str:
-    """DuckDB replay of clustering.kmeans_lloyd: seed selection, every
-    assignment (sequential squared-L2 fold, (dist, cell) tiebreak), and
-    every centroid update (floor-quantized int64 sums, IEEE division) are
-    identical arithmetic, so both engines walk the same trajectory and the
-    final grid hash-matches exactly."""
+def _kmeans_ctes(dim: int, k: int, iters: int, final_grid: bool = True) -> str:
+    """Shared CTE chain replaying clustering's Lloyd trajectory: seed
+    selection, every assignment (sequential squared-L2 fold, (dist, cell)
+    tiebreak), every centroid update (floor-quantized int64 sums, IEEE
+    division).  Yields cell{iters-1} (final assignment) and, when
+    ``final_grid``, g{iters-1} (the output grid).  Used by both the km1
+    oracle and the d10 semantic-dedup oracle so their cells are the SAME
+    trajectory."""
     h = md5_int32_sql("CAST(vec_id AS VARCHAR)", "km")
     dist = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> (CAST(v.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(v.embedding[i] AS DOUBLE) - c.cv[i])))"
     )
 
-    def assign_update(i: int, cents_cte: str) -> str:
+    def assign(i: int) -> str:
         return f"""
 a{i} AS (
   SELECT v.vec_id, v.embedding, c.cell, {dist} AS d
-  FROM embeddings v CROSS JOIN {cents_cte} c
+  FROM embeddings v CROSS JOIN cents{i} c
 ),
 cell{i} AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM a{i})
   WHERE rn = 1
-),
+)"""
+
+    def grid(i: int) -> str:
+        return f"""
 g{i} AS (
   SELECT cell, p - 1 AS pos,
          SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
@@ -2351,9 +2370,10 @@ cents0 AS (
 )"""
     ]
     for i in range(iters):
-        parts.append(assign_update(i, f"cents{i}"))
+        parts.append(assign(i))
         if i < iters - 1:
             # next centroids: quantized means; empty cells keep the previous centroid
+            parts.append(grid(i))
             parts.append(f"""
 upd{i} AS (
   SELECT cell, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cv
@@ -2363,13 +2383,48 @@ cents{i + 1} AS (
   SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
   FROM cents{i} p LEFT JOIN upd{i} u ON p.cell = u.cell
 )""")
-    last = iters - 1
+        elif final_grid:
+            parts.append(grid(i))
+    return ",".join(parts)
+
+
+def _kmeans_oracle(dim: int = 64, k: int = 8, iters: int = 2) -> str:
+    """DuckDB replay of clustering.kmeans_lloyd: both engines walk the same
+    trajectory (see _kmeans_ctes), so the final grid hash-matches exactly."""
     return f"""
-WITH {",".join(parts)}
+WITH {_kmeans_ctes(dim, k, iters, final_grid=True)}
 SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos,
        CAST(s AS DOUBLE) / (n * 1000000.0) AS centroid,
        CAST(n AS BIGINT) AS n_members
-FROM g{last}
+FROM g{iters - 1}
+"""
+
+
+def _semantic_dedup_oracle(
+    dim: int = 64, k: int = 8, iters: int = 2, threshold: float = 0.95, max_cell: int | None = None
+) -> str:
+    """DuckDB replay of dedup.semantic_dedup_flags: the km1 cell trajectory
+    (shared _kmeans_ctes), within-cell ordered pairs, the exact-sequential
+    cosine, and the smallest-id-wins drop rule; over-``max_cell`` cells
+    skip pair generation exactly like the engine."""
+    last = iters - 1
+    mem = f"cell{last}"
+    cap_cte = ""
+    if max_cell is not None:
+        cap_cte = f""",
+sizes AS (SELECT cell, COUNT(*) AS n FROM cell{last} GROUP BY cell),
+mem AS (SELECT c.* FROM cell{last} c JOIN sizes s ON c.cell = s.cell WHERE s.n <= {max_cell})"""
+        mem = "mem"
+    return f"""
+WITH {_kmeans_ctes(dim, k, iters, final_grid=False)}{cap_cte},
+pairs AS (
+  SELECT b.vec_id AS id2, {_cos_sql("a.embedding", "b.embedding")} AS cos
+  FROM {mem} a JOIN {mem} b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dropped AS (SELECT DISTINCT id2 FROM pairs WHERE cos >= {threshold})
+SELECT c.vec_id AS id, CAST(c.cell AS INT) AS cell,
+       CAST(CASE WHEN d.id2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM cell{last} c LEFT JOIN dropped d ON c.vec_id = d.id2
 """
 
 
@@ -3240,6 +3295,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d9_embedding_lsh_near_dups": _lsh_embedding_dedup_oracle(
             0.46, dim=64, max_bucket=dedup.DEFAULT_MAX_BUCKET
+        ),
+        "d10_semantic_dedup": _semantic_dedup_oracle(
+            dim=64, k=8, iters=2, threshold=0.44, max_cell=dedup.DEFAULT_MAX_BUCKET
         ),
         # Curation = lang filter (t3 logic) + quality floors (t2 logic) +
         # dup-cluster representative (d7 closure); fragments reused verbatim.

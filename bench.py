@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     # round 4 additions
     "d6_duplicated_span_removal",
     "c7_training_shuffle",
+    # round 5 additions
+    "d10_semantic_dedup",
 ]
 
 

@@ -315,3 +315,34 @@ def test_update_digest_index_never_shuffles_index(spark):
     plan = executed_plan(update_digest_index(index, batch, "doc_id", "text"))
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_smallest_id_wins_within_cell(spark):
+    """d10 drop rule: within a cell, a doc is dropped iff a smaller-id doc
+    is cosine >= threshold; near-identical vectors collapse to the smallest
+    id, orthogonal ones survive, and every input id comes back flagged."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import semantic_dedup_flags
+
+    rows = [(i, [10.0, eps, 0.0, 0.0]) for i, eps in ((0, 0.0), (1, 0.001), (2, 0.002))]
+    rows.append((3, [0.0, 0.0, 10.0, 0.0]))  # orthogonal: shares the cell, never the drop
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in semantic_dedup_flags(emb, "vec_id", "embedding", dim=4, k=1, iters=1, threshold=0.99).collect()}
+    assert set(out) == {0, 1, 2, 3}  # every input flagged
+    assert out[0]["kept"] == 1 and out[1]["kept"] == 0 and out[2]["kept"] == 0  # min id represents
+    assert out[3]["kept"] == 1  # orthogonal survives sharing the cell
+
+
+def test_semantic_dedup_max_cell_skips_degenerate_cells(spark):
+    """An over-cap cell must skip pair generation entirely (all kept) --
+    the bounded-work guarantee that makes within-cell pairing safe."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import semantic_dedup_flags
+
+    rows = [(i, [10.0, i * 0.0001, 0.0, 0.0]) for i in range(12)]  # one tight cluster of 12
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = semantic_dedup_flags(emb, "vec_id", "embedding", dim=4, k=1, iters=1, threshold=0.99, max_cell=5)
+    assert all(r["kept"] == 1 for r in capped.collect())  # cell of 12 > cap 5: no pairs generated
+    uncapped = semantic_dedup_flags(emb, "vec_id", "embedding", dim=4, k=1, iters=1, threshold=0.99, max_cell=None)
+    kept = {r["id"] for r in uncapped.collect() if r["kept"] == 1}
+    assert kept == {0}  # without the cap the whole cluster collapses to id 0

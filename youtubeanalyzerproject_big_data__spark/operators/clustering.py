@@ -89,6 +89,32 @@ def kmeans_lloyd(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    base, cents = _lloyd_final_cents(emb, id_col, vec_col, dim, k, iters, hash_seed, use_arrow)
+    assigned = _assign(base, "v", cents, use_arrow=use_arrow)
+    grid = _update_grid(assigned, "v")
+    return grid.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("pos").cast("int").alias("pos"),
+        (F.col("s").cast("double") / (F.col("n") * F.lit(_SCALE))).alias("centroid"),
+        F.col("n").cast("long").alias("n_members"),
+    ).orderBy("cell", "pos")
+
+
+def _lloyd_final_cents(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int,
+    hash_seed: str,
+    use_arrow: bool,
+):
+    """Seed + the first ``iters - 1`` Lloyd updates: returns (base, cents)
+    where ``cents`` are the centroids entering the FINAL iteration -- the
+    centroids kmeans_lloyd's output grid aggregates under.  Shared by
+    kmeans_lloyd and kmeans_assign_final so semantic dedup's cells are
+    EXACTLY km1's cells (same seeds, same trajectory, same arithmetic)."""
     seeds = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("h", md5_int32(F.col("id").cast("string"), seed=hash_seed))
@@ -97,21 +123,32 @@ def kmeans_lloyd(
         .collect()
     )
     cents = [[float(x) for x in r["v"]] for r in seeds]
-
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    for it in range(iters):
-        assigned = _assign(base, "v", cents, use_arrow=use_arrow)
-        grid = _update_grid(assigned, "v")
-        if it == iters - 1:
-            return grid.select(
-                F.col("cell").cast("int").alias("cell"),
-                F.col("pos").cast("int").alias("pos"),
-                (F.col("s").cast("double") / (F.col("n") * F.lit(_SCALE))).alias("centroid"),
-                F.col("n").cast("long").alias("n_members"),
-            ).orderBy("cell", "pos")
+    for _ in range(iters - 1):
+        grid = _update_grid(_assign(base, "v", cents, use_arrow=use_arrow), "v")
         rows = grid.collect()  # bounded: k x dim cells
         new = {}
         for r in rows:
             new.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = float(r["s"]) / (r["n"] * _SCALE)
         cents = [new.get(j, cents[j]) for j in range(k)]  # empty cell keeps previous centroid
-    raise AssertionError("unreachable: iters validated >= 1 at entry")
+    return base, cents
+
+
+def kmeans_assign_final(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    hash_seed: str = "km",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(id, v, cell): every vector's cell under the centroids entering the
+    last Lloyd iteration -- the member lists behind kmeans_lloyd's
+    n_members column, exposed for cell-local downstream work (semantic
+    dedup's within-cell pairing, dedup.semantic_dedup_flags)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base, cents = _lloyd_final_cents(emb, id_col, vec_col, dim, k, iters, hash_seed, use_arrow)
+    return _assign(base, "v", cents, use_arrow=use_arrow).select("id", "v", F.col("cell").cast("int").alias("cell"))

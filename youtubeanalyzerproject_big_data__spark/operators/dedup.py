@@ -466,6 +466,65 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def semantic_dedup_flags(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    max_cell: int | None = DEFAULT_MAX_BUCKET,
+    hash_seed: str = "km",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means partitions the embedding space, then near-duplicates are pruned
+    WITHIN cells only -- the quadratic pair work is bounded per cell, which
+    is the whole trick (at corpus scale k grows with n, so cell occupancy
+    n/k stays bounded and total flops are O(n * cell_size), not O(n^2)).
+
+    Cells are EXACTLY km1's (clustering.kmeans_assign_final shares seed
+    selection and the full Lloyd trajectory, bit-for-bit).  Within a cell,
+    candidate pairs come from one self-join keyed on the cell id (narrow
+    int key; AQE splits a skewed cell's join), scored with the exact-
+    sequential cosine kernel, and a doc is DROPPED iff some smaller-id doc
+    in its cell is cosine->= ``threshold`` (deterministic representative:
+    smallest id wins, the d1/c1 convention).  ``max_cell`` caps degenerate
+    cells like the LSH ``max_bucket``: an over-cap cell skips pair
+    generation entirely (all its docs kept) rather than running an
+    unbounded quadratic task -- mirrored in the oracle.
+
+    Returns (id, cell, kept) for EVERY input vector (kept in {0,1}).
+    """
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_cosine_seq
+    from youtubeanalyzerproject_big_data__spark.operators.clustering import kmeans_assign_final
+
+    assigned = kmeans_assign_final(emb, id_col, vec_col, dim, k=k, iters=iters, hash_seed=hash_seed)
+    # Pin the assignment once: the self-join reads it twice and the final
+    # left join a third time; recomputing would re-run the Lloyd trajectory.
+    assigned = assigned.localCheckpoint(eager=True)
+    members = assigned.select("cell", "id", "v")
+    if max_cell is not None:
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+        members = members.join(F.broadcast(sizes.where(F.col("_n") <= max_cell).select("cell")), "cell")
+    pairs = (
+        members.alias("a")
+        .join(members.alias("b"), (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.v").alias("v1"), F.col("b.v").alias("v2"), F.col("b.id").alias("id2"))
+    )
+    dropped = (
+        pairs.withColumn("cos_sim", make_cosine_seq()(F.col("v1"), F.col("v2")))
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.col("id2").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("_drop", F.lit(1)), "id", "left").select(
+        "id",
+        "cell",
+        F.when(F.col("_drop").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
+    )
+
+
 def cross_corpus_near_dups(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
