@@ -1426,6 +1426,41 @@ def q_c1(spark: SparkSession, sf: str) -> DataFrame:
     return pinned
 
 
+def q_c8(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity-tier curation: documents bucketed into
+    quality quartiles by their unigram-LM score (t8's integer-quantized
+    mean logprob), per-tier doc/token accounting -- the head/middle/tail
+    split a curation pipeline uses to budget training data by quality.
+
+    Scale design (a16's recipe, not NTILE): a global NTILE would sort the
+    corpus on one reducer; instead ONE aggregate collects 3 exact
+    percentile cutpoints (model-sized), tier assignment is a map-side
+    expression, and one hash aggregate closes the report.  Determinism:
+    the per-doc score is integer (floor of int64-micro sum over tokens),
+    so cutpoint comparisons are exact; quantile_cont replays Spark's
+    percentile interpolation (proven by a16)."""
+    lp = text.unigram_logprob(load_table(spark, sf, "documents"), "doc_id", "text")
+    scored = lp.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("sum_lp_micro") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("score"),
+    )
+    cuts = scored.agg(F.percentile("score", [0.25, 0.5, 0.75]).alias("c")).collect()[0]["c"]
+    tier = sum([F.when(F.col("score") > F.lit(float(c)), 1).otherwise(0) for c in cuts], F.lit(0))
+    return (
+        scored.groupBy(tier.cast("long").alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .orderBy("tier")
+    )
+
+
 def q_t6(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (keyword extraction)."""
     return text.tfidf_top_terms(load_table(spark, sf, "documents"), "doc_id", "text", k=3)
@@ -1898,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
         "c7_training_shuffle": q_c7,
+        "c8_perplexity_tiers": q_c8,
         "c4_doc_chunks": q_c4,
         "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
@@ -3520,6 +3556,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(pd.s, 0) AS BIGINT) AS sum_lp_micro,
                    ROUND(COALESCE(pd.s, 0) / (greatest(COALESCE(pd.n_tokens, 0), 1) * 1e6), 6) AS mean_logprob
             FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        # Perplexity tiers: t8's logprob chain -> integer per-token score
+        # -> quantile_cont cutpoints (a16's replay of Spark percentile) ->
+        # map-side tier assignment.  All-integer scores keep every
+        # comparison exact.
+        "c8_perplexity_tiers": r"""
+            WITH tk AS (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+            vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY token),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM vocab),
+            lp AS (SELECT token, CAST(floor(ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+                   FROM vocab, n),
+            pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                          CAST(SUM(tf * lp_micro) AS BIGINT) AS s
+                   FROM tf JOIN lp USING (token) GROUP BY doc_id),
+            sc AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(FLOOR(COALESCE(pd.s, 0) / CAST(GREATEST(COALESCE(pd.n_tokens, 0), 1) AS DOUBLE)) AS BIGINT) AS score
+              FROM documents d LEFT JOIN pd USING (doc_id)),
+            cc AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS cuts FROM sc)
+            SELECT CAST(list_sum(list_transform(cuts, t -> CASE WHEN score > t THEN 1 ELSE 0 END)) AS BIGINT) AS tier,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(MIN(score) AS BIGINT) AS min_score,
+                   CAST(MAX(score) AS BIGINT) AS max_score
+            FROM sc, cc
+            GROUP BY tier ORDER BY tier
         """,
         # Chunking replay: 1-indexed stride-48 starts; DuckDB list_slice is
         # end-INCLUSIVE, so the 64-token window is [s, s+63] clamped to len.
