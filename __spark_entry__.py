@@ -1426,6 +1426,32 @@ def q_c1(spark: SparkSession, sf: str) -> DataFrame:
     return pinned
 
 
+def q_c9(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened source mixture (functions/sampling.
+    temperature_mix_sample, T=2 alpha-sampling): per-source keep rates
+    follow sqrt-flattened token shares against a 30k-token budget --
+    sources under their flattened allowance keep everything (rate capped
+    at 1.0), heavier ones thin deterministically.  Rates are all-integer
+    (floor-quantized sqrt in micros, HUGEINT-exact products in the
+    oracle); membership is the md5 predicate.  One model-sized aggregate
+    + broadcast + map-side filter."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import temperature_mix_sample
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import token_count
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    kept = temperature_mix_sample(d, "doc_id", "source", "n_tokens", total_budget=30000, seed="temp")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+            F.min("rate_ppm").cast("long").alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_c8(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style perplexity-tier curation: documents bucketed into
     quality quartiles by their unigram-LM score (t8's integer-quantized
@@ -1934,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_quality_weighted_sample": q_c6,
         "c7_training_shuffle": q_c7,
         "c8_perplexity_tiers": q_c8,
+        "c9_temperature_mix": q_c9,
         "c4_doc_chunks": q_c4,
         "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
@@ -3707,6 +3734,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
             FROM kept GROUP BY source
+        """,
+        # Temperature mixture: sqrt-flattened shares (T=2), all-integer
+        # rates through HUGEINT so the floor division is exact, f9's md5
+        # membership predicate.
+        "c9_temperature_mix": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            t AS (SELECT source, SUM(n_tokens) AS mass FROM d GROUP BY source),
+            q AS (SELECT source, mass, CAST(FLOOR(SQRT(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS qs FROM t),
+            tot AS (SELECT SUM(qs) AS bq FROM q),
+            r AS (SELECT source,
+                         CAST(LEAST(CAST(1000000 AS HUGEINT),
+                                    (CAST(30000 AS HUGEINT) * qs * 1000000) // (CAST(bq AS HUGEINT) * mass)) AS BIGINT) AS rate_ppm
+                  FROM q, tot),
+            kept AS (
+              SELECT d.source, d.n_tokens, r.rate_ppm FROM d JOIN r USING (source)
+              WHERE ({md5_int32_sql("CAST(doc_id AS VARCHAR)", "temp")}) % 1000000 < rate_ppm)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
+                   CAST(MIN(rate_ppm) AS BIGINT) AS rate_ppm
+            FROM kept GROUP BY source ORDER BY source
         """,
         "t7_repetition_signals": r"""
             WITH tk AS (

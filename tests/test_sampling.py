@@ -130,3 +130,34 @@ def test_training_shuffle_is_balanced_permutation(spark):
     order1 = [r["doc_id"] for r in sorted(out1, key=lambda r: r["ord_rank"])]
     assert order0 != order1  # new epoch seed -> new permutation
     assert sorted(order1) == sorted(order0)
+
+
+def test_temperature_mix_rejects_non_sqrt_temperature(spark):
+    """Only T=2 ships: pow is not correctly-rounded IEEE across engines, so
+    any other exponent is rejected instead of carrying a silent ulp risk."""
+    import pytest
+
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import temperature_mix_sample
+
+    df = spark.createDataFrame([(1, "a", 10)], "k long, s string, w long")
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mix_sample(df, "k", "s", "w", total_budget=100, temperature=1.5)
+
+
+def test_temperature_mix_caps_light_sources_and_thins_heavy(spark):
+    """T=2 flattening: a source under its flattened allowance keeps ALL
+    rows (rate capped at 1e6 ppm); a much heavier source thins; membership
+    is the deterministic hash predicate (re-run identical)."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import temperature_mix_sample
+
+    rows = [(i, "light", 10) for i in range(5)] + [(100 + i, "heavy", 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, s string, w long")
+    # masses: light 50, heavy 5000; sqrt shares ~ 0.0909 / 0.909
+    # budget 1000 -> light target ~90.9 > 50 => capped; heavy ~909 < 5000 => thinned
+    out = temperature_mix_sample(df, "k", "s", "w", total_budget=1000, seed="t")
+    per = {r["s"]: r for r in out.groupBy("s").count().withColumnRenamed("count", "n").collect()}
+    rates = {r["s"]: r["rate_ppm"] for r in out.select("s", "rate_ppm").distinct().collect()}
+    assert rates["light"] == 1_000_000 and per["light"]["n"] == 5  # under allowance: keep all
+    assert rates["heavy"] < 1_000_000 and 0 < per["heavy"]["n"] < 500  # thinned
+    again = temperature_mix_sample(df, "k", "s", "w", total_budget=1000, seed="t")
+    assert sorted(r["k"] for r in out.collect()) == sorted(r["k"] for r in again.collect())

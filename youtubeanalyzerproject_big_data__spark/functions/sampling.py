@@ -79,6 +79,58 @@ def token_budget_sample(
     return df.join(F.broadcast(rate_df), stratum_col).where(h < F.col("_ppm")).drop("_ppm")
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str,
+    total_budget: int,
+    temperature: float = 2.0,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Temperature-flattened source mixture -- the multinomial data-mixing
+    rule of multilingual/multi-domain LLM training (mT5/XLM-R alpha
+    sampling): stratum s gets target share (mass_s)^(1/T) / sum_t
+    (mass_t)^(1/T), so T > 1 upweights rare sources relative to their raw
+    share.  Down-sampling only: keep rate_s = min(1, budget * share_s /
+    mass_s), membership by the deterministic md5 predicate (same contract
+    as hash_sample: a pure function of key+seed).
+
+    Cross-engine exactness: only T = 2 (exponent 0.5) ships -- sqrt is
+    IEEE correctly-rounded on every engine while pow is not, so other
+    temperatures are rejected rather than carrying a silent ulp risk.
+    The arithmetic is then all-integer: q_s = floor(sqrt(mass_s) * 1e6)
+    (one rounded multiply, identical sequence in DuckDB), Q = sum q_s
+    (integer, order-free), rate_ppm_s = min(1e6, (B * q_s * 1e6) //
+    (Q * mass_s)) -- exact integer products and floor division (Python
+    ints driver-side; the oracle routes through HUGEINT).
+
+    Scale: one hash aggregate collects #strata rows (model-sized), rates
+    broadcast back, the filter is map-side -- token_budget_sample's plan.
+    Kept rows carry ``rate_ppm`` for mixture reporting.
+    """
+    import math
+
+    if temperature != 2.0:
+        raise ValueError(
+            f"temperature={temperature!r}: only 2.0 ships (sqrt is correctly-rounded IEEE "
+            "on every engine; pow is not, and a pow ulp could flip a floor-quantized rate)"
+        )
+    denominator = 1_000_000
+    totals = df.groupBy(stratum_col).agg(F.sum(F.col(weight_col)).alias("_t")).collect()
+    mass = {row[stratum_col]: int(row["_t"]) for row in totals}
+    q = {s: int(math.floor(math.sqrt(m) * denominator)) for s, m in mass.items()}
+    big_q = sum(q.values())
+    rates = [
+        (s, min(denominator, (int(total_budget) * q[s] * denominator) // (big_q * mass[s])))
+        for s in sorted(mass)
+    ]
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(rates, f"{stratum_col} string, rate_ppm long")
+    h = F.pmod(md5_int32(F.col(key_col).cast("string"), seed=seed), F.lit(denominator))
+    return df.join(F.broadcast(rate_df), stratum_col).where(h < F.col("rate_ppm"))
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
