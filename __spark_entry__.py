@@ -1426,6 +1426,30 @@ def q_c1(spark: SparkSession, sf: str) -> DataFrame:
     return pinned
 
 
+def q_dq1(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality audit gate (operators/quality.check_constraints,
+    Deequ-style): the suite a pipeline runs before consuming a partition.
+    Five constraints over orders -- unique key, null-free foreign key,
+    price range, status domain (deliberately tight: 'P' rows COUNT as
+    violations, proving the counter), and referential closure into
+    customer (broadcast anti-join).  Row-local checks fuse into ONE
+    conditional-sum aggregate over a single scan."""
+    from youtubeanalyzerproject_big_data__spark.operators import quality
+
+    o = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    return quality.check_constraints(
+        o,
+        [
+            {"name": "01_orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+            {"name": "02_custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+            {"name": "03_totalprice_range", "kind": "in_range", "col": "o_totalprice", "lo": 0.0, "hi": 1_000_000.0},
+            {"name": "04_status_domain", "kind": "in_set", "col": "o_orderstatus", "values": ["O", "F"]},
+            {"name": "05_custkey_in_customer", "kind": "subset_of", "col": "o_custkey", "ref": cust, "ref_col": "c_custkey"},
+        ],
+    )
+
+
 def q_c9(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-flattened source mixture (functions/sampling.
     temperature_mix_sample, T=2 alpha-sampling): per-source keep rates
@@ -1961,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_training_shuffle": q_c7,
         "c8_perplexity_tiers": q_c8,
         "c9_temperature_mix": q_c9,
+        "dq1_constraint_audit": q_dq1,
         "c4_doc_chunks": q_c4,
         "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
@@ -3734,6 +3759,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
             FROM kept GROUP BY source
+        """,
+        # Constraint audit: each check replays in plain SQL; UNION ALL in
+        # check-name order.
+        "dq1_constraint_audit": """
+            WITH checks AS (
+              SELECT '01_orderkey_unique' AS check_name,
+                     CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+              FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+              UNION ALL
+              SELECT '02_custkey_not_null',
+                     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT '03_totalprice_range',
+                     CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT '04_status_domain',
+                     CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT '05_custkey_in_customer',
+                     CAST(COUNT(*) AS BIGINT)
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+            )
+            SELECT check_name, n_violations,
+                   CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+            FROM checks ORDER BY check_name
         """,
         # Temperature mixture: sqrt-flattened shares (T=2), all-integer
         # rates through HUGEINT so the floor division is exact, f9's md5

@@ -1,0 +1,94 @@
+"""Data-quality constraint checking (Deequ-style audit gate).
+
+A training/analytics pipeline verifies a partition BEFORE consuming it:
+null-free keys, unique ids, value ranges, closed category domains,
+referential closure.  This operator evaluates a constraint suite and
+returns one row per constraint -- (check_name, n_violations, passed) --
+so the suite's result is itself a small, joinable, oracle-checkable table
+(the reference has no quality layer; this is the idiomatic-engine upgrade,
+same spirit as a18 profile_columns).
+
+Scale design:
+- all ROW-LOCAL constraints (not_null / in_range / in_set) compile into ONE
+  conditional-sum hash aggregate over a single scan -- adding a constraint
+  adds a column to the aggregate buffer, not a pass over the data;
+- ``unique`` is one groupBy(key) counting keys seen more than once
+  (violations = extra copies, so a clean table reports 0);
+- ``subset_of`` (referential closure) is a broadcast left-anti count when
+  the referenced key set is dimension-sized -- never a shuffle of the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation_expr(kind: str, col: str, params: dict) -> Column:
+    c = F.col(col)
+    if kind == "not_null":
+        return c.isNull()
+    if kind == "in_range":
+        return c.isNull() | (c < F.lit(params["lo"])) | (c > F.lit(params["hi"]))
+    if kind == "in_set":
+        return c.isNull() | ~c.isin(list(params["values"]))
+    raise ValueError(f"unknown row-local constraint kind: {kind!r}")
+
+
+def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
+    """Evaluate a constraint suite; one output row per constraint.
+
+    Each constraint is a dict: {"name": str, "kind": str, ...}:
+      - {"kind": "not_null", "col": c}
+      - {"kind": "in_range", "col": c, "lo": x, "hi": y}  (NULL violates)
+      - {"kind": "in_set",   "col": c, "values": [...]}   (NULL violates)
+      - {"kind": "unique",   "cols": [c, ...]}            (violations = rows
+        beyond the first per duplicated key)
+      - {"kind": "subset_of", "col": c, "ref": DataFrame, "ref_col": rc}
+        (violations = rows whose non-null key misses the reference set)
+
+    Returns (check_name string, n_violations long, passed long), one row
+    per constraint, in suite order via the constraint name.
+    """
+    row_local = [c for c in constraints if c["kind"] in ("not_null", "in_range", "in_set")]
+    pieces: list[DataFrame] = []
+    if row_local:
+        aggs = [
+            F.sum(F.when(_violation_expr(c["kind"], c["col"], c), 1).otherwise(0))
+            .cast("long")
+            .alias(c["name"])
+            for c in row_local
+        ]
+        wide = df.agg(*aggs)
+        pieces.append(
+            wide.unpivot([], [c["name"] for c in row_local], "check_name", "n_violations")
+        )
+    for c in constraints:
+        if c["kind"] == "unique":
+            dup = (
+                df.groupBy(*c["cols"])
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).cast("long").alias("n_violations"))
+            )
+            pieces.append(dup.select(F.lit(c["name"]).alias("check_name"), "n_violations"))
+        elif c["kind"] == "subset_of":
+            missing = (
+                df.where(F.col(c["col"]).isNotNull())
+                .join(
+                    F.broadcast(c["ref"].select(F.col(c["ref_col"]).alias(c["col"])).distinct()),
+                    c["col"],
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            )
+            pieces.append(missing.select(F.lit(c["name"]).alias("check_name"), "n_violations"))
+        elif c["kind"] not in ("not_null", "in_range", "in_set"):
+            raise ValueError(f"unknown constraint kind: {c['kind']!r}")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "check_name",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).cast("long").alias("passed"),
+    ).orderBy("check_name")
