@@ -838,6 +838,19 @@ def q_d10(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_d11(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style segment-level corpus dedup (dedup.segment_dedup): every
+    aligned 12-token segment occurring in >= 2 distinct documents is
+    removed from ALL of them; per doc, segment/removal counts plus the md5
+    of the spliced text, so the oracle verifies the reconstructed TEXT, not
+    just counts.  The coarse linear-cost complement to d6's stride-1
+    exact-substring pass (see operator docstring for the two-pass
+    narrow-shuffle scale design)."""
+    return dedup.segment_dedup(
+        load_table(spark, sf, "documents"), "doc_id", "text", seg_tokens=12, min_df=2
+    ).orderBy("doc_id")
+
+
 def q_u2(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup-index maintenance (dedup.update_digest_index):
     the first 400 doc_ids play the historic corpus (its digest index built
@@ -1959,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_cross_corpus_dups": q_d8,
         "d9_embedding_lsh_near_dups": q_d9,
         "d10_semantic_dedup": q_d10,
+        "d11_segment_dedup": q_d11,
         "c1_corpus_curation": q_c1,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
@@ -3374,6 +3388,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_spans, removed_chars,
                    CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
             FROM z
+        """,
+        # Segment-dedup replay: c4-style 1-indexed stride-12 window starts,
+        # list_slice end-inclusive; dup rule = md5(segment) in >= 2 distinct
+        # docs; clean text = kept segments string_agg'd in window order
+        # ('' sentinel when everything was removed).
+        "d11_segment_dedup": r"""
+            WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+                        FROM documents),
+            st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 12)) AS s
+                   FROM tk WHERE len(toks) >= 1),
+            segs AS (SELECT doc_id, s,
+                            array_to_string(list_slice(toks, s, least(s + 11, len(toks))), ' ') AS txt,
+                            least(s + 11, len(toks)) - s + 1 AS ntok
+                     FROM st),
+            h AS (SELECT doc_id, s, txt, ntok, md5(txt) AS sh FROM segs),
+            d AS (SELECT sh FROM h GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+            marked AS (SELECT h.*, (d.sh IS NOT NULL) AS dup
+                       FROM h LEFT JOIN d ON h.sh = d.sh),
+            pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                          CAST(COUNT(*) FILTER (dup) AS BIGINT) AS n_removed,
+                          CAST(COALESCE(SUM(ntok) FILTER (NOT dup), 0) AS BIGINT) AS clean_n_tokens,
+                          md5(COALESCE(string_agg(txt, ' ' ORDER BY s) FILTER (NOT dup), '')) AS clean_md5
+                   FROM marked GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(pd.n_segments, 0) AS n_segments,
+                   COALESCE(pd.n_removed, 0) AS n_removed,
+                   COALESCE(pd.clean_n_tokens, 0) AS clean_n_tokens,
+                   COALESCE(pd.clean_md5, md5('')) AS clean_md5
+            FROM tk t LEFT JOIN pd USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "d5_embedding_near_dups": f"""
             SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -346,3 +346,37 @@ def test_semantic_dedup_max_cell_skips_degenerate_cells(spark):
     uncapped = semantic_dedup_flags(emb, "vec_id", "embedding", dim=4, k=1, iters=1, threshold=0.99, max_cell=None)
     kept = {r["id"] for r in uncapped.collect() if r["kept"] == 1}
     assert kept == {0}  # without the cap the whole cluster collapses to id 0
+
+
+def test_segment_dedup_removes_all_copies_and_reconstructs(spark):
+    import hashlib
+
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import segment_dedup
+
+    rows = [
+        (1, "a b c d e f"),  # seg=2: [a b][c d][e f]
+        (2, "a b x y e f"),  # shares [a b] and [e f] with doc 1
+        (3, "zz qq"),        # unique single segment
+        (4, ""),             # empty doc
+        (5, "a b"),          # doc that is ONLY a duplicated segment
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df, "doc_id", "text", seg_tokens=2, min_df=2).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (3, 2)
+    assert out[1]["clean_md5"] == md5("c d") and out[1]["clean_n_tokens"] == 2
+    assert out[2]["clean_md5"] == md5("x y")
+    assert (out[3]["n_removed"], out[3]["clean_md5"]) == (0, md5("zz qq"))
+    assert (out[4]["n_segments"], out[4]["clean_md5"]) == (0, md5(""))
+    assert (out[5]["n_removed"], out[5]["clean_n_tokens"], out[5]["clean_md5"]) == (1, 0, md5(""))
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import segment_dedup
+
+    # 5 tokens at seg=3 -> segments [a b c] and [d e] (short tail kept as its own segment)
+    rows = [(1, "a b c d e"), (2, "d e")]  # doc2 duplicates doc1's TAIL segment
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df, "doc_id", "text", seg_tokens=3, min_df=2).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1 and out[1]["clean_n_tokens"] == 3
+    assert out[2]["n_segments"] == 1 and out[2]["n_removed"] == 1 and out[2]["clean_n_tokens"] == 0

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32, md5_int32_lanes
-from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, word_ngrams
+from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, token_count, tokens, word_ngrams
 
 # Default hot-key caps (shared with the driver oracles, which mirror the
 # same cuts so capped results stay hash-exact cross-engine).  A key shared
@@ -742,4 +742,87 @@ def update_digest_index(index: DataFrame, new_docs: DataFrame, id_col: str, text
     fresh = nd.join(F.broadcast(existing), "text_key", "left_anti")
     return index.select("text_key", "keep_id", F.lit("kept").alias("status")).unionByName(
         fresh.select("text_key", "keep_id", F.lit("new").alias("status"))
+    )
+
+
+def _segments(text, seg_tokens: int):
+    """Array of (idx, txt) structs: consecutive non-overlapping
+    ``seg_tokens``-word windows of the token stream (last window may be
+    short).  Pure Catalyst; empty/short docs yield an empty array."""
+    toks = tokens(text)
+    starts = F.when(F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(seg_tokens))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / seg_tokens).cast("long").alias("idx"),
+            F.concat_ws(" ", F.slice(toks, s, seg_tokens)).alias("txt"),
+        ),
+    )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 12, min_df: int = 2
+) -> DataFrame:
+    """CCNet-style paragraph-granularity corpus dedup: hash each text
+    segment, count how many DISTINCT documents each segment appears in, and
+    remove every copy of any segment occurring in >= ``min_df`` documents
+    (the boilerplate-paragraph removal step run before model training on
+    web corpora; reference keeps whole rows -- this is the finer cut its
+    data model never needed).  Real corpora segment on newlines; the
+    synthetic corpus is newline-free, so the segmenter is fixed
+    ``seg_tokens``-word windows -- same operator shape, pluggable split.
+
+    Differs from d6 (duplicated_span_removal): d6 hashes every stride-1
+    character window (exact-substring dedup, ~|chars| hashes/doc); this
+    hashes ~|tokens|/seg_tokens aligned segments -- the linear-cost coarse
+    pass a pipeline runs corpus-wide before reserving d6 for survivors.
+
+    Scale design, two linear map passes instead of one wide shuffle:
+      pass A: segment+hash map-side, shuffle only (doc_id, idx, 32-hex)
+        [narrow rows, never the text]; one hash-keyed aggregate counts
+        distinct docs per segment; a semi-join marks removed (doc_id, idx)
+        occurrences, re-aggregated to a per-doc removed-index array
+        (doc-bounded).
+      pass B: re-segment the corpus map-side and splice out removed
+        indices; the removed-set side of the join is |affected docs| rows
+        of integer arrays -- sparse in practice, AQE broadcasts it, the
+        corpus itself never shuffles in this pass.
+
+    Returns every document: (doc_id, n_segments, n_removed, clean_n_tokens,
+    clean_md5) with ''-md5 sentinel for fully-removed docs.
+    """
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    occ = base.select(
+        "doc_id", F.explode(_segments(F.col("_text"), seg_tokens)).alias("s")
+    ).select("doc_id", F.col("s.idx").alias("idx"), F.md5(F.col("s.txt")).alias("sh"))
+    dup = (
+        occ.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("dfc"))
+        .where(F.col("dfc") >= min_df)
+        .select("sh")
+    )
+    removed = (
+        occ.join(dup, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("idx")).alias("rm"), F.count(F.lit(1)).cast("long").alias("n_removed"))
+    )
+    segs = _segments(F.col("_text"), seg_tokens)
+    kept_txt = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(segs, lambda s: ~F.array_contains(F.coalesce(F.col("rm"), F.array().cast("array<long>")), s["idx"])),
+            lambda s: s["txt"],
+        ),
+    )
+    return base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        F.size(segs).cast("long").alias("n_segments"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        token_count(kept_txt).alias("clean_n_tokens"),
+        F.md5(kept_txt).alias("clean_md5"),
     )
