@@ -1573,6 +1573,15 @@ def q_t11(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t15(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 corpus collocations by PMI (textanalysis.pmi_collocations):
+    one pair-count shuffle + vocab-sized broadcast joins, exact-int64 PMI
+    argument quantized by the t8 floor(ln*1e6) recipe, deterministic
+    (pmi desc, w1, w2) TakeOrdered cut.  min_count=5 drops hapax-pair
+    noise before any join."""
+    return text.pmi_collocations(load_table(spark, sf, "documents"), "text", min_count=5, k=20)
+
+
 def q_t14(spark: SparkSession, sf: str) -> DataFrame:
     """Top-5 distinctive tokens per source
     (operators/textanalysis.distinctive_terms): smoothed log-odds of each
@@ -1993,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_token_drift_kl": q_t12,
         "t13_token_entropy": q_t13,
         "t14_distinctive_terms": q_t14,
+        "t15_pmi_collocations": q_t15,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -3516,6 +3526,33 @@ def oracle_sql() -> dict[str, str]:
         # Distinctive-terms replay: same smoothed log-odds sequence with
         # scalar totals; ROW_NUMBER over (score DESC, token) = the
         # engine's two-stage top-k (order-equivalent by construction).
+        # PMI replay: adjacent-pair counts, vocab counts, scalars via
+        # cross-joined single-row CTEs; the ln() argument is the same
+        # quotient of exact int64 products Spark evaluates, then the t8
+        # floor(ln*1e6) quantization.
+        "t15_pmi_collocations": r"""
+            WITH tk AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+                        FROM documents),
+            bg AS (SELECT toks[s] AS w1, toks[s + 1] AS w2
+                   FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS s
+                         FROM tk WHERE len(toks) >= 2)),
+            pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM bg GROUP BY w1, w2),
+            uni AS (SELECT unnest(toks) AS token FROM tk),
+            uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY token),
+            nu AS (SELECT CAST(SUM(c1) AS BIGINT) AS v FROM uc),
+            np AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS v FROM pc),
+            cand AS (SELECT pc.w1, pc.w2, pc.n_pairs,
+                            CAST(floor(ln(CAST(pc.n_pairs * nu.v * nu.v AS DOUBLE)
+                                          / CAST(np.v * a.c1 * b.c1 AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro
+                     FROM pc, nu, np
+                     JOIN uc a ON pc.w1 = a.token
+                     JOIN uc b ON pc.w2 = b.token
+                     WHERE pc.n_pairs >= 5)
+            SELECT w1, w2, n_pairs, pmi_micro, ROUND(pmi_micro / 1e6, 6) AS pmi
+            FROM cand
+            ORDER BY pmi_micro DESC, w1, w2
+            LIMIT 20
+        """,
         "t14_distinctive_terms": r"""
             WITH tk AS (
               SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token

@@ -281,3 +281,27 @@ def test_distinctive_terms_drops_null_groups(spark):
     groups = {r["source"] for r in out}
     assert groups == {"web", "chat"}  # null group dropped, others unaffected
     assert all(r["rank"] <= 2 for r in out)
+
+
+def test_pmi_collocations_exact_score_and_order(spark):
+    import math
+
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york is big and new york is far"), (2, "new york new york hot dog hot dog"), (3, "the dog and the cat")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, "text", min_count=2, k=10).collect()
+    # Hand-computed: Nu=22 tokens, Np=19 adjacent pairs.
+    # "hot dog": c_ab=2, c(hot)=2, c(dog)=3 -> ln(2*22*22/(19*2*3))
+    # "new york": c_ab=4, c(new)=4, c(york)=4 -> ln(4*22*22/(19*4*4))
+    exp_hot = math.floor(math.log(2 * 22 * 22 / (19 * 2 * 3)) * 1e6)
+    exp_ny = math.floor(math.log(4 * 22 * 22 / (19 * 4 * 4)) * 1e6)
+    got = {(r["w1"], r["w2"]): (r["n_pairs"], r["pmi_micro"]) for r in out}
+    assert got[("hot", "dog")] == (2, exp_hot)
+    assert got[("new", "york")] == (4, exp_ny)
+    # deterministic order: pmi desc, then lexicographic
+    assert [(r["w1"], r["w2"]) for r in out][0] == ("hot", "dog")
+    # min_count drops pairs seen once
+    assert ("is", "big") not in got

@@ -603,3 +603,71 @@ def distinctive_terms(df: DataFrame, group_col: str, text_col: str, k: int = 5) 
         .where(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "token", "score_micro", "rank")
     )
+
+
+def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5, k: int = 20) -> DataFrame:
+    """Corpus-level collocation extraction: top-``k`` adjacent word pairs by
+    pointwise mutual information, PMI = ln(p(w1 w2) / (p(w1) p(w2))) --
+    the classic phrase-mining signal (word2vec's phrase pass, Mikolov et
+    al. 2013, uses the same count-ratio score) that a tokenizer/vocab
+    pipeline runs to promote multi-word units.  ``min_count`` drops
+    rare-pair noise (PMI's known bias toward hapax pairs) BEFORE any join.
+
+    Scale design: ONE corpus-sized shuffle -- the (w1, w2) pair hash
+    aggregate, map-side combined, rows are two tokens + a count.  The
+    unigram table is vocab-sized (model-sized) and broadcasts back twice;
+    pair/token totals are scalars.  The final cut is TakeOrdered top-k with
+    a (pmi desc, w1, w2) deterministic tiebreak.
+
+    Cross-engine determinism: the PMI argument is a quotient of two EXACT
+    int64 products (c_ab * Nu^2) / (Np * c_a * c_b) -- both < 2^53 at any
+    tested SF -- so ln() sees the identical correctly-rounded double in
+    Spark and the oracle; the result is integer-quantized
+    (floor(ln * 1e6), the t8 recipe, same documented libm-ulp residual).
+    At corpora where the products would leave exact-double range, switch
+    the argument to log-sum form (documented trade: three ln calls).
+
+    Returns (w1, w2, n_pairs, pmi_micro, pmi).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")),
+    )
+    # Repartition-first rule (see dedup._shingles): the pair/token HOFs are
+    # the CPU-heavy per-doc step and a compact parquet source may arrive in
+    # one partition.  Both aggregates are derived from this one spread.
+    base = df.select(F.col(text_col)).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    pairs = (
+        base.select(F.when(F.size(toks) >= 2, grams).alias("g"))
+        .select(F.explode("g").alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    # Both derived tables are model-sized (pair-vocab / vocab rows); caching
+    # them stops the scalar-total passes from re-tokenizing the corpus.
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_pairs")).cache()
+    uni = base.select(F.explode(toks).alias("token")).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c1")).cache()
+    n_uni = uni.agg(F.sum("c1")).collect()[0][0] or 1  # scalar, model-sized collect
+    n_pairs_total = pc.agg(F.sum("n_pairs")).collect()[0][0] or 1
+    cand = (
+        pc.where(F.col("n_pairs") >= min_count)
+        .join(F.broadcast(uni.select(F.col("token").alias("w1"), F.col("c1").alias("ca"))), "w1")
+        .join(F.broadcast(uni.select(F.col("token").alias("w2"), F.col("c1").alias("cb"))), "w2")
+    )
+    arg = (F.col("n_pairs") * F.lit(int(n_uni) * int(n_uni))).cast("double") / (
+        F.lit(int(n_pairs_total)) * F.col("ca") * F.col("cb")
+    ).cast("double")
+    pmi_micro = F.floor(F.log(arg) * 1e6).cast("long")
+    result = (
+        cand.select("w1", "w2", "n_pairs", pmi_micro.alias("pmi_micro"))
+        .withColumn("pmi", F.round(F.col("pmi_micro") / 1e6, 6))
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(k)
+        # Pin the k-row result, release both cached model tables (storage
+        # hygiene, the d2 recipe).
+        .localCheckpoint(eager=True)
+    )
+    pc.unpersist()
+    uni.unpersist()
+    return result
