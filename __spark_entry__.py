@@ -1111,6 +1111,21 @@ def q_a14(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.heavy_hitters_gate(load_events(spark, sf), "event_type", k=64)
 
 
+def q_bf1(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership gate (sketches.bloom_membership_gate): the
+    filter is a DataFrame of set-bit positions (<= m rows, broadcast), 4
+    md5-digest lanes per key, built on urgent-order custkeys and probed by
+    all customers.  Gates: zero false negatives (structural) + fp count
+    within 2x expected + 5 (Poisson slack).  Every count is
+    hash-deterministic, so the oracle replays the filter bit-for-bit."""
+    bits_m, k = 1 << 17, 4
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return sketches.bloom_membership_gate(
+        orders.select("o_custkey"), load_table(spark, sf, "customer").select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey", m_bits=bits_m, k_hashes=k,
+    )
+
+
 def q_p1(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot report: quantity sums per returnflag, one column per
     linestatus.  Explicit pivot values -> single hash aggregate, stable
@@ -1923,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_approx_distinct_gate": q_a12,
         "a13_approx_quantile_gate": q_a13,
         "a14_heavy_hitters_gate": q_a14,
+        "bf1_bloom_membership_gate": q_bf1,
         "a15_grouped_percentiles": q_a15,
         "a16_equidepth_histogram": q_a16,
         "a17_approx_grouped_percentiles_gate": q_a17,
@@ -2622,6 +2638,45 @@ SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred, best AS marker_hits FROM
 """
 
 
+def _bloom_gate_oracle(m_bits: int, k: int) -> str:
+    """Bit-for-bit DuckDB replay of q_bf1: same md5 digest lanes, same
+    set-bit position semijoin, same fp budget arithmetic (q*q*q*q sequential
+    multiplication; exp() is the only libm call, t8-class ulp residual)."""
+    lane = lambda j: f"({md5_int32_lane_sql('k', 'bloom', j)}) % {m_bits}"
+    b_lanes = " UNION ALL ".join(f"SELECT k, {lane(j)} AS pos FROM bk" for j in range(k))
+    p_lanes = " UNION ALL ".join(f"SELECT k, {lane(j)} AS pos FROM pk" for j in range(k))
+    qk = " * ".join(["q.v"] * k)
+    return f"""
+        WITH bk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+        pk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+        bits AS (SELECT DISTINCT pos FROM ({b_lanes})),
+        pp AS (SELECT DISTINCT k, pos FROM ({p_lanes})),
+        need AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS need FROM pp GROUP BY k),
+        hit AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS hit FROM pp JOIN bits USING (pos) GROUP BY k),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM bk),
+        flags AS (SELECT need.k,
+                         COALESCE(hit.hit, 0) = need.need AS maybe,
+                         bk.k IS NOT NULL AS member
+                  FROM need LEFT JOIN hit USING (k) LEFT JOIN bk ON need.k = bk.k),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+                       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+                       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+                       CAST(SUM(CASE WHEN member AND NOT maybe THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives,
+                       CAST(SUM(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+                       CAST(SUM(CASE WHEN NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmembers
+                FROM flags),
+        q AS (SELECT 1.0 - exp((-{k} * nb.v) / {float(m_bits)}) AS v FROM nb)
+        SELECT nb.v AS n_build_keys, n_probe_keys, n_members, n_maybe,
+               false_negatives, false_positives,
+               ROUND(false_positives / greatest(n_nonmembers, 1), 6) AS fp_rate,
+               CAST(floor((2.0 * ({qk})) * n_nonmembers) + 5 AS BIGINT) AS fp_budget,
+               false_negatives = 0 AS zero_false_negatives,
+               false_positives <= CAST(floor((2.0 * ({qk})) * n_nonmembers) + 5 AS BIGINT) AS fp_within_budget
+        FROM agg, nb, q
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en = "|".join(_MARKERS["en"])
     return {
@@ -2863,6 +2918,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # MG gate: the oracle pins exact-heavy cardinality + the contract
         # bits; candidate contents are partitioning-dependent by design.
+        "bf1_bloom_membership_gate": _bloom_gate_oracle(1 << 17, 4),
         "a14_heavy_hitters_gate": """
             WITH c AS (SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS exact FROM events GROUP BY 1),
             n AS (SELECT COUNT(*) AS nt FROM events),

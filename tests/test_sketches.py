@@ -37,3 +37,37 @@ def test_mg_gate_row_all_green(spark):
     r = heavy_hitters_gate(df, "k", k=32).collect()[0]
     assert r["n_heavy"] == 4 and r["n_heavy_found"] == 4
     assert r["all_heavy_found"] == 1 and r["no_overestimate"] == 1 and r["underestimate_ok"] == 1
+
+
+def test_bloom_gate_no_false_negatives_and_budget(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.sketches import bloom_membership_gate
+
+    build = spark.createDataFrame([(i,) for i in range(500)], "key long")
+    probe = spark.createDataFrame([(i,) for i in range(1000)], "key long")  # 500 non-members
+    r = bloom_membership_gate(build, probe, "key", m_bits=1 << 13, k_hashes=4).collect()[0]
+    assert r["n_build_keys"] == 500 and r["n_probe_keys"] == 1000 and r["n_members"] == 500
+    assert r["false_negatives"] == 0 and r["zero_false_negatives"]
+    assert r["n_maybe"] >= 500  # members always pass
+    assert r["false_positives"] <= r["fp_budget"] and r["fp_within_budget"]
+
+
+def test_bloom_gate_tiny_filter_saturates_but_never_misses(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.sketches import bloom_membership_gate
+
+    # m=64 bits for 200 keys: filter saturates, fp rate ~1, but the
+    # structural no-false-negative contract still holds.
+    build = spark.createDataFrame([(i,) for i in range(200)], "key long")
+    probe = spark.createDataFrame([(i,) for i in range(400)], "key long")
+    r = bloom_membership_gate(build, probe, "key", m_bits=64, k_hashes=2).collect()[0]
+    assert r["false_negatives"] == 0
+    assert r["fp_within_budget"]  # budget follows p -> ~1, so saturation stays in contract
+
+
+def test_bloom_gate_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from youtubeanalyzerproject_big_data__spark.operators.sketches import bloom_membership_gate
+
+    df = spark.createDataFrame([(1,)], "key long")
+    with _pytest.raises(ValueError):
+        bloom_membership_gate(df, df, "key", k_hashes=5)

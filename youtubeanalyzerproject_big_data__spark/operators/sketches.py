@@ -114,3 +114,105 @@ def heavy_hitters_gate(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
             "underestimate_ok",
         )
     )
+
+
+def bloom_membership_gate(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Distributed Bloom-filter membership check as a bit-position
+    semijoin, gated on the filter's two contracts: NO false negatives
+    (structural -- every build key sets all its bits) and a false-positive
+    rate within 2x the textbook bound (1 - e^(-kn/m))^k.
+
+    This is the cheap membership primitive a pipeline puts in front of an
+    expensive dedup/decontamination join (d8/c3): "definitely new" keys
+    skip the join entirely; only "maybe" keys pay it.
+
+    Shape, not a driver-side bitset: the filter IS a DataFrame of <= m
+    distinct set-bit positions, built by one map-side lane expansion + a
+    position-keyed distinct.  Probing joins the probe side's k lane
+    positions against it -- the position table is <= m rows regardless of
+    corpus size, so the join broadcasts and THE PROBE SIDE NEVER SHUFFLES
+    WIDE (its shuffle rows are (key, int) lanes).  All k hash lanes come
+    from ONE md5 digest per key (functions/hashing.md5_int32_lanes), so
+    the oracle replays them bit-for-bit; k_hashes <= 4.
+
+    A lane pair can collide into one position, so membership compares
+    DISTINCT matched positions against DISTINCT needed positions per key,
+    not a raw hit count.
+
+    Returns one row: (n_build_keys, n_probe_keys, n_members, n_maybe,
+    false_negatives, false_positives, fp_rate, zero_false_negatives,
+    fp_within_bound).
+    """
+    if not 1 <= k_hashes <= 4:
+        raise ValueError("k_hashes must be in 1..4 (one md5 digest carries four lanes)")
+    from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_lanes
+
+    def lane_positions(df: DataFrame) -> DataFrame:
+        key = F.col(key_col).cast("string").alias("k")
+        lanes = md5_int32_lanes(F.col("k"), seed=seed, lanes=k_hashes)
+        return (
+            df.select(key)
+            .distinct()
+            .select("k", F.explode(F.array(*[(l % m_bits).cast("long") for l in lanes])).alias("pos"))
+            .distinct()
+        )
+
+    bits = lane_positions(build).select("pos").distinct()
+    probe_pos = lane_positions(probe)
+    need = probe_pos.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("need"))
+    hit = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("hit"))
+    )
+    bkeys = build.select(F.col(key_col).cast("string").alias("k")).distinct()
+    n_build = bkeys.count()
+    flags = (
+        need.join(hit, "k", "left")
+        .join(bkeys.withColumn("member", F.lit(True)), "k", "left")
+        .select(
+            "k",
+            (F.coalesce("hit", F.lit(0)) == F.col("need")).alias("maybe"),
+            F.coalesce("member", F.lit(False)).alias("member"),
+        )
+    )
+    import math
+
+    # Gate on the false-positive COUNT: <= 2x the expected count under the
+    # textbook rate p = (1 - e^(-kn/m))^k, plus an additive slack of 5 that
+    # absorbs Poisson fluctuation when the expectation is a handful (a pure
+    # 2x-rate gate flips on +/- 2 occurrences at small n; at scale the
+    # multiplicative term dominates and the slack is noise).
+    # Sequential multiplication instead of pow(): the oracle replays q*q*...
+    # with the same IEEE sequence, leaving exp() as the only libm call.
+    q = 1.0 - math.exp(-k_hashes * n_build / m_bits)
+    p = 1.0
+    for _ in range(k_hashes):
+        p *= q
+    return flags.agg(
+        F.lit(int(n_build)).cast("long").alias("n_build_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+        F.sum(F.col("member").cast("long")).cast("long").alias("n_members"),
+        F.sum(F.col("maybe").cast("long")).cast("long").alias("n_maybe"),
+        F.sum((F.col("member") & ~F.col("maybe")).cast("long")).cast("long").alias("false_negatives"),
+        F.sum((F.col("maybe") & ~F.col("member")).cast("long")).cast("long").alias("false_positives"),
+        F.round(
+            F.sum((F.col("maybe") & ~F.col("member")).cast("long"))
+            / F.greatest(F.sum((~F.col("member")).cast("long")), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+        (F.floor(F.lit(2.0 * p) * F.sum((~F.col("member")).cast("long"))) + F.lit(5))
+        .cast("long")
+        .alias("fp_budget"),
+    ).select(
+        "*",
+        (F.col("false_negatives") == 0).alias("zero_false_negatives"),
+        (F.col("false_positives") <= F.col("fp_budget")).alias("fp_within_budget"),
+    )
