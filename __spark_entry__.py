@@ -1597,6 +1597,18 @@ def q_t15(spark: SparkSession, sf: str) -> DataFrame:
     return text.pmi_collocations(load_table(spark, sf, "documents"), "text", min_count=5, k=20)
 
 
+def q_ds1(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance selection
+    (textanalysis.dsir_importance_select, arXiv:2302.03169): top-50 corpus
+    docs by importance weight toward the source='src0' in-domain set;
+    4096-bucket hashed unigram+bigram models, add-1 smoothing, t8-quantized
+    per-bucket log-ratios, deterministic (score desc, doc_id) cut."""
+    docs = load_table(spark, sf, "documents")
+    return text.dsir_importance_select(
+        docs, docs.where(F.col("source") == "src0"), "doc_id", "text", m_buckets=4096, k=50
+    )
+
+
 def q_t14(spark: SparkSession, sf: str) -> DataFrame:
     """Top-5 distinctive tokens per source
     (operators/textanalysis.distinctive_terms): smoothed log-odds of each
@@ -2019,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_token_entropy": q_t13,
         "t14_distinctive_terms": q_t14,
         "t15_pmi_collocations": q_t15,
+        "ds1_dsir_importance_select": q_ds1,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -3582,6 +3595,44 @@ def oracle_sql() -> dict[str, str]:
         # Distinctive-terms replay: same smoothed log-odds sequence with
         # scalar totals; ROW_NUMBER over (score DESC, token) = the
         # engine's two-stage top-k (order-equivalent by construction).
+        # DSIR replay: hashed unigram+bigram bucket features for raw corpus
+        # and src0 target, add-1 bucket models, per-bucket floor(ln*1e6)
+        # quantization BEFORE subtraction and per-doc sums (all-integer
+        # reductions), deterministic top-50 cut.
+        "ds1_dsir_importance_select": f"""
+            WITH tk AS (SELECT doc_id, source,
+                               list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS toks
+                        FROM documents),
+            feats AS (
+              SELECT doc_id, source, unnest(toks) AS feat FROM tk
+              UNION ALL
+              SELECT doc_id, source, toks[s] || ' ' || toks[s + 1] AS feat
+              FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 1)) AS s
+                    FROM tk WHERE len(toks) >= 2)),
+            fb AS (SELECT doc_id, source,
+                          ({md5_int32_sql('feat', 'dsir')}) % 4096 AS bucket
+                   FROM feats),
+            db AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM fb GROUP BY 1, 2),
+            rc AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cr FROM db GROUP BY bucket),
+            tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM fb WHERE source = 'src0' GROUP BY bucket),
+            nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS v FROM rc),
+            nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS v FROM tc),
+            model AS (SELECT rc.bucket,
+                             CAST(floor(ln((COALESCE(tc.ct, 0) + 1) / CAST(nt.v + 4096 AS DOUBLE)) * 1e6)
+                                  - floor(ln((rc.cr + 1) / CAST(nr.v + 4096 AS DOUBLE)) * 1e6) AS BIGINT) AS diff_micro
+                      FROM rc LEFT JOIN tc USING (bucket), nr, nt),
+            pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_feats,
+                          CAST(SUM(tf * diff_micro) AS BIGINT) AS score_micro
+                   FROM db JOIN model USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(COALESCE(pd.score_micro, 0) AS BIGINT) AS score_micro,
+                   ROUND(COALESCE(pd.score_micro, 0)
+                         / (greatest(COALESCE(pd.n_feats, 0), 1) * 1e6), 6) AS mean_score
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY score_micro DESC, d.doc_id
+            LIMIT 50
+        """,
         # PMI replay: adjacent-pair counts, vocab counts, scalars via
         # cross-joined single-row CTEs; the ln() argument is the same
         # quotient of exact int64 products Spark evaluates, then the t8

