@@ -1820,6 +1820,20 @@ def q_mm4(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_g8(spark: SparkSession, sf: str) -> DataFrame:
+    """3-hop BFS reachability from seed parts {P1, P2} over the
+    UNDIRECTED order<->part graph (graph.k_hop_distances): exact min-hop
+    distances, frontier-driven expansion, all-integer state.  Oracle:
+    3 unrolled frontier CTEs (join - EXCEPT - union per hop)."""
+    li = load_table(spark, sf, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.k_hop_distances(edges, ["P1", "P2"], max_hops=3).orderBy("id")
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
     over the order->part bipartite graph; top-100 (O1).  Oracle: 10 unrolled
@@ -2049,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm3_resized_features": q_mm3,
         "mm4_stdlib_wav_decode": q_mm4,
         "g4_pagerank_top100": q_pagerank,
+        "g8_khop_reachability": q_g8,
         "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
         "g7_personalized_pagerank": q_ppr,
         "m1_als_recommendations": q_als,
@@ -4126,6 +4141,26 @@ def oracle_sql() -> dict[str, str]:
         "m3_als_determinism_gate": """
             SELECT CAST(50 AS BIGINT) AS n_users,
                    CAST(1 AS BIGINT) AS runs_identical
+        """,
+        # BFS replay: one (join, EXCEPT, union) triple per hop, unrolled.
+        "g8_khop_reachability": """
+            WITH f AS (SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS src,
+                              'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+            e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+            d0 AS (SELECT unnest(['P1', 'P2']) AS id),
+            r1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN d0 ON e.src = d0.id),
+            n1 AS (SELECT id FROM r1 EXCEPT SELECT id FROM d0),
+            v1 AS (SELECT id FROM d0 UNION SELECT id FROM n1),
+            r2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN n1 ON e.src = n1.id),
+            n2 AS (SELECT id FROM r2 EXCEPT SELECT id FROM v1),
+            v2 AS (SELECT id FROM v1 UNION SELECT id FROM n2),
+            r3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN n2 ON e.src = n2.id),
+            n3 AS (SELECT id FROM r3 EXCEPT SELECT id FROM v2)
+            SELECT id, CAST(0 AS BIGINT) AS hops FROM d0
+            UNION ALL SELECT id, 1 FROM n1
+            UNION ALL SELECT id, 2 FROM n2
+            UNION ALL SELECT id, 3 FROM n3
+            ORDER BY id
         """,
         "g4_pagerank_top100": _pagerank_oracle(_PAGERANK_EDGES_SQL, reset=0.15, max_iter=10, k=100),
         "g7_personalized_pagerank": _ppr_oracle(

@@ -199,3 +199,22 @@ def test_personalized_pagerank_sink_seed(spark):
     out = {r["id"]: r["pagerank"] for r in personalized_pagerank(df, ["S"], 0.15, max_iter=3).collect()}
     assert out["S"] == 0.15
     assert out["B"] > 0
+
+
+def test_k_hop_distances_exact_min_hops(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.graph import k_hop_distances
+
+    # path a->b->c->d->e plus shortcut a->c; undirected not required
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")], "src string, dst string"
+    )
+    out = {r["id"]: r["hops"] for r in k_hop_distances(e, ["a"], max_hops=3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}  # shortcut wins for c
+
+
+def test_k_hop_distances_seed_not_in_graph_and_multi_seed(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.graph import k_hop_distances
+
+    e = spark.createDataFrame([("x", "y")], "src string, dst string")
+    out = {r["id"]: r["hops"] for r in k_hop_distances(e, ["x", "ghost"], max_hops=2).collect()}
+    assert out == {"x": 0, "ghost": 0, "y": 1}

@@ -521,3 +521,42 @@ def triangle_count(
     return spark.createDataFrame(
         [(n_edges, n_wedges, n_triangles)], "n_edges long, n_wedges long, n_triangles long"
     )
+
+
+def k_hop_distances(edges: DataFrame, seeds: list, max_hops: int = 3) -> DataFrame:
+    """Bounded-depth BFS: exact min-hop distance from a seed set, for every
+    vertex within ``max_hops`` hops -- the neighborhood-expansion primitive
+    behind blast-radius queries ("everything within 3 hops of these
+    compromised ids") and GNN-style neighborhood sampling.  Synchronous
+    frontier expansion, one join + one anti-join + one distinct per round.
+
+    Loop shape for scale: the FRONTIER (just-reached vertices), not the
+    visited set, drives each round's join -- frontier joins edges on src
+    (the edge table, repartitioned by src once, never moves again), new
+    vertices are frontier-minus-visited via a left-anti join, and the
+    visited set grows by union.  All-integer state (vertex id, hop), no
+    floats anywhere; lineage is checkpointed per round (iterative unions
+    otherwise stack exponentially-replanned DAGs).
+
+    Seeds not present in the graph still report distance 0 (they are
+    trivially reachable from themselves).  Returns (id, hops).
+    """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.repartition(n_part, "src").cache()
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "id string").distinct()
+    visited = seed_df.select("id", F.lit(0).cast("long").alias("hops")).localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    for h in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = reached.join(visited.select("id"), "id", "left_anti").select(
+            "id", F.lit(h).cast("long").alias("hops")
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("id")
+    e.unpersist()
+    return visited
