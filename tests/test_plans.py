@@ -198,3 +198,38 @@ def test_span_removal_windows_are_doc_partitioned(spark):
     win_specs = [s for s in specs if s]
     assert win_specs, f"no Window partition specs found in plan:\n{plan[:500]}"
     assert all("doc_id" in s for s in win_specs), win_specs
+
+
+def test_bloom_probe_joins_broadcast_bit_positions(spark):
+    # The filter's set-bit position table must broadcast to the probe side
+    # (the probe never shuffles wide); the final gate is one aggregate.
+    plan = _plan(entrymod.q_bf1(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_bucket_model_joins_broadcast(spark):
+    # The <= m-row log-ratio model must broadcast back to the (doc, bucket)
+    # counts -- the only corpus-sized shuffle is that count aggregate.
+    # (_checkpoint=False exposes the real plan; the public path pins the
+    # k-row result behind a localCheckpoint.)
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import dsir_importance_select
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    df = dsir_importance_select(
+        docs, docs.where(F.col("source") == "src0"), "doc_id", "text", m_buckets=4096, k=50, _checkpoint=False
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # deterministic top-k, no full sort
+
+
+def test_segment_dedup_never_shuffles_text(spark):
+    # Pass A shuffles only (doc_id, idx, 32-hex digest): no Exchange in the
+    # plan may carry the raw text column.
+    df = entrymod.q_d11(spark, SF)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_text" not in line and "text#" not in line

@@ -682,6 +682,7 @@ def dsir_importance_select(
     m_buckets: int = 4096,
     k: int = 50,
     seed: str = "dsir",
+    _checkpoint: bool = True,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
     score every raw-corpus document by its hashed-n-gram importance weight
@@ -756,7 +757,8 @@ def dsir_importance_select(
         )
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(k)
-        .localCheckpoint(eager=True)  # pin k rows, release the cached bucket model
     )
-    raw_c.unpersist()
+    if _checkpoint:  # pin the k rows, then release the cached bucket model
+        result = result.localCheckpoint(eager=True)
+        raw_c.unpersist()
     return result
