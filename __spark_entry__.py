@@ -46,6 +46,7 @@ from youtubeanalyzerproject_big_data__spark.operators import (
     textanalysis as text,
     topk,
 )
+from youtubeanalyzerproject_big_data__spark.operators.merge import scd2_history as merge_scd2
 from youtubeanalyzerproject_big_data__spark import serve
 from youtubeanalyzerproject_big_data__spark.streaming import events as ev
 
@@ -534,6 +535,19 @@ def q_l1(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load_table(spark, sf, "orders")
     return o.select("o_orderkey", zorder_key(o, ["o_custkey", "o_totalprice"], bits=8).alias("zkey"))
+
+
+def q_u3(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension-history build (merge.scd2_history): the event stream
+    as a per-user state-change feed -> versioned validity intervals in
+    integer epoch micros, consecutive no-change rows collapsed, open
+    intervals closed by the 9999-12-31 sentinel.  (event_id tiebreak:
+    equal timestamps are real in change feeds.)  All key-partitioned
+    windows; oracle replays LAG-filter-LEAD verbatim."""
+    _utc(spark)
+    return merge_scd2(load_events(spark, sf), "user_id", "event_type", "ts", "event_id").orderBy(
+        "user_id", "version"
+    )
 
 
 def q_u1(spark: SparkSession, sf: str) -> DataFrame:
@@ -1999,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_trailing_window_rate": q_w5,
         "g6_triangle_census": q_g6,
         "u1_cdc_merge": q_u1,
+        "u3_scd2_history": q_u3,
         "u2_incremental_dedup_index": q_u2,
         "v1_served_category_stats": q_v1,
         "l1_zorder_keys": q_l1,
@@ -3216,6 +3231,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT k AS text_key, keep AS keep_id, 'new' AS status
             FROM newb WHERE k NOT IN (SELECT k FROM hist)
+        """,
+        # SCD2 replay: LAG collapses no-change rows, LEAD closes intervals,
+        # 9999-12-31 epoch-micros sentinel for open ends.
+        "u3_scd2_history": """
+            WITH e AS (SELECT user_id, event_type AS state, epoch_ns(ts) // 1000 AS t_us, event_id
+                       FROM events),
+            l AS (SELECT *, LAG(state) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev FROM e),
+            k AS (SELECT * FROM l WHERE prev IS NULL OR state != prev),
+            v AS (SELECT user_id, state,
+                         CAST(t_us AS BIGINT) AS valid_from_us,
+                         CAST(COALESCE(LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id),
+                                       253402214400000000) AS BIGINT) AS valid_to_us,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS BIGINT) AS version
+                  FROM k)
+            SELECT user_id, state, valid_from_us, valid_to_us, version,
+                   valid_to_us = 253402214400000000 AS is_current
+            FROM v ORDER BY user_id, version
         """,
         "u1_cdc_merge": f"""
             WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders),

@@ -86,3 +86,42 @@ def test_funnel_missing_step_yields_zero_row(spark):
     )
     out = {r["step"]: r["n_users"] for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
     assert out == {"view": 1, "click": 0, "purchase": 0}
+
+
+def test_scd2_history_collapses_and_versions(spark):
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.operators.merge import SCD2_OPEN_END_US, scd2_history
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 0, 0, 0), 1),
+        (2, "a", dt.datetime(2024, 1, 1, 0, 1, 0), 1),  # no change -> collapsed
+        (3, "b", dt.datetime(2024, 1, 1, 0, 2, 0), 1),
+        (4, "a", dt.datetime(2024, 1, 1, 0, 3, 0), 1),  # back to a: NEW version, not merged
+        (5, "x", dt.datetime(2024, 1, 1, 0, 0, 30), 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp, user_id long")
+    out = scd2_history(df, "user_id", "event_type", "ts", "event_id").orderBy("user_id", "version").collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [r["state"] for r in u1] == ["a", "b", "a"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    # intervals chain: each valid_to == next valid_from, last row open
+    assert u1[0]["valid_to_us"] == u1[1]["valid_from_us"]
+    assert u1[1]["valid_to_us"] == u1[2]["valid_from_us"]
+    assert u1[2]["valid_to_us"] == SCD2_OPEN_END_US and u1[2]["is_current"]
+    assert not u1[0]["is_current"] and not u1[1]["is_current"]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
+
+
+def test_scd2_equal_timestamps_break_by_tiebreak(spark):
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.operators.merge import scd2_history
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(2, "late", t, 7), (1, "early", t, 7)], "event_id long, event_type string, ts timestamp, user_id long"
+    )
+    out = scd2_history(df, "user_id", "event_type", "ts", "event_id").orderBy("version").collect()
+    assert [r["state"] for r in out] == ["early", "late"]  # event_id orders equal timestamps

@@ -54,3 +54,59 @@ def merge_upsert(
         touched_keys = F.broadcast(touched_keys)
     kept = base.join(touched_keys, key_cols, "left_anti")
     return kept.unionByName(live.select(*key_cols, *value_cols))
+
+
+# Epoch-micros for 9999-12-31T00:00:00Z: the open-interval sentinel SCD2
+# rows carry instead of NULL (repo invariant: sentinels, not NULLs).
+SCD2_OPEN_END_US = 253402214400000000
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a change feed:
+    per key, collapse consecutive no-change records, then stamp each
+    surviving state with its validity interval [valid_from_us, valid_to_us)
+    and version number -- the warehouse primitive that turns an event/CDC
+    stream into an as-of-queryable dimension (u1's merge keeps only the
+    latest row; this keeps the full temporal history).
+
+    Determinism: ordering is (ts, tiebreak) -- equal timestamps are real in
+    change feeds, so a tiebreak column is REQUIRED, not optional.  Validity
+    bounds are integer epoch micros; the open interval of each key's
+    current row ends at the SCD2_OPEN_END_US sentinel (no NULLs).
+
+    Scale: two analytic windows + one row_number, all partitioned by the
+    key -- per-reducer state is one key's history, never the table.  No
+    joins, no driver-side state.
+
+    Returns (key, state, valid_from_us, valid_to_us, version, is_current).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak_col)
+    changed = (
+        df.select(
+            F.col(key_col),
+            F.col(state_col).alias("state"),
+            F.col(ts_col),
+            F.col(order_tiebreak_col).alias("_tb"),
+            F.lag(state_col).over(w).alias("_prev"),
+        )
+        .where(F.col("_prev").isNull() | (F.col("state") != F.col("_prev")))
+    )
+    wk = Window.partitionBy(key_col).orderBy(ts_col, "_tb")
+    out = changed.select(
+        F.col(key_col),
+        "state",
+        F.unix_micros(F.col(ts_col)).alias("valid_from_us"),
+        F.coalesce(
+            F.unix_micros(F.lead(ts_col).over(wk)), F.lit(SCD2_OPEN_END_US)
+        ).alias("valid_to_us"),
+        F.row_number().over(wk).cast("long").alias("version"),
+    )
+    return out.withColumn("is_current", F.col("valid_to_us") == F.lit(SCD2_OPEN_END_US))
