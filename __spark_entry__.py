@@ -1611,6 +1611,14 @@ def q_t15(spark: SparkSession, sf: str) -> DataFrame:
     return text.pmi_collocations(load_table(spark, sf, "documents"), "text", min_count=5, k=20)
 
 
+def q_bp1(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE merge-candidate counting (textanalysis.bpe_pair_counts): top-20
+    corpus-weighted adjacent char pairs; corpus reduces once to the
+    (word, count) vocab, pair expansion is vocab-sized -- the real-BPE
+    trainer shape."""
+    return text.bpe_pair_counts(load_table(spark, sf, "documents"), "text", k=20)
+
+
 def q_ds1(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style hashed-n-gram importance selection
     (textanalysis.dsir_importance_select, arXiv:2302.03169): top-50 corpus
@@ -2061,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_distinctive_terms": q_t14,
         "t15_pmi_collocations": q_t15,
         "ds1_dsir_importance_select": q_ds1,
+        "bp1_bpe_pair_counts": q_bp1,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -3642,6 +3651,20 @@ def oracle_sql() -> dict[str, str]:
         # Distinctive-terms replay: same smoothed log-odds sequence with
         # scalar totals; ROW_NUMBER over (score DESC, token) = the
         # engine's two-stage top-k (order-equivalent by construction).
+        # BPE pair-count replay: vocab word counts, per-word char pairs
+        # weighted by word count, deterministic top-20.
+        "bp1_bpe_pair_counts": r"""
+            WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS w
+                        FROM documents),
+            vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM tk GROUP BY w),
+            pairs AS (SELECT substring(w, CAST(s AS INT), 2) AS pair, wc
+                      FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS s
+                            FROM vocab WHERE length(w) >= 2))
+            SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+            FROM pairs GROUP BY pair
+            ORDER BY n_occurrences DESC, pair
+            LIMIT 20
+        """,
         # DSIR replay: hashed unigram+bigram bucket features for raw corpus
         # and src0 target, add-1 bucket models, per-bucket floor(ln*1e6)
         # quantization BEFORE subtraction and per-doc sums (all-integer

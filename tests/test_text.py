@@ -331,3 +331,19 @@ def test_dsir_ranks_in_domain_docs_first(spark):
     assert scores[5] == 0 and out[0].asDict()["doc_id"] == 5 or scores[5] == 0
     # ordering is (score desc, doc_id)
     assert order == sorted(order, key=lambda d: (-scores[d], d))
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer low a")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r["n_occurrences"] for r in bpe_pair_counts(df, "text", k=10).collect()}
+    # 'low' x3 + 'lower' + 'lowest' all contribute 'lo' and 'ow'
+    assert out["lo"] == 5 and out["ow"] == 5
+    assert out["ne"] == 2 and out["ew"] == 2  # new + newer
+    assert "a" not in out  # single-char words yield no pairs
+    # deterministic cut: count desc then pair asc
+    rows = bpe_pair_counts(df, "text", k=3).collect()
+    assert [(r["pair"], r["n_occurrences"]) for r in rows] == [("lo", 5), ("ow", 5), ("we", 3)]

@@ -762,3 +762,39 @@ def dsir_importance_select(
         result = result.localCheckpoint(eager=True)
         raw_c.unpersist()
     return result
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Tokenizer-training support: corpus-weighted adjacent character-pair
+    counts -- the counting step of byte-pair encoding (Sennrich et al.
+    2016).  The highest-count pair is the merge a BPE trainer would apply
+    next.
+
+    Scale design mirrors real BPE trainers: the CORPUS is reduced once to
+    a (word, count) table (one narrow hash-aggregate shuffle -- the only
+    corpus-sized work); pair expansion then runs over that VOCAB table
+    (model-sized), weighting each distinct word's pairs by its corpus
+    count.  Training iterations (merge, recount) operate on the same
+    vocab table, never the corpus -- this operator ships the distributed
+    primitive that feeds them.
+
+    Returns top-``k`` (pair, n_occurrences), deterministic
+    (count desc, pair) cut.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    pairs = F.when(
+        F.length("w") >= 2,
+        F.transform(F.sequence(F.lit(1), F.length("w") - 1), lambda i: F.col("w").substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pairs).alias("pair"), F.col("wc"))
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(k)
+    )
