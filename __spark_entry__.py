@@ -46,6 +46,7 @@ from youtubeanalyzerproject_big_data__spark.operators import (
     textanalysis as text,
     topk,
 )
+from youtubeanalyzerproject_big_data__spark.operators import quality as quality_ops
 from youtubeanalyzerproject_big_data__spark.operators.merge import scd2_history as merge_scd2
 from youtubeanalyzerproject_big_data__spark import serve
 from youtubeanalyzerproject_big_data__spark.streaming import events as ev
@@ -535,6 +536,21 @@ def q_l1(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load_table(spark, sf, "orders")
     return o.select("o_orderkey", zorder_key(o, ["o_custkey", "o_totalprice"], bits=8).alias("zkey"))
+
+
+def q_dq2(spark: SparkSession, sf: str) -> DataFrame:
+    """PSI distribution-drift audit (quality.psi_drift): order totals
+    before vs since 1998-01-01, reference-decile bins (a16's exact
+    percentile cutpoints, map-side assignment), Laplace-smoothed
+    floor(term*1e9)-quantized per-bin PSI terms."""
+    orders = load_table(spark, sf, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return quality_ops.psi_drift(
+        orders.where(F.col("o_orderdate") < split),
+        orders.where(F.col("o_orderdate") >= split),
+        "o_totalprice",
+        n_bins=10,
+    )
 
 
 def q_u3(spark: SparkSession, sf: str) -> DataFrame:
@@ -2077,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_perplexity_tiers": q_c8,
         "c9_temperature_mix": q_c9,
         "dq1_constraint_audit": q_dq1,
+        "dq2_psi_drift": q_dq2,
         "c4_doc_chunks": q_c4,
         "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
@@ -4020,6 +4037,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Constraint audit: each check replays in plain SQL; UNION ALL in
         # check-name order.
+        # PSI replay: reference-decile cutpoints via quantile_cont (exact
+        # percentile parity proven by a16), CASE-sum bin assignment, +1
+        # Laplace smoothing, floor(term*1e9) quantization.
+        "dq2_psi_drift": """
+            WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+            cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+            cc AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM ref),
+            rb AS (SELECT CAST(list_sum(list_transform(cuts, t -> CASE WHEN v > t THEN 1 ELSE 0 END)) AS BIGINT) AS bin
+                   FROM ref, cc),
+            cb AS (SELECT CAST(list_sum(list_transform(cuts, t -> CASE WHEN v > t THEN 1 ELSE 0 END)) AS BIGINT) AS bin
+                   FROM cur, cc),
+            counts AS (SELECT bin,
+                              CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_count,
+                              CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_count
+                       FROM (SELECT bin, 0 AS side FROM rb UNION ALL SELECT bin, 1 FROM cb)
+                       GROUP BY bin),
+            tot AS (SELECT CAST(SUM(ref_count) AS BIGINT) AS nr, CAST(SUM(cur_count) AS BIGINT) AS nc FROM counts),
+            terms AS (SELECT bin, ref_count, cur_count,
+                             CAST(floor((((ref_count + 1) / CAST(nr + 10 AS DOUBLE))
+                                         - ((cur_count + 1) / CAST(nc + 10 AS DOUBLE)))
+                                        * ln(((ref_count + 1) / CAST(nr + 10 AS DOUBLE))
+                                             / ((cur_count + 1) / CAST(nc + 10 AS DOUBLE))) * 1e9) AS BIGINT) AS psi_term_nano
+                      FROM counts, tot)
+            SELECT bin, ref_count, cur_count, psi_term_nano,
+                   ROUND(psi_term_nano / 1e9, 6) AS psi_term
+            FROM terms ORDER BY bin
+        """,
         "dq1_constraint_audit": """
             WITH checks AS (
               SELECT '01_orderkey_unique' AS check_name,

@@ -83,3 +83,30 @@ def test_row_local_checks_share_one_scan(spark, suite_df):
     # one partial+final aggregate pair, no join, no extra scans
     assert "Join" not in plan
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
+
+
+def test_psi_drift_zero_for_identical_distributions(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.quality import psi_drift
+
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    out = psi_drift(ref, ref, "v", n_bins=5).collect()
+    assert len(out) == 5
+    assert all(r["psi_term_nano"] == 0 for r in out)  # p == q in every bin
+    assert all(r["ref_count"] == r["cur_count"] == 200 for r in out)
+
+
+def test_psi_drift_detects_shift_in_top_bin(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.quality import psi_drift
+
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    cur = spark.range(1000).select(((F.col("id") % 100) * 1.3).alias("v"))
+    out = {r["bin"]: r for r in psi_drift(ref, cur, "v", n_bins=5).collect()}
+    # mass shifted upward: top bin dominates the index and every term >= 0
+    assert out[4]["psi_term_nano"] == max(r["psi_term_nano"] for r in out.values())
+    assert all(r["psi_term_nano"] >= 0 for r in out.values())
+    total = sum(r["psi_term_nano"] for r in out.values()) / 1e9
+    assert total > 0.1  # conventional "significant drift" line

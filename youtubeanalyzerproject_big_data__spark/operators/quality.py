@@ -92,3 +92,57 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).cast("long").alias("passed"),
     ).orderBy("check_name")
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str, n_bins: int = 10) -> DataFrame:
+    """Population-stability-index drift audit between a reference and a
+    current snapshot of a numeric column -- the standard model/data
+    monitoring metric (PSI = sum over bins of (p - q) * ln(p / q)); the
+    consumer alerts when the summed index crosses ~0.1/0.25.  Pairs with
+    t12's token-KL (vocabulary drift) to cover numeric-feature drift.
+
+    Scale design (a16/c8 recipe, not NTILE): ONE aggregate on the
+    reference collects n_bins-1 exact percentile cutpoints (model-sized
+    collect); bin assignment is a map-side CASE-sum on BOTH sides; one
+    tagged-union hash aggregate counts (bin x side); the PSI arithmetic
+    then runs on <= n_bins rows.  Laplace +1 smoothing keeps empty
+    current-side bins finite.  Each bin's term is floor(term * 1e9)
+    integer-quantized (shares are exact int/int doubles; ln is the t8
+    libm-ulp residual).
+
+    Returns per bin: (bin, ref_count, cur_count, psi_term_nano, psi_term).
+    """
+    cuts = ref.agg(
+        F.percentile(value_col, [i / n_bins for i in range(1, n_bins)]).alias("c")
+    ).collect()[0]["c"]
+
+    def binned(df: DataFrame, tag: int) -> DataFrame:
+        b = sum([F.when(F.col(value_col) > F.lit(float(c)), 1).otherwise(0) for c in cuts], F.lit(0))
+        return df.select(b.cast("long").alias("bin"), F.lit(tag).alias("side"))
+
+    counts = (
+        binned(ref, 0)
+        .unionByName(binned(cur, 1))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("ref_count"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("cur_count"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ref_count").cast("long").alias("nr"), F.sum("cur_count").cast("long").alias("nc")
+    )
+    p = (F.col("ref_count") + 1).cast("double") / (F.col("nr") + n_bins).cast("double")
+    q = (F.col("cur_count") + 1).cast("double") / (F.col("nc") + n_bins).cast("double")
+    term = F.floor((p - q) * F.log(p / q) * 1e9).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "ref_count",
+            "cur_count",
+            term.alias("psi_term_nano"),
+            F.round(term / 1e9, 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
