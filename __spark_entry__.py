@@ -1872,6 +1872,20 @@ def q_g8(spark: SparkSession, sf: str) -> DataFrame:
     return graph.k_hop_distances(edges, ["P1", "P2"], max_hops=3).orderBy("id")
 
 
+def q_lp1(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation, 2 rounds, over the
+    undirected order<->part graph (graph.label_propagation): most-frequent
+    neighbor label, min-label ties -- the GraphFrames labelPropagation
+    analog with an oracle-replayable trajectory."""
+    li = load_table(spark, sf, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.label_propagation(edges, max_iter=2).orderBy("id")
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
     over the order->part bipartite graph; top-100 (O1).  Oracle: 10 unrolled
@@ -2105,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm4_stdlib_wav_decode": q_mm4,
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
+        "lp1_label_propagation": q_lp1,
         "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
         "g7_personalized_pagerank": q_ppr,
         "m1_als_recommendations": q_als,
@@ -4240,6 +4255,28 @@ def oracle_sql() -> dict[str, str]:
         "m3_als_determinism_gate": """
             SELECT CAST(50 AS BIGINT) AS n_users,
                    CAST(1 AS BIGINT) AS runs_identical
+        """,
+        # LPA replay: per round, neighbor-label counts + ROW_NUMBER argmax
+        # (count desc, label asc) + isolated-vertex carry-through.
+        "lp1_label_propagation": """
+            WITH f AS (SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS src,
+                              'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+            e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+            v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+            l0 AS (SELECT id, id AS label FROM v),
+            c1 AS (SELECT e.dst AS id, l.label, COUNT(*) AS c
+                   FROM e JOIN l0 l ON e.src = l.id GROUP BY e.dst, l.label),
+            p1 AS (SELECT id, label FROM
+                     (SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM c1)
+                   WHERE rn = 1),
+            l1 AS (SELECT l0.id, COALESCE(p1.label, l0.label) AS label FROM l0 LEFT JOIN p1 USING (id)),
+            c2 AS (SELECT e.dst AS id, l.label, COUNT(*) AS c
+                   FROM e JOIN l1 l ON e.src = l.id GROUP BY e.dst, l.label),
+            p2 AS (SELECT id, label FROM
+                     (SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM c2)
+                   WHERE rn = 1),
+            l2 AS (SELECT l1.id, COALESCE(p2.label, l1.label) AS label FROM l1 LEFT JOIN p2 USING (id))
+            SELECT id, label FROM l2 ORDER BY id
         """,
         # BFS replay: one (join, EXCEPT, union) triple per hop, unrolled.
         "g8_khop_reachability": """

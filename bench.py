@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "c7_training_shuffle",
     # round 5 additions
     "d10_semantic_dedup",
+    "d11_segment_dedup",
+    "ds1_dsir_importance_select",
+    "t15_pmi_collocations",
+    "g8_khop_reachability",
+    "u3_scd2_history",
 ]
 
 

@@ -218,3 +218,26 @@ def test_k_hop_distances_seed_not_in_graph_and_multi_seed(spark):
     e = spark.createDataFrame([("x", "y")], "src string, dst string")
     out = {r["id"]: r["hops"] for r in k_hop_distances(e, ["x", "ghost"], max_hops=2).collect()}
     assert out == {"x": 0, "ghost": 0, "y": 1}
+
+
+def test_label_propagation_two_triangles(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.graph import label_propagation
+
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    edges = tri + [(d, s) for s, d in tri]  # undirected
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["id"]: r["label"] for r in label_propagation(df, max_iter=2).collect()}
+    # round 1: everyone adopts min neighbor label; round 2 consolidates the
+    # 'a' community; trajectory is deterministic
+    assert out["a"] == "a" and out["b"] == "a" and out["c"] == "a"
+    assert len(out) == 6
+
+
+def test_label_propagation_isolated_vertex_keeps_label(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.graph import label_propagation
+
+    # 'solo' only appears as src (dangling dst side absent): it is never a
+    # dst, so nothing propagates INTO it; it must keep its own label.
+    df = spark.createDataFrame([("solo", "hub"), ("hub", "other"), ("other", "hub")], "src string, dst string")
+    out = {r["id"]: r["label"] for r in label_propagation(df, max_iter=2).collect()}
+    assert out["solo"] == "solo"

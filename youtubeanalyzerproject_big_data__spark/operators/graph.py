@@ -560,3 +560,43 @@ def k_hop_distances(edges: DataFrame, seeds: list, max_hops: int = 3) -> DataFra
         frontier = new.select("id")
     e.unpersist()
     return visited
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 2) -> DataFrame:
+    """Synchronous label propagation (community detection, Raghavan et al.
+    2007, the algorithm GraphFrames ships as ``labelPropagation``): every
+    vertex starts as its own label; each round it adopts the label most
+    frequent among its IN-neighBORS, ties broken by the smallest label --
+    a fully deterministic variant of the usually randomized sweep, which
+    keeps the k-round trajectory oracle-replayable.
+
+    Scale shape per round: one edges-to-labels join (edge table
+    repartitioned by src ONCE and cached -- the rank-loop discipline of
+    pagerank), one (dst, label) count aggregate, one per-vertex argmax via
+    min(struct(-count, label)) -- no windows, no driver state; the label
+    table is vertex-sized.  Isolated vertices (never a dst) keep their own
+    label through a left join.
+
+    Returns (id, label) after ``max_iter`` rounds.
+    """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.repartition(n_part, "src").cache()
+    vertices = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        counted = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = counted.groupBy("id").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("b")
+        ).select("id", F.col("b.l").alias("new_label"))
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return labels
