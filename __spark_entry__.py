@@ -566,6 +566,26 @@ def q_u3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_i1(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (merge.agg_state /
+    merge_agg_state): per-priority order stats kept as a mergeable state
+    table; the batch (orderkeys ending in 0) folds into the base state
+    WITHOUT rescanning base rows.  The oracle recomputes from the FULL
+    table -- equality IS the mergeability proof (integer-micro sums,
+    order-free min/max/count)."""
+    from youtubeanalyzerproject_big_data__spark.operators.merge import agg_state, merge_agg_state
+
+    orders = load_table(spark, sf, "orders")
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    batch = orders.where(F.col("o_orderkey") % 10 == 0)
+    merged = merge_agg_state(
+        agg_state(base, ["o_orderpriority"], "o_totalprice"),
+        agg_state(batch, ["o_orderpriority"], "o_totalprice"),
+        ["o_orderpriority"],
+    )
+    return merged.orderBy("o_orderpriority")
+
+
 def q_u1(spark: SparkSession, sf: str) -> DataFrame:
     """CDC merge over orders: a deterministic update batch (5% row updates,
     2% tombstone deletes, 1% inserts under shifted keys, all md5-keyed) is
@@ -2051,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_trailing_window_rate": q_w5,
         "g6_triangle_census": q_g6,
         "u1_cdc_merge": q_u1,
+        "i1_incremental_agg_state": q_i1,
         "u3_scd2_history": q_u3,
         "u2_incremental_dedup_index": q_u2,
         "v1_served_category_stats": q_v1,
@@ -3272,6 +3293,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT k AS text_key, keep AS keep_id, 'new' AS status
             FROM newb WHERE k NOT IN (SELECT k FROM hist)
+        """,
+        # Incremental-agg oracle: recompute from the FULL table; equality
+        # with the two-way state merge is the mergeability proof.
+        "i1_incremental_agg_state": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+                   MIN(o_totalprice) AS min_v,
+                   MAX(o_totalprice) AS max_v,
+                   ROUND(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) / (COUNT(*) * 1e6), 6) AS avg_v
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         # SCD2 replay: LAG collapses no-change rows, LEAD closes intervals,
         # 9999-12-31 epoch-micros sentinel for open ends.

