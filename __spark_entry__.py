@@ -1647,6 +1647,21 @@ def q_t15(spark: SparkSession, sf: str) -> DataFrame:
     return text.pmi_collocations(load_table(spark, sf, "documents"), "text", min_count=5, k=20)
 
 
+def q_t16(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve at 10 corpus-prefix checkpoints
+    (textanalysis.vocab_growth): first-occurrence aggregate + integer
+    id-range boundaries; no ordered scan, no data-sized collect."""
+    return text.vocab_growth(load_table(spark, sf, "documents"), "doc_id", "text", n_checkpoints=10)
+
+
+def q_t17(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law slope/intercept over the top-1000 token ranks
+    (textanalysis.zipf_fit): integer-quantized per-point logs, exact-int
+    regression sums, float(int)-then-divide sequence replayed by the
+    oracle through HUGEINT casts."""
+    return text.zipf_fit(load_table(spark, sf, "documents"), "text", top_n=1000)
+
+
 def q_bp1(spark: SparkSession, sf: str) -> DataFrame:
     """BPE merge-candidate counting (textanalysis.bpe_pair_counts): top-20
     corpus-weighted adjacent char pairs; corpus reduces once to the
@@ -2121,6 +2136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_pmi_collocations": q_t15,
         "ds1_dsir_importance_select": q_ds1,
         "bp1_bpe_pair_counts": q_bp1,
+        "t16_vocab_growth": q_t16,
+        "t17_zipf_fit": q_t17,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -3717,6 +3734,51 @@ def oracle_sql() -> dict[str, str]:
         # Distinctive-terms replay: same smoothed log-odds sequence with
         # scalar totals; ROW_NUMBER over (score DESC, token) = the
         # engine's two-stage top-k (order-equivalent by construction).
+        # Heaps replay: first-occurrence doc per token + integer range
+        # boundaries; conditional sums per checkpoint.
+        "t16_vocab_growth": r"""
+            WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+                        FROM documents),
+            pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tk GROUP BY doc_id),
+            fs AS (SELECT token, MIN(doc_id) AS fd FROM tk GROUP BY token),
+            r AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+            b AS (SELECT c, lo - 1 + ((hi - lo + 1) * c) // 10 AS bound
+                  FROM (SELECT unnest(generate_series(1, 10)) AS c), r),
+            d AS (SELECT b.c, CAST(SUM(CASE WHEN pd.doc_id <= b.bound THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                         CAST(SUM(CASE WHEN pd.doc_id <= b.bound THEN pd.n_tok ELSE 0 END) AS BIGINT) AS n_tokens_cum
+                  FROM pd, b GROUP BY b.c),
+            v AS (SELECT b.c, CAST(SUM(CASE WHEN fs.fd <= b.bound THEN 1 ELSE 0 END) AS BIGINT) AS vocab_cum
+                  FROM fs, b GROUP BY b.c)
+            SELECT d.c AS checkpoint, d.n_docs, d.n_tokens_cum, v.vocab_cum
+            FROM d JOIN v ON d.c = v.c ORDER BY checkpoint
+        """,
+        # Zipf replay: quantized per-point logs, HUGEINT-exact regression
+        # sums, and the same float-then-divide sequence as the engine.
+        "t17_zipf_fit": r"""
+            WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+                        FROM documents),
+            vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY token
+                      ORDER BY c DESC, token LIMIT 1000),
+            rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rn FROM vocab),
+            pts AS (SELECT CAST(floor(ln(CAST(rn AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                           CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+                    FROM rk),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+                  FROM pts),
+            f AS (SELECT CAST(n AS BIGINT) AS n_ranks,
+                         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_d,
+                         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd, CAST(n AS DOUBLE) AS nd
+                  FROM s)
+            SELECT n_ranks,
+                   CAST(floor(slope_d * 1e6) AS BIGINT) AS slope_micro,
+                   CAST(floor(((syd - slope_d * sxd) / nd / 1e6) * 1e6) AS BIGINT) AS intercept_micro,
+                   ROUND(CAST(floor(slope_d * 1e6) AS BIGINT) / 1e6, 6) AS slope,
+                   ROUND(CAST(floor(((syd - slope_d * sxd) / nd / 1e6) * 1e6) AS BIGINT) / 1e6, 6) AS intercept
+            FROM f
+        """,
         # BPE pair-count replay: vocab word counts, per-word char pairs
         # weighted by word count, deterministic top-20.
         "bp1_bpe_pair_counts": r"""

@@ -347,3 +347,33 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     # deterministic cut: count desc then pair asc
     rows = bpe_pair_counts(df, "text", k=3).collect()
     assert [(r["pair"], r["n_occurrences"]) for r in rows] == [("lo", 5), ("ow", 5), ("we", 3)]
+
+
+def test_vocab_growth_monotone_and_exact_totals(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import vocab_growth
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common word{i}") for i in range(20)], "doc_id long, text string"
+    )
+    out = vocab_growth(df, "doc_id", "text", n_checkpoints=4).orderBy("checkpoint").collect()
+    assert [r["n_docs"] for r in out] == [5, 10, 15, 20]
+    assert [r["n_tokens_cum"] for r in out] == [20, 40, 60, 80]
+    # vocab monotone, ends at true distinct count: 7 tok% + 3 tok% overlap -> tok0..tok6 (7) + common + 20 word{i}
+    vs = [r["vocab_cum"] for r in out]
+    assert vs == sorted(vs) and vs[-1] == 7 + 1 + 20
+
+
+def test_zipf_fit_slope_near_minus_one_on_zipfian_data(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import zipf_fit
+
+    # frequencies ~ 1/rank: 600, 300, 200, 150, 120, 100 for 6 types
+    rows = []
+    doc = 0
+    for rank, freq in enumerate([600, 300, 200, 150, 120, 100], start=1):
+        for _ in range(freq):
+            rows.append((doc, f"w{rank}"))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = zipf_fit(df, "text", top_n=6).collect()[0]
+    assert r["n_ranks"] == 6
+    assert -1.1 < r["slope"] < -0.9  # ~ -1 for 1/rank data

@@ -793,3 +793,95 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(k)
     )
+
+
+def vocab_growth(df: DataFrame, id_col: str, text_col: str, n_checkpoints: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct-token count
+    at ``n_checkpoints`` evenly spaced prefixes of the corpus in ingestion
+    (doc-id) order -- the corpus statistic that tells a tokenizer/vocab
+    designer how fast new types keep arriving (V ~ k*N^beta).
+
+    Scale design: NO ordered scan and NO data-sized collect.  Each token's
+    FIRST-occurrence doc is one (token, min(doc_id)) aggregate; checkpoint
+    boundaries are integer-arithmetic splits of the [min_id, max_id] range
+    (two scalars); then ONE conditional-sum aggregate over the per-doc
+    count table and ONE over the first-seen vocab table produce every
+    checkpoint's cumulative doc/token/vocab totals -- n_checkpoints
+    columns wide, never a row per doc driver-side.
+
+    Returns (checkpoint, n_docs, n_tokens_cum, vocab_cum).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)  # repartition-first rule (dedup._shingles)
+        .select("doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok")).cache()
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc")).cache()
+    lohi = df.agg(F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")).collect()[0]
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])  # two scalars
+    span = hi - lo + 1
+    bounds = [(c, lo - 1 + (span * c) // n_checkpoints) for c in range(1, n_checkpoints + 1)]
+    stats = per_doc.agg(
+        *[F.sum(F.when(F.col("doc_id") <= b, 1).otherwise(0)).cast("long").alias(f"d{c}") for c, b in bounds],
+        *[F.sum(F.when(F.col("doc_id") <= b, F.col("n_tok")).otherwise(0)).cast("long").alias(f"t{c}") for c, b in bounds],
+    ).collect()[0]
+    vocab = first_seen.agg(
+        *[F.sum(F.when(F.col("first_doc") <= b, 1).otherwise(0)).cast("long").alias(f"v{c}") for c, b in bounds]
+    ).collect()[0]
+    per_doc.unpersist()
+    first_seen.unpersist()
+    rows = [(c, stats[f"d{c}"] or 0, stats[f"t{c}"] or 0, vocab[f"v{c}"] or 0) for c, _ in bounds]
+    return df.sparkSession.createDataFrame(
+        rows, "checkpoint long, n_docs long, n_tokens_cum long, vocab_cum long"
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: least-squares
+    slope/intercept of ln(freq) on ln(rank) for the top-``top_n`` token
+    ranks -- natural text sits near slope -1; token soup and boilerplate
+    deviate hard, making the slope a cheap corpus-health gate.
+
+    Scale: one token-count aggregate (corpus-sized shuffle, narrow rows);
+    the spectrum is a model-sized TakeOrdered cut (count desc, token asc
+    deterministic ties).  Cross-engine determinism: each point's
+    (ln rank, ln freq) is floor-quantized to INTEGER micros first (the t8
+    recipe -- per-point libm residual only), the regression sums are exact
+    Python ints, and slope/intercept derive through an explicit
+    float(int)-then-divide sequence the oracle replays with HUGEINT
+    casts -- no order-dependent float accumulation anywhere.
+
+    Returns one row: (n_ranks, slope_micro, intercept_micro, slope,
+    intercept).
+    """
+    import math
+
+    vocab = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(top_n)
+    )
+    counts = [r["c"] for r in vocab.collect()]  # model-sized collect
+    n = len(counts)
+    xs = [math.floor(math.log(i + 1) * 1e6) for i in range(n)]  # int micros
+    ys = [math.floor(math.log(c) * 1e6) for c in counts]
+    sx, sy = sum(xs), sum(ys)  # exact int sums, order-free
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = float(num) / float(den) if den else 0.0  # micros cancel
+    intercept = (float(sy) - slope * float(sx)) / float(n) / 1e6 if n else 0.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, int(math.floor(slope * 1e6)), int(math.floor(intercept * 1e6)))],
+        "n_ranks long, slope_micro long, intercept_micro long",
+    ).select(
+        "n_ranks",
+        "slope_micro",
+        "intercept_micro",
+        F.round(F.col("slope_micro") / 1e6, 6).alias("slope"),
+        F.round(F.col("intercept_micro") / 1e6, 6).alias("intercept"),
+    )
