@@ -660,6 +660,15 @@ def q_v1(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_e10(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup-to-purchase conversion latency (streaming/events.
+    conversion_latency): first-event min-aggregates per step, integer
+    epoch-micro arithmetic, exact latency quartiles + integer mean, -1
+    sentinels when nobody converts -- f11's "how long" companion."""
+    _utc(spark)
+    return ev.conversion_latency(load_events(spark, sf), "signup", "purchase")
+
+
 def q_f11(spark: SparkSession, sf: str) -> DataFrame:
     """Conversion funnel view -> click -> purchase: per-step user counts
     with strict in-order timestamps (streaming/events.funnel_steps; one
@@ -2093,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_zorder_keys": q_l1,
         "l2_table_fingerprint": q_l2,
         "f11_funnel_counts": q_f11,
+        "e10_conversion_latency": q_e10,
         "sj_customers_with_orders": q_semi,
         "aj_customers_without_orders": q_anti,
         "set_ops_custkeys": q_setops,
@@ -3323,6 +3333,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        # Conversion-latency replay: per-step first-event minima, micro
+        # arithmetic, quantile_cont FILTER for the converting subset.
+        "e10_conversion_latency": """
+            WITH us AS (SELECT user_id AS u, epoch_ns(ts) // 1000 AS ts_us, event_type AS et FROM events),
+            f AS (SELECT u, MIN(ts_us) AS t0 FROM us WHERE et = 'signup' GROUP BY u),
+            t AS (SELECT u, MIN(ts_us) AS t1 FROM us WHERE et = 'purchase' GROUP BY u),
+            l AS (SELECT f.u, t0, t1, t1 - t0 AS dt FROM f LEFT JOIN t USING (u))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_from_users,
+                   CAST(SUM(CASE WHEN t1 IS NOT NULL AND dt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   CAST(COALESCE(floor(quantile_cont(dt, 0.25) FILTER (t1 IS NOT NULL AND dt > 0)), -1) AS BIGINT) AS p25_us,
+                   CAST(COALESCE(floor(quantile_cont(dt, 0.50) FILTER (t1 IS NOT NULL AND dt > 0)), -1) AS BIGINT) AS p50_us,
+                   CAST(COALESCE(floor(quantile_cont(dt, 0.75) FILTER (t1 IS NOT NULL AND dt > 0)), -1) AS BIGINT) AS p75_us,
+                   CAST(COALESCE(floor(CAST(SUM(dt) FILTER (t1 IS NOT NULL AND dt > 0) AS BIGINT)
+                                       / CAST(GREATEST(SUM(CASE WHEN t1 IS NOT NULL AND dt > 0 THEN 1 ELSE 0 END), 1) AS DOUBLE)),
+                                 -1) AS BIGINT) AS mean_us
+            FROM l
         """,
         # SCD2 replay: LAG collapses no-change rows, LEAD closes intervals,
         # 9999-12-31 epoch-micros sentinel for open ends.

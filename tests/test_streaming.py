@@ -322,3 +322,28 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path_factory):
         assert len(got) == 1 and got[0]["num_events"] == 2  # late row dropped, no re-emit
     finally:
         q.stop()
+
+
+def test_conversion_latency_first_events_and_sentinels(spark):
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import conversion_latency
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    rows = [
+        # user 1: signup@1, purchase@11 -> dt 10min; later events ignored (firsts only)
+        (1, "signup", t(1)), (1, "purchase", t(11)), (1, "purchase", t(30)),
+        # user 2: purchase BEFORE signup -> not a conversion
+        (2, "purchase", t(2)), (2, "signup", t(5)),
+        # user 3: signup only
+        (3, "signup", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = conversion_latency(df, "signup", "purchase").collect()[0]
+    assert r["n_from_users"] == 3 and r["n_converted"] == 1
+    assert r["p50_us"] == 10 * 60 * 1_000_000 == r["mean_us"]
+    # nobody converts on a reversed funnel -> -1 sentinels
+    r2 = conversion_latency(df, "purchase", "signup").collect()[0]
+    assert r2["n_converted"] == 1  # user 2 purchase->signup
+    r3 = conversion_latency(df.where("user_id = 3"), "signup", "purchase").collect()[0]
+    assert (r3["n_converted"], r3["p50_us"], r3["mean_us"]) == (0, -1, -1)

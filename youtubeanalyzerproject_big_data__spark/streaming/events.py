@@ -477,3 +477,57 @@ def session_paths(events: DataFrame, gap_seconds: int = 1800, k: int = 20) -> Da
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_step: str,
+    to_step: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion-latency distribution: for every user whose first
+    ``to_step`` strictly follows their first ``from_step``, the elapsed
+    micros between the two firsts; reported as converting-user count plus
+    exact latency quartiles and mean -- the "how long does signup-to-
+    purchase take" product metric next to f11's "how many convert".
+
+    One filtered min-aggregate per step (pushed filters, map-side
+    combine), an equi-join on user, integer epoch-micro arithmetic, and a
+    single exact-percentile aggregate over the converting-user-sized
+    latency table.  No per-user event arrays, no windows.
+
+    Returns one row: (n_from_users, n_converted, p25_us, p50_us, p75_us,
+    mean_us).
+    """
+    us = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(type_col).alias("et"),
+    )
+    first_from = us.where(F.col("et") == from_step).groupBy("u").agg(F.min("ts_us").alias("t0"))
+    first_to = us.where(F.col("et") == to_step).groupBy("u").agg(F.min("ts_us").alias("t1"))
+    lat = (
+        first_from.join(first_to, "u", "left")
+        .select("u", "t0", "t1", (F.col("t1") - F.col("t0")).alias("dt"))
+    )
+    conv = F.col("t1").isNotNull() & (F.col("dt") > 0)
+    qs = F.percentile(F.when(conv, F.col("dt")), [0.25, 0.5, 0.75])
+    # Mean as exact integer floor(sum/count) -- a float avg's partial sums
+    # leave exact-double range on big corpora; -1 sentinels when nobody
+    # converts (repo invariant: sentinels, not NULLs).
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_from_users"),
+        F.sum(conv.cast("long")).cast("long").alias("n_converted"),
+        F.coalesce(F.floor(qs.getItem(0)), F.lit(-1)).cast("long").alias("p25_us"),
+        F.coalesce(F.floor(qs.getItem(1)), F.lit(-1)).cast("long").alias("p50_us"),
+        F.coalesce(F.floor(qs.getItem(2)), F.lit(-1)).cast("long").alias("p75_us"),
+        F.coalesce(
+            F.floor(
+                F.sum(F.when(conv, F.col("dt"))).cast("long")
+                / F.greatest(F.sum(conv.cast("long")), F.lit(1)).cast("double")
+            ),
+            F.lit(-1),
+        ).cast("long").alias("mean_us"),
+    )
