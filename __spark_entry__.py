@@ -1930,6 +1930,18 @@ def q_lp1(spark: SparkSession, sf: str) -> DataFrame:
     return graph.label_propagation(edges, max_iter=2).orderBy("id")
 
 
+def q_mm5(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash media near-dup pairs (multimodal.perceptual_hashes
+    + phash_near_dup_pairs): aHash bits by exact-integer greater-than-mean
+    rule over the fake-decode samples, d4-style pigeonhole chunk blocking,
+    bit_count(xor) verify on candidates only -- the media-dedup twin of
+    SimHash, decode-kernel pluggable (fake/stdlib/auto)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    media = multimodal.attach_media_metadata(docs, "doc_id", "blob", "image")
+    h = multimodal.perceptual_hashes(media, decode_stub="fake", n_bits=32)
+    return multimodal.phash_near_dup_pairs(h, n_bits=32, max_distance=3).orderBy("id1", "id2")
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
     over the order->part bipartite graph; top-100 (O1).  Oracle: 10 unrolled
@@ -2165,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_samples": q_mm2,
         "mm3_resized_features": q_mm3,
         "mm4_stdlib_wav_decode": q_mm4,
+        "mm5_phash_near_dups": q_mm5,
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
         "lp1_label_propagation": q_lp1,
@@ -4300,6 +4313,32 @@ def oracle_sql() -> dict[str, str]:
         # COALESCE + greatest(..., 1) mirror the kernel's max(len, 1) guard:
         # an empty document yields feat_mean 0.0, not NULL (no-NULLs-in-
         # outputs invariant).
+        # pHash replay: exact-integer aHash bits over the first 32 ascii
+        # bytes (documents are pure ASCII, verified for mm2), chunk-blocked
+        # candidates, bit_count(xor) verify.
+        "mm5_phash_near_dups": """
+            WITH b AS (SELECT doc_id, text,
+                              unnest(generate_series(1, least(strlen(text), 32))) AS i
+                       FROM documents),
+            v AS (SELECT doc_id, i,
+                         CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS bv,
+                         CAST(least(strlen(text), 32) AS BIGINT) AS w
+                  FROM b),
+            tot AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS total FROM v GROUP BY doc_id),
+            bits AS (SELECT v.doc_id,
+                            CAST(SUM(CASE WHEN v.bv * v.w > tot.total
+                                          THEN 1::BIGINT << CAST(v.i - 1 AS INT) ELSE 0 END) AS BIGINT) AS phash
+                     FROM v JOIN tot USING (doc_id) GROUP BY v.doc_id),
+            ph AS (SELECT CAST(d.doc_id AS VARCHAR) AS media_id, COALESCE(bits.phash, 0) AS phash
+                   FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id),
+            ch AS (SELECT media_id, phash, j AS ci, (phash >> CAST(8 * j AS INT)) & 255 AS cv
+                   FROM ph, generate_series(0, 3) AS t(j)),
+            cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, a.phash AS h1, b.phash AS h2
+                     FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id)
+            SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+            ORDER BY id1, id2
+        """,
         "mm1_media_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id, 'text_blob' AS modality,
                    CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -232,3 +232,38 @@ def test_auto_codec_samples_video_frames_via_ffmpeg(spark):
     media2 = multimodal.attach_media_metadata(df2, "doc_id", "blob", "video")
     feats2 = multimodal.extract_features(media2, decode_stub="auto").collect()
     assert feats2[0]["feat_dim"] == 32 * 32 * 15  # (64/2)^2 per frame
+
+
+def test_perceptual_hash_pairs_cluster_and_block(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal as mm
+
+    rows = [(1, "abcdefgh" * 8), (2, "abcdefgh" * 8), (3, "zzzzyyyy" * 8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    media = mm.attach_media_metadata(docs, "doc_id", "blob", "image")
+    h = mm.perceptual_hashes(media, decode_stub="fake", n_bits=32)
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in mm.phash_near_dup_pairs(h, 32, 3).collect()}
+    assert pairs[("1", "2")] == 0  # identical blobs hash identically
+    assert ("1", "3") not in pairs and ("2", "3") not in pairs
+
+
+def test_perceptual_hash_exact_integer_mean_rule(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.multimodal import _ahash_bits
+
+    # bytes [1, 2, 3]: mean 2; only 3 is strictly greater -> bit 2 only
+    assert _ahash_bits([1, 2, 3], 32) == 0b100
+    assert _ahash_bits([], 32) == 0
+    assert _ahash_bits([5, 5, 5], 32) == 0  # nothing strictly above the mean
+
+
+def test_phash_pairs_rejects_unblockable_distance(spark):
+    import pytest as _pytest
+
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([("1", 0)], "media_id string, phash long")
+    with _pytest.raises(ValueError):
+        mm.phash_near_dup_pairs(df, n_bits=32, max_distance=4, n_chunks=4)

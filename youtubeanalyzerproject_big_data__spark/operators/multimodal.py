@@ -113,10 +113,10 @@ def _ffmpeg_decode_stats(blob: bytes, modality: str) -> tuple[float, int]:
     return (sum(raw) / (255.0 * max(n, 1)), n)
 
 
-def _bmp_decode_stats(blob: bytes) -> tuple[float, int]:
+def _bmp_pixels(blob: bytes) -> list[int]:
     """Pure-stdlib BMP decode: struct-unpack of BITMAPFILEHEADER +
     BITMAPINFOHEADER, uncompressed 8-bpp (paletted) / 24-bpp / 32-bpp.
-    Returns (mean gray / 255, pixel count) with the ITU-R 601-2 integer
+    Returns the luma pixel list (stored row order) with the ITU-R 601-2 integer
     luma (299R+587G+114B)//1000 -- PIL's convert('L') formula -- so the
     stdlib route reports the same statistic family as the PIL route.
     This is a REAL byte-parsing decoder (no PIL needed): padded row
@@ -137,8 +137,7 @@ def _bmp_decode_stats(blob: bytes) -> tuple[float, int]:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression} {width}x{height}")
     stride = (width * (bpp // 8) + 3) // 4 * 4  # rows pad to 4-byte words
     pal_base = 14 + hdr_size
-    total = 0
-    n = width * abs(height)
+    px = []
     for r in range(abs(height)):
         base = pix_off + r * stride
         for c in range(width):
@@ -148,13 +147,20 @@ def _bmp_decode_stats(blob: bytes) -> tuple[float, int]:
             else:
                 o = base + c * (bpp // 8)
                 b8, g8, r8 = blob[o], blob[o + 1], blob[o + 2]
-            total += (299 * r8 + 587 * g8 + 114 * b8) // 1000
-    return (total / (255.0 * max(n, 1)), n)
+            px.append((299 * r8 + 587 * g8 + 114 * b8) // 1000)
+    return px
 
 
-def _wav_decode_stats(blob: bytes) -> tuple[float, int]:
+def _bmp_decode_stats(blob: bytes) -> tuple[float, int]:
+    """(mean gray / 255, pixel count) via _bmp_pixels."""
+    px = _bmp_pixels(blob)
+    return (sum(px) / (255.0 * max(len(px), 1)), len(px))
+
+
+def _wav_samples(blob: bytes) -> list[int]:
     """Pure-stdlib WAV decode: RIFF chunk walk (word-aligned), fmt chunk
-    validation (PCM, 16-bit), int16 data chunk.  Returns
+    validation (PCM, 16-bit), int16 data chunk.  Returns the raw int16
+    sample list (all channels interleaved); the stats wrapper reports
     (mean |amplitude| / 32768, sample count across channels) -- identical
     to the ffmpeg route for mono input (ffmpeg's -ac 1 downmixes
     multichannel; this decoder counts every channel's samples instead,
@@ -183,6 +189,12 @@ def _wav_decode_stats(blob: bytes) -> tuple[float, int]:
         raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
     samples = array.array("h")
     samples.frombytes(data[: len(data) - (len(data) % 2)])
+    return list(samples)
+
+
+def _wav_decode_stats(blob: bytes) -> tuple[float, int]:
+    """(mean |amplitude| / 32768, sample count) via _wav_samples."""
+    samples = _wav_samples(blob)
     n = len(samples)
     return (sum(abs(s) for s in samples) / (32768.0 * max(n, 1)), n)
 
@@ -481,3 +493,119 @@ def _ffmpeg_resize_video(blob: bytes, factor: int) -> bytes:
             raise ValueError(f"ffmpeg failed to resize video: {proc.stderr.decode(errors='replace')[:200]}")
         with open(dst, "rb") as f:
             return f.read()
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _ahash_bits(samples: list[int], n_bits: int) -> int:
+    """Average-hash bit packing: bit i set iff sample_i * n > sum(samples)
+    -- the strictly-greater-than-mean rule in EXACT integer arithmetic
+    (no float mean, so every engine replays it bit-for-bit)."""
+    window = samples[:n_bits]
+    w = len(window)
+    if w == 0:
+        return 0
+    total = sum(window)
+    h = 0
+    for i, b in enumerate(window):
+        if b * w > total:
+            h |= 1 << i
+    return h
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    decode_stub: Literal["fail", "fake", "auto", "stdlib"] = "fail",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Per-blob perceptual hash (aHash family): sample intensities, set bit
+    i when sample i exceeds the window mean.  'fake' samples the first
+    ``n_bits`` raw bytes (deterministic, oracle-replayable); 'stdlib'
+    decodes BMP pixel rows / WAV amplitudes first; 'auto' routes through
+    PIL/ffmpeg.  The greater-than-mean rule runs in exact integer
+    arithmetic (see _ahash_bits), so fake-path hashes replay in SQL.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "fail":
+                raise NotImplementedError(
+                    "media codecs not available; use decode_stub='fake' for plumbing tests"
+                )
+            hashes = []
+            for modality, content in zip(pdf["modality"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                if decode_stub == "fake":
+                    samples = list(blob[:n_bits])
+                elif decode_stub == "stdlib":
+                    if modality == "image":
+                        samples = _bmp_pixels(blob)[:n_bits]
+                    elif modality == "audio":
+                        samples = [abs(s) for s in _wav_samples(blob)[:n_bits]]
+                    else:
+                        raise NotImplementedError(f"no stdlib decoder for {modality!r}")
+                else:
+                    _require_auto_codec(modality)
+                    import io as _io
+
+                    from PIL import Image
+
+                    img = Image.open(_io.BytesIO(blob)).convert("L")
+                    samples = list(img.getdata())[:n_bits]
+                hashes.append(_ahash_bits(samples, n_bits))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": pd.array(hashes, dtype="int64")})
+
+    return media.mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, n_bits: int = 32, max_distance: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance --
+    the media twin of d4's SimHash text dedup, same pigeonhole blocking:
+    split each hash into ``n_chunks`` equal bit chunks; any pair within
+    ``max_distance < n_chunks`` bit flips shares at least one identical
+    chunk, so candidates meet in (chunk_idx, chunk_value) buckets and the
+    exact bit_count(xor) check runs on candidates only -- never O(n^2).
+
+    Returns (id1, id2, hamming) with id1 < id2, distance <= max_distance.
+    """
+    if max_distance >= n_chunks:
+        raise ValueError("pigeonhole blocking needs max_distance < n_chunks")
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = hashes.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("ci"),
+                        F.shiftright("phash", j * chunk_bits).bitwiseAND(F.lit(mask)).alias("cv"),
+                    )
+                    for j in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("media_id", "phash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv")) & (F.col("a.media_id") < F.col("b.media_id")))
+        .select(
+            F.col("a.media_id").alias("id1"),
+            F.col("b.media_id").alias("id2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
+    return cand.select("id1", "id2", ham.alias("hamming")).where(F.col("hamming") <= max_distance)
