@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "t15_pmi_collocations",
     "g8_khop_reachability",
     "u3_scd2_history",
+    "lp1_label_propagation",
+    "mm5_phash_near_dups",
 ]
 
 
