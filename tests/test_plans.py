@@ -233,3 +233,20 @@ def test_segment_dedup_never_shuffles_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "_text" not in line and "text#" not in line
+
+
+def test_scd2_windows_are_key_partitioned(spark):
+    # u3: every analytic window must partition by the SCD key -- per-reducer
+    # state is one key's history, never the table (d6's discipline).
+    import re
+
+    plan = _plan(entrymod.q_u3(spark, SF))
+    specs = [s for s in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan) if s]
+    assert specs and all("user_id" in s for s in specs), specs
+
+
+def test_conversion_latency_filters_reach_scan(spark):
+    # e10: the per-step event_type filters must push into the parquet scan.
+    plan = _plan(entrymod.q_e10(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan
