@@ -1185,6 +1185,15 @@ def q_bf1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_a20(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-priority order stats (aggregates.robust_group_stats):
+    median + MAD + 3*1.4826*MAD outlier count -- three hash-aggregate
+    passes with model-sized broadcasts, quantile_cont-replayed medians."""
+    return agg.robust_group_stats(load_table(spark, sf, "orders"), "o_orderpriority", "o_totalprice").orderBy(
+        "o_orderpriority"
+    )
+
+
 def q_p1(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot report: quantity sums per returnflag, one column per
     linestatus.  Explicit pivot values -> single hash aggregate, stable
@@ -2078,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_approx_grouped_percentiles_gate": q_a17,
         "a18_column_profile": q_a18,
         "a19_group_distinct_gate": q_a19,
+        "a20_robust_group_stats": q_a20,
         "e6_cohort_retention": q_e6,
         "e8_session_paths": q_e8,
         "e9_transition_matrix": q_e9,
@@ -3063,6 +3073,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # MG gate: the oracle pins exact-heavy cardinality + the contract
         # bits; candidate contents are partitioning-dependent by design.
+        # MAD replay: quantile_cont median, abs-dev median, identical
+        # 3*1.4826 cut-line arithmetic on the unrounded MAD.
+        "a20_robust_group_stats": """
+            WITH med AS (SELECT o_orderpriority, CAST(COUNT(o_totalprice) AS BIGINT) AS cnt,
+                                quantile_cont(o_totalprice, 0.5) AS m
+                         FROM orders GROUP BY o_orderpriority),
+            mad AS (SELECT o.o_orderpriority, ANY_VALUE(med.cnt) AS cnt, ANY_VALUE(med.m) AS m,
+                           quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS d
+                    FROM orders o JOIN med USING (o_orderpriority)
+                    GROUP BY o.o_orderpriority)
+            SELECT o.o_orderpriority,
+                   ANY_VALUE(mad.cnt) AS cnt,
+                   ROUND(ANY_VALUE(mad.m), 6) AS median_v,
+                   ROUND(ANY_VALUE(mad.d), 6) AS mad,
+                   CAST(SUM(CASE WHEN abs(o.o_totalprice - mad.m) > (3.0 * 1.4826) * mad.d THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM orders o JOIN mad USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
+        """,
         "bf1_bloom_membership_gate": _bloom_gate_oracle(1 << 17, 4),
         "a14_heavy_hitters_gate": """
             WITH c AS (SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS exact FROM events GROUP BY 1),

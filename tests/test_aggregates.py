@@ -123,3 +123,15 @@ def test_gk_rank_window_holds_on_million_row_skewed_group(spark):
             windows[g]["lo"],
             windows[g]["hi"],
         )
+
+
+def test_robust_group_stats_mad_and_outliers(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.aggregates import robust_group_stats
+
+    rows = [("a", float(x)) for x in [1, 2, 3, 4, 5, 100]] + [("b", 10.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in robust_group_stats(df, "g", "v").collect()}
+    # group a: median 3.5, |devs| = [2.5,1.5,.5,.5,1.5,96.5] -> MAD 1.5; 100 is the lone outlier
+    assert (out["a"]["median_v"], out["a"]["mad"], out["a"]["n_outliers"]) == (3.5, 1.5, 1)
+    # constant group: MAD 0, nothing strictly above the zero cut line
+    assert (out["b"]["mad"], out["b"]["n_outliers"]) == (0.0, 0)

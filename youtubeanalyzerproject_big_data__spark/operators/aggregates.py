@@ -246,3 +246,49 @@ def profile_columns(df: DataFrame, cols: list, decimal_cols: set | None = None) 
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def robust_group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group robust statistics: median, MAD (median absolute
+    deviation -- the outlier-resistant spread measure; 1.4826*MAD ~ sigma
+    under normality), and a robust outlier count
+    (|x - median| > 3 * 1.4826 * MAD) -- the screening step a
+    data-quality pipeline runs where mean/stddev would be dragged by the
+    very outliers it hunts.
+
+    Three-pass by necessity (MAD is not one-shot aggregable, and the
+    outlier line needs MAD back per row): per-group median (one hash
+    aggregate), medians broadcast back for the deviation median (second
+    aggregate), the (median, MAD) model -- group-cardinality rows --
+    broadcast back once more for the outlier count.  Every broadcast is
+    model-sized; the data shuffles only into hash aggregates.  Reducer
+    state is bounded by group size (grouped_percentiles' exact-percentile
+    caveat; its GK approx route generalizes identically at 100 TB).
+
+    Returns (group, cnt, median_v, mad, n_outliers); the cut line uses
+    the UNROUNDED MAD on both engines, outputs round at 6.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.count(v).cast("long").alias("cnt"), F.percentile(v, 0.5).alias("_med")
+    )
+    dev = df.select(group_col, value_col).join(F.broadcast(med), group_col)
+    mad = dev.groupBy(group_col).agg(
+        F.first("cnt").alias("cnt"),
+        F.first("_med").alias("_med"),
+        F.percentile(F.abs(v - F.col("_med")), 0.5).alias("_mad"),
+    )
+    out = (
+        df.select(group_col, value_col)
+        .join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.first("cnt").alias("cnt"),
+            F.round(F.first("_med"), 6).alias("median_v"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum((F.abs(v - F.col("_med")) > F.lit(3.0 * 1.4826) * F.col("_mad")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return out
