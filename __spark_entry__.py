@@ -2052,6 +2052,27 @@ def q_m3(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(int(r1["n"]), same)], "n_users long, runs_identical long")
 
 
+def q_c10(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4 hard rule filter funnel (textanalysis.rule_filter_stats):
+    five integer-comparison rules per doc, per-source rejection counts +
+    survivor token budget.  All thresholds are cross-multiplied integer
+    predicates, so the keep bit is engine-exact."""
+    docs = load_table(spark, sf, "documents")
+    # Repartition-first (dedup._shingles rule): the per-doc regexp/HOF work
+    # is the CPU; a compact parquet source may arrive single-partition.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return text.rule_filter_stats(docs, "text", "source")
+
+
+def q_t18(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source readability profile (textanalysis.readability): Flesch
+    reading ease from integer word/sentence/vowel-group counts, per-doc
+    scores floor-quantized to micros before the order-free group sum."""
+    docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return text.readability(docs, "text", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: revenue-per-nation over the full dimension chain at sf0.001."""
     return q_q5(spark, "/root/testdata/sf0.001")
@@ -2170,12 +2191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bp1_bpe_pair_counts": q_bp1,
         "t16_vocab_growth": q_t16,
         "t17_zipf_fit": q_t17,
+        "t18_readability": q_t18,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
         "c7_training_shuffle": q_c7,
         "c8_perplexity_tiers": q_c8,
         "c9_temperature_mix": q_c9,
+        "c10_rule_filter": q_c10,
         "dq1_constraint_audit": q_dq1,
         "dq2_psi_drift": q_dq2,
         "c4_doc_chunks": q_c4,
@@ -3823,6 +3846,72 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Zipf replay: quantized per-point logs, HUGEINT-exact regression
         # sums, and the same float-then-divide sequence as the engine.
+        "t18_readability": r"""
+            WITH s AS (
+              SELECT source,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w,
+                GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) != '')), 1) AS n_sent,
+                len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+              FROM documents),
+            d AS (
+              SELECT source,
+                CAST(len(w) AS BIGINT) AS n_words,
+                CAST(n_sent AS BIGINT) AS n_sent,
+                CAST(n_syll AS BIGINT) AS n_syll,
+                CAST(len(list_filter(w, x -> len(regexp_extract_all(lower(x), '[aeiouy]+')) >= 3)) AS BIGINT) AS n_poly
+              FROM s WHERE len(w) > 0),
+            q AS (
+              SELECT source, n_words, n_sent, n_syll, n_poly,
+                CAST(floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+                                    - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))) * 1e6) AS BIGINT) AS flesch_micro
+              FROM d)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_words) AS BIGINT) AS n_words,
+              ROUND(CAST(SUM(n_words) AS DOUBLE) / CAST(SUM(n_sent) AS DOUBLE), 6) AS words_per_sentence,
+              ROUND(CAST(SUM(n_syll) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS syllables_per_word,
+              ROUND(100.0 * CAST(SUM(n_poly) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS pct_polysyllabic,
+              ROUND(CAST(SUM(flesch_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS avg_flesch
+            FROM q GROUP BY source ORDER BY source
+        """,
+        "c10_rule_filter": r"""
+            WITH s AS (
+              SELECT source,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
+                lower(text) AS low
+              FROM documents),
+            r AS (
+              SELECT source,
+                CAST(len(w) AS BIGINT) AS n_tok,
+                CAST(len(list_distinct(w)) AS BIGINT) AS n_dis,
+                CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_tok,
+                n_nonspace,
+                (CASE WHEN regexp_matches(low, '\bthe\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(low, '\band\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(low, '\bof\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(low, '\bto\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(low, '\ba\b') THEN 1 ELSE 0 END) AS n_stop
+              FROM s),
+            b AS (
+              SELECT source, n_tok,
+                (n_tok >= 20 AND n_tok <= 100000) AS r_wc,
+                (2 * n_tok <= n_nonspace AND n_nonspace <= 5 * n_tok) AS r_mwl,
+                (10 * n_alpha_tok >= 7 * n_tok) AS r_alpha,
+                (n_stop >= 2) AS r_stop,
+                (10 * (n_tok - n_dis) <= 6 * n_tok) AS r_dup
+              FROM r)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+              CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+              CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+              CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+              CAST(SUM(CASE WHEN NOT r_dup THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup,
+              CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_dup THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+            FROM b GROUP BY source ORDER BY source
+        """,
         "t17_zipf_fit": r"""
             WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
                         FROM documents),

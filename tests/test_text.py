@@ -377,3 +377,48 @@ def test_zipf_fit_slope_near_minus_one_on_zipfian_data(spark):
     r = zipf_fit(df, "text", top_n=6).collect()[0]
     assert r["n_ranks"] == 6
     assert -1.1 < r["slope"] < -0.9  # ~ -1 for 1/rank data
+
+
+def test_rule_filter_stats_each_rule_fires(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import rule_filter_stats
+
+    good = "the cat and the dog sat on a mat with " + " ".join(f"w{i}" for i in range(15))
+    rows = [
+        (1, good, "s1"),                                     # passes all rules
+        (2, "the and of to a short", "s1"),                  # < 20 tokens -> wc
+        (3, "the and " + " ".join(["wordsverylong"] * 30), "s1"),  # mean len > 5 -> mwl
+        (4, "the and " + " ".join(["911"] * 30), "s1"),      # digits -> alpha
+        (5, " ".join(f"tok{i}" for i in range(25)), "s1"),   # no stopwords -> stop
+        (6, "the and " + " ".join(["dup"] * 40), "s1"),      # dup ratio -> dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = rule_filter_stats(df, "text", "source").collect()[0]
+    assert out["n_docs"] == 6
+    assert out["fail_wc"] == 1
+    assert out["fail_mwl"] >= 1          # doc 3 (dup docs may also trip mwl)
+    assert out["fail_alpha"] == 1        # doc 4
+    assert out["fail_stop"] == 1         # doc 5
+    assert out["fail_dup"] >= 2          # docs 3/4/6 are heavy-dup
+    assert out["n_kept"] == 1
+    assert out["kept_tokens"] == 25      # the good doc has 25 tokens
+
+
+def test_readability_exact_flesch_on_known_doc(spark):
+    import math
+
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import readability
+
+    # 6 words, 2 sentences, syllable groups: the(1) cat(1) sat(1) ha(1)-ppy(1)
+    # dogs(1) run(1) -> per-word [1,1,1,2,1,1] = 7 syllables
+    df = spark.createDataFrame(
+        [(1, "the cat sat. happy dogs run!", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = readability(df, "text", "source").collect()[0]
+    assert out["n_docs"] == 1 and out["n_words"] == 6
+    assert out["words_per_sentence"] == 3.0
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (7 / 6)
+    assert out["avg_flesch"] == round(math.floor(expected * 1e6) / 1e6, 6)
+    # empty docs are excluded, not divide-by-zero'd
+    df2 = spark.createDataFrame([(1, "   ", "s1")], "doc_id long, text string, source string")
+    assert readability(df2, "text", "source").count() == 0

@@ -885,3 +885,147 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
         F.round(F.col("slope_micro") / 1e6, 6).alias("slope"),
         F.round(F.col("intercept_micro") / 1e6, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style hard rule filter (c10) and readability profile (t18)
+# ---------------------------------------------------------------------------
+
+def rule_filter_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Hard rule-based document filter, Gopher/C4 style (Rae et al. 2021
+    par.A1.1; Raffel et al. 2020 par.2.2): each document is screened by
+    FIVE deterministic rules and the per-group funnel is reported -- how
+    many docs each rule rejects and how many survive all of them.  This is
+    the verdict-style companion to ``quality_scores`` (which emits raw
+    signals and leaves thresholds to the caller): a curation pipeline runs
+    exactly this shape as its first, cheapest pass.
+
+    Rules (all integer cross-multiplication comparisons -- no float
+    thresholds anywhere, so the pass/fail bit is bit-identical in any
+    engine):
+      word_count      20 <= n_tokens <= 100_000
+      mean_word_len   2 <= (non-space chars / n_tokens) <= 5
+                      (as 2*n_tok <= n_nonspace AND n_nonspace <= 5*n_tok)
+      alpha_words     >= 70% of tokens contain a letter (10*n_alpha_tok
+                      >= 7*n_tok)
+      stopwords       >= 2 DISTINCT English marker stopwords present
+                      (Gopher's "stop word" rule, LANG_MARKERS['en'])
+      dup_tokens      token-duplication ratio <= 0.6
+                      (10*(n_tok - n_distinct) <= 6*n_tok)
+
+    Scale design: one map-side projection computes every rule bit inside
+    whole-stage codegen, then ONE partial-aggregated groupBy(group_col) of
+    conditional sums -- the same single-scan funnel shape as
+    quality.check_constraints, but grouped.  At 100 TB this runs at
+    parquet-scan speed with a group-cardinality-sized shuffle.
+
+    Returns per group: n_docs, fail counts per rule, n_kept, kept tokens.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("long")
+    n_nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    n_alpha_tok = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    low = F.lower(t)
+    n_stop_distinct = sum(
+        F.when(low.rlike(r"\b" + w + r"\b"), F.lit(1)).otherwise(F.lit(0))
+        for w in LANG_MARKERS["en"]
+    ).cast("long")
+    r_wc = (n_tok >= 20) & (n_tok <= 100_000)
+    r_mwl = (2 * n_tok <= n_nonspace) & (n_nonspace <= 5 * n_tok)
+    r_alpha = 10 * n_alpha_tok >= 7 * n_tok
+    r_stop = n_stop_distinct >= 2
+    r_dup = 10 * (n_tok - n_distinct) <= 6 * n_tok
+    keep = r_wc & r_mwl & r_alpha & r_stop & r_dup
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        n_tok.alias("n_tok"),
+        r_wc.alias("r_wc"),
+        r_mwl.alias("r_mwl"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_dup.alias("r_dup"),
+        keep.alias("keep"),
+    )
+
+    def fails(c: str) -> Column:
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("long").alias(f"fail_{c[2:]}")
+
+    return (
+        base.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            fails("r_wc"),
+            fails("r_mwl"),
+            fails("r_alpha"),
+            fails("r_stop"),
+            fails("r_dup"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(F.lit(0))).cast("long").alias("kept_tokens"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def readability(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Per-group readability profile: Flesch reading ease from whitespace
+    words, [.!?]+ sentence breaks, and vowel-group ([aeiouy]+) syllable
+    estimates -- the classic complexity screen (Flesch 1948; Kincaid 1975)
+    a curation pipeline uses to bucket prose difficulty.  On unpunctuated
+    corpora the sentence count degenerates to 1/doc (documented; the
+    operator generalizes unchanged to punctuated text).
+
+    Cross-engine determinism: the three per-doc counts are exact integers;
+    the per-doc Flesch score 206.835 - 1.015*(w/s) - 84.6*(sy/w) is a
+    fixed-shape double expression over integer-valued doubles (identical
+    correctly-rounded result in any IEEE engine), floor-quantized to
+    integer micros BEFORE aggregation so group sums are order-free; ratio
+    outputs divide exact integer sums.
+
+    Scale: pure map-side counting + one grouped conditional-sum aggregate,
+    same as rule_filter_stats.
+
+    Returns per group: n_docs, n_words, words_per_sentence,
+    syllables_per_word, pct_polysyllabic, avg_flesch.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(
+        F.size(F.filter(F.split(t, r"[.!?]+"), lambda s: F.trim(s) != "")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syll = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0))).cast("long")
+    n_poly = F.size(
+        F.filter(
+            F.transform(toks, lambda w: F.size(F.regexp_extract_all(F.lower(w), F.lit(r"[aeiouy]+"), F.lit(0)))),
+            lambda c: c >= 3,
+        )
+    ).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    flesch_micro = F.floor(flesch * 1e6).cast("long")
+    base = df.where(n_words > 0).select(
+        F.col(group_col).alias("grp"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sent"),
+        n_syll.alias("n_syll"),
+        n_poly.alias("n_poly"),
+        flesch_micro.alias("flesch_micro"),
+    )
+    return (
+        base.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.round(F.sum("n_words") / F.sum("n_sent"), 6).alias("words_per_sentence"),
+            F.round(F.sum("n_syll") / F.sum("n_words"), 6).alias("syllables_per_word"),
+            F.round(100.0 * F.sum("n_poly") / F.sum("n_words"), 6).alias("pct_polysyllabic"),
+            F.round(F.sum("flesch_micro") / F.count(F.lit(1)) / 1e6, 6).alias("avg_flesch"),
+        )
+        .orderBy(group_col)
+    )
