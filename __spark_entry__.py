@@ -2052,6 +2052,22 @@ def q_m3(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(int(r1["n"]), same)], "n_users long, runs_identical long")
 
 
+def q_e11(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly volume-anomaly screen (streaming/events.hourly_anomaly):
+    per-type z-scores from exact int64 moments, z = (n*H-S)/sqrt(H*Q-S^2)
+    floor-quantized to micros, top-20 by |z| with deterministic ties."""
+    _utc(spark)
+    return ev.hourly_anomaly(load_events(spark, sf), top_k=20)
+
+
+def q_e12(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (aggregates.rfm_segments): integer
+    recency/frequency/monetary-micros quartile scores -- dyadic-fraction
+    cutpoints between int64 order statistics, engine-exact comparisons."""
+    _utc(spark)
+    return agg.rfm_segments(load_table(spark, sf, "orders"), "o_custkey", "o_orderdate", "o_totalprice")
+
+
 def q_c10(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher/C4 hard rule filter funnel (textanalysis.rule_filter_stats):
     five integer-comparison rules per doc, per-source rejection counts +
@@ -2112,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_cohort_retention": q_e6,
         "e8_session_paths": q_e8,
         "e9_transition_matrix": q_e9,
+        "e11_hourly_anomaly": q_e11,
+        "e12_rfm_segments": q_e12,
         "e7_decayed_engagement": q_e7,
         "p1_pivot_flag_status": q_p1,
         "p2_unpivot_priority_stats": q_p2,
@@ -3559,6 +3577,55 @@ def oracle_sql() -> dict[str, str]:
         "g3_part_indegree_distribution": """
             WITH d AS (SELECT l_partkey, COUNT(*) AS degree FROM lineitem GROUP BY l_partkey)
             SELECT degree, COUNT(*) AS num_keys FROM d GROUP BY degree
+        """,
+        "e11_hourly_anomaly": """
+            WITH h AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+            t AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h_cnt,
+                     CAST(SUM(n_events) AS BIGINT) AS s1,
+                     CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+              FROM h GROUP BY 1),
+            z AS (
+              SELECT h.event_type, h.hour, h.n_events,
+                     CASE WHEN t.h_cnt * t.s2 - t.s1 * t.s1 > 0
+                          THEN CAST(floor(CAST(h.n_events * t.h_cnt - t.s1 AS DOUBLE) * 1e6
+                                          / sqrt(CAST(t.h_cnt * t.s2 - t.s1 * t.s1 AS DOUBLE))) AS BIGINT)
+                          ELSE 0 END AS z_micro
+              FROM h JOIN t USING (event_type))
+            SELECT event_type, hour, n_events, z_micro, ROUND(z_micro / 1e6, 6) AS z
+            FROM z ORDER BY abs(z_micro) DESC, event_type, hour LIMIT 20
+        """,
+        "e12_rfm_segments": """
+            WITH rfm AS (
+              SELECT o_custkey,
+                     ((SELECT MAX(epoch_us(o_orderdate)) FROM orders) - MAX(epoch_us(o_orderdate))) // 86400000000 AS rec_days,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mon_micros
+              FROM orders GROUP BY o_custkey),
+            q AS (
+              SELECT quantile_cont(rec_days, 0.25) AS r1, quantile_cont(rec_days, 0.5) AS r2, quantile_cont(rec_days, 0.75) AS r3,
+                     quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2, quantile_cont(frequency, 0.75) AS f3,
+                     quantile_cont(mon_micros, 0.25) AS m1, quantile_cont(mon_micros, 0.5) AS m2, quantile_cont(mon_micros, 0.75) AS m3
+              FROM rfm),
+            s AS (
+              SELECT CAST(5 - (1 + CASE WHEN rec_days > q.r1 THEN 1 ELSE 0 END
+                                 + CASE WHEN rec_days > q.r2 THEN 1 ELSE 0 END
+                                 + CASE WHEN rec_days > q.r3 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+                     CAST(1 + CASE WHEN frequency > q.f1 THEN 1 ELSE 0 END
+                            + CASE WHEN frequency > q.f2 THEN 1 ELSE 0 END
+                            + CASE WHEN frequency > q.f3 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+                     CAST(1 + CASE WHEN mon_micros > q.m1 THEN 1 ELSE 0 END
+                            + CASE WHEN mon_micros > q.m2 THEN 1 ELSE 0 END
+                            + CASE WHEN mon_micros > q.m3 THEN 1 ELSE 0 END AS BIGINT) AS m_score,
+                     mon_micros
+              FROM rfm, q)
+            SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
+                   r_score, f_score, m_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(CAST(SUM(mon_micros) AS DOUBLE) / 1000000, 6) AS monetary_total
+            FROM s GROUP BY 1, 2, 3, 4 ORDER BY segment
         """,
         "e1_events_hourly": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS num_events,

@@ -135,3 +135,50 @@ def test_robust_group_stats_mad_and_outliers(spark):
     assert (out["a"]["median_v"], out["a"]["mad"], out["a"]["n_outliers"]) == (3.5, 1.5, 1)
     # constant group: MAD 0, nothing strictly above the zero cut line
     assert (out["b"]["mad"], out["b"]["n_outliers"]) == (0.0, 0)
+
+
+def test_rfm_segments_scores_and_totals(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.aggregates import rfm_segments
+
+    # 4 customers with strictly increasing frequency/monetary and strictly
+    # decreasing recency -> every score axis is the identity permutation.
+    rows = []
+    for c in range(1, 5):  # customer c: c orders, last on day 10+c
+        for k in range(c):
+            rows.append((c, f"2024-01-{10 + c:02d} 00:00:00", 100.0 * c))
+    df = spark.createDataFrame(rows, "o_custkey long, d string, amt double").select(
+        "o_custkey", F.col("d").cast("timestamp_ntz").alias("o_orderdate"), F.col("amt").alias("o_totalprice")
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {r["segment"]: r for r in rfm_segments(df, "o_custkey", "o_orderdate", "o_totalprice").collect()}
+    # customer 4: most recent (r=4), most frequent (f=4), most monetary (m=4)
+    assert set(out) == {"111", "222", "333", "444"}
+    assert out["444"]["n_customers"] == 1
+    assert out["444"]["monetary_total"] == 1600.0  # 4 orders x 400
+    assert out["111"]["monetary_total"] == 100.0
+
+
+def test_hourly_anomaly_flags_spike_and_zeroes_constant(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import hourly_anomaly
+
+    rows = []
+    eid = 0
+    for h in range(10):  # 'a': 5 events/hour, except hour 7 spikes to 50
+        for _ in range(50 if h == 7 else 5):
+            rows.append((eid, f"2024-01-01 {h:02d}:30:00", 1, "a", 1.0, "{}"))
+            eid += 1
+    for h in range(10):  # 'b': constant 3/hour -> zero variance -> z = 0
+        for _ in range(3):
+            rows.append((eid, f"2024-01-01 {h:02d}:30:00", 1, "b", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+    out = hourly_anomaly(df, top_k=30).collect()
+    top = out[0]
+    assert top["event_type"] == "a" and top["n_events"] == 50 and top["z"] > 2.5
+    assert all(r["z"] == 0.0 for r in out if r["event_type"] == "b")

@@ -292,3 +292,75 @@ def robust_group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFra
         )
     )
     return out
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str,
+    date_col: str,
+    amount_col: str,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994, the classic marketing
+    quartile scheme): per customer recency (days since last order, vs the
+    table's max date), frequency (order count), monetary (exact decimal
+    total), each scored 1-4 against its own global quartiles; output is
+    the per-segment roll-up (count + monetary mass).
+
+    Cross-engine determinism: recency/frequency are exact integers and
+    monetary is exact int64 micros (DECIMAL-summed), so quartile cutpoints
+    interpolate dyadic fractions (.25/.5/.75) between int64 order
+    statistics -- exactly representable, bit-identical in any engine; the
+    score comparisons are therefore engine-exact, no float thresholds.
+
+    Scale: one customer-grid shuffle (map-side combined), then a 9-scalar
+    cutpoint aggregate (``approx=True`` switches it to the GK sketch --
+    the billion-customer path, same shape as grouped_percentiles), then
+    map-side scoring + one segment-sized aggregate.  The only collect is
+    the 9 cutpoints.
+    """
+    us_day = 86_400_000_000
+    rfm = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
+        # NTZ-safe: cast to session-tz timestamp first (callers pin UTC, so
+        # the NTZ wall clock IS the epoch instant, matching epoch_us()).
+        F.max(F.unix_micros(F.col(date_col).cast("timestamp"))).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        (F.sum(F.col(amount_col).cast("decimal(18,6)")) * 1_000_000).cast("long").alias("mon_micros"),
+    )
+    gmax = rfm.agg(F.max("last_us")).collect()[0][0]  # scalar
+    rfm = rfm.withColumn("rec_days", ((F.lit(int(gmax)) - F.col("last_us")) / F.lit(us_day)).cast("long")).cache()
+    if approx:
+        pctl = lambda c: F.percentile_approx(F.col(c), [0.25, 0.5, 0.75], F.lit(accuracy))  # noqa: E731
+    else:
+        pctl = lambda c: F.percentile(F.col(c), [0.25, 0.5, 0.75])  # noqa: E731
+    cuts = rfm.agg(
+        pctl("rec_days").alias("r"), pctl("frequency").alias("f"), pctl("mon_micros").alias("m")
+    ).collect()[0]
+
+    def score(col: str, qs, invert: bool) -> Column:
+        s = F.lit(1)
+        for q in qs:
+            s = s + F.when(F.col(col) > F.lit(float(q)), 1).otherwise(0)
+        # low recency = good: mirror 1..4 -> 4..1
+        return (F.lit(5) - s if invert else s).cast("long")
+
+    scored = rfm.select(
+        score("rec_days", cuts["r"], invert=True).alias("r_score"),
+        score("frequency", cuts["f"], invert=False).alias("f_score"),
+        score("mon_micros", cuts["m"], invert=False).alias("m_score"),
+        "mon_micros",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round((F.sum("mon_micros") / F.lit(1_000_000)).cast("double"), 6).alias("monetary_total"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(F.col("r_score").cast("string"), F.col("f_score").cast("string"), F.col("m_score").cast("string")),
+        )
+        .select("segment", "r_score", "f_score", "m_score", "n_customers", "monetary_total")
+        .orderBy("segment")
+    )

@@ -531,3 +531,48 @@ def conversion_latency(
             F.lit(-1),
         ).cast("long").alias("mean_us"),
     )
+
+
+def hourly_anomaly(events: DataFrame, top_k: int = 20) -> DataFrame:
+    """Volume-anomaly screen over the hourly event grid: per event type,
+    z-score of each hour's count against that type's own hourly
+    distribution, top-``top_k`` hours by |z| -- the monitoring query an
+    ingestion pipeline runs to catch traffic spikes/outages before they
+    poison training data.
+
+    Cross-engine determinism: with per-type totals H (hours), S = sum n,
+    Q = sum n^2 (all exact int64), the population z-score collapses to
+      z = (n*H - S) / sqrt(H*Q - S^2)
+    -- ONE integer-valued-double division and one sqrt of an exact int64,
+    floor-quantized to micros.  Constant series (variance 0) score 0.
+    The final cut is a deterministic (|z| desc, event_type, hour)
+    TakeOrdered.
+
+    Scale: corpus shuffles once into the hourly grid (map-side combined);
+    the per-type moment table is type-cardinality-sized and broadcasts
+    back.  No window over the full grid, no data-sized collect.
+    """
+    hourly = (
+        events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("h_cnt"),
+        F.sum("n_events").cast("long").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("s2"),
+    )
+    j = hourly.join(F.broadcast(moments), "event_type")
+    a = F.col("n_events") * F.col("h_cnt") - F.col("s1")
+    b = F.col("h_cnt") * F.col("s2") - F.col("s1") * F.col("s1")
+    z_micro = (
+        F.when(b > 0, F.floor(a.cast("double") * F.lit(1e6) / F.sqrt(b.cast("double"))))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        j.select("event_type", "hour", "n_events", z_micro.alias("z_micro"))
+        .withColumn("z", F.round(F.col("z_micro") / 1e6, 6))
+        .orderBy(F.abs(F.col("z_micro")).desc(), "event_type", "hour")
+        .limit(top_k)
+    )
