@@ -761,6 +761,20 @@ def q_g6(spark: SparkSession, sf: str) -> DataFrame:
     return graph.triangle_count(pairs)
 
 
+def q_g9(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph
+    (graph.adamic_adar): top-5 new-link candidates for each seed part
+    (partkey % 1000 == 1), seeded 2-hop expansion -- never a global wedge
+    enumeration (1.5e8 wedges already at sf0.1)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y, (F.col("x.l_orderkey") == F.col("y.l_orderkey")) & (F.col("x.l_partkey") < F.col("y.l_partkey"))
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    seeds = li.select(F.col("l_partkey").alias("seed")).where(F.col("l_partkey") % 1000 == 1).distinct()
+    return graph.adamic_adar(pairs, seeds, k=5)
+
+
 def q_semi(spark: SparkSession, sf: str) -> DataFrame:
     """Left-semi join: customers having orders."""
     c = load_table(spark, sf, "customer")
@@ -2231,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm5_phash_near_dups": q_mm5,
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
+        "g9_adamic_adar": q_g9,
         "lp1_label_propagation": q_lp1,
         "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
         "g7_personalized_pagerank": q_ppr,
@@ -3515,6 +3530,28 @@ def oracle_sql() -> dict[str, str]:
         # Triangle replay: identical degree-ordered orientation; the LEFT
         # JOIN marker counts wedges and closed wedges in one pass, like the
         # engine's single wedge-scan aggregate.
+        "g9_adamic_adar": """
+            WITH e AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+            adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e),
+            w AS (SELECT v AS z, CAST(floor(1e6 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_micro
+                  FROM adj GROUP BY v HAVING COUNT(*) >= 2),
+            seeds AS (SELECT DISTINCT l_partkey AS s FROM lineitem WHERE l_partkey % 1000 = 1),
+            sadj AS (SELECT s.s, a.n AS z FROM adj a JOIN seeds s ON a.v = s.s),
+            cand AS (SELECT sa.s, a2.n AS y, w.w_micro
+                     FROM sadj sa JOIN adj a2 ON sa.z = a2.v JOIN w ON w.z = sa.z
+                     WHERE a2.n != sa.s),
+            sc AS (SELECT s, y, CAST(COUNT(*) AS BIGINT) AS n_common, CAST(SUM(w_micro) AS BIGINT) AS aa_micro
+                   FROM cand GROUP BY s, y),
+            nl AS (SELECT sc.* FROM sc LEFT JOIN adj ON adj.v = sc.s AND adj.n = sc.y WHERE adj.v IS NULL),
+            rk AS (SELECT s, y, n_common, aa_micro,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY aa_micro DESC, y) AS BIGINT) AS rank
+                   FROM nl)
+            SELECT s AS src, y AS dst, rank, n_common, aa_micro, ROUND(aa_micro / 1e6, 6) AS aa_score
+            FROM rk WHERE rank <= 5 ORDER BY src, rank
+        """,
         "g6_triangle_census": """
             WITH e AS (
               SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

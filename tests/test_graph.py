@@ -241,3 +241,25 @@ def test_label_propagation_isolated_vertex_keeps_label(spark):
     df = spark.createDataFrame([("solo", "hub"), ("hub", "other"), ("other", "hub")], "src string, dst string")
     out = {r["id"]: r["label"] for r in label_propagation(df, max_iter=2).collect()}
     assert out["solo"] == "solo"
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.graph import adamic_adar
+
+    # Graph: seed 1 -- 2, 1 -- 3;  2 -- 4, 3 -- 4, 2 -- 5.
+    # Candidates for 1: 4 (via 2 and 3), 5 (via 2).  deg(2)=3, deg(3)=2.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    out = {r["dst"]: r for r in adamic_adar(edges, seeds, k=5).collect()}
+    assert set(out) == {4, 5}  # 2 and 3 are existing neighbors, excluded
+    w2 = math.floor(1e6 / math.log(3))
+    w3 = math.floor(1e6 / math.log(2))
+    assert out[4]["aa_micro"] == w2 + w3 and out[4]["n_common"] == 2
+    assert out[5]["aa_micro"] == w2 and out[5]["n_common"] == 1
+    assert out[4]["rank"] == 1 and out[5]["rank"] == 2

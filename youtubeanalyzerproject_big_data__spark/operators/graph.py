@@ -600,3 +600,89 @@ def label_propagation(edges: DataFrame, max_iter: int = 2) -> DataFrame:
         )
     e.unpersist()
     return labels
+
+
+def adamic_adar(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "seed",
+    k: int = 5,
+    hint_small_vertices: bool = True,
+) -> DataFrame:
+    """Link prediction for a seed set: top-``k`` new-neighbor candidates
+    per seed vertex by Adamic-Adar score AA(s,y) = sum over common
+    neighbors z of 1/ln(deg z) (Adamic & Adar 2003) -- the
+    "people/parts you may also like" primitive.
+
+    Candidate generation is a 2-hop frontier expansion FROM THE SEEDS
+    (the k_hop_distances shape), never a global wedge enumeration: the
+    co-purchase graph's mean degree ~120 puts the full wedge count at
+    1.5e8 already at sf0.1 (measured), growing superlinearly with scale,
+    while the seeded form costs |S| * mean_deg^2 regardless of graph
+    size.  Existing neighbors are removed with an edge-sized anti-join;
+    the per-seed top-k is a window over candidate-sized groups.
+
+    Cross-engine determinism: each middle vertex contributes
+    floor(1e6 / ln(deg)) -- an integer weight from an exact-integer-input
+    ln -- so per-pair scores are exact int64 sums; ties break (aa desc,
+    candidate id).
+
+    ``hint_small_vertices``: as in triangle_count -- degree/weight tables
+    are vertex-dimension-sized and broadcast for this engine's graphs;
+    pass False at web scale and let AQE decide.
+
+    Returns (src, dst, n_common, aa_micro, aa_score) ordered by seed then
+    rank.
+    """
+    a, b = F.least(F.col(src), F.col(dst)).alias("a"), F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    ).cache()
+    maybe_bcast = F.broadcast if hint_small_vertices else (lambda df: df)
+    w = (
+        adj.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .where(F.col("d") >= 2)
+        .select(F.col("v").alias("z"), F.floor(F.lit(1e6) / F.log(F.col("d").cast("double"))).cast("long").alias("w_micro"))
+    )
+    # Seed frontier (s, z): |S| * mean_deg rows -- always broadcast-sized
+    # (that bound is the whole point of the seeded formulation), so the
+    # 2-hop expansion is a broadcast probe of the edge-sized adjacency,
+    # and the existing-neighbor anti-join runs against the SAME tiny
+    # frontier rather than the full adjacency.
+    sadj = adj.join(
+        F.broadcast(seeds.select(F.col(seed_col).alias("v")).distinct()), "v"
+    ).select(F.col("v").alias("s"), F.col("n").alias("z")).cache()
+    cand = (
+        F.broadcast(sadj)
+        .join(adj.select(F.col("v").alias("z"), F.col("n").alias("y")), "z")
+        .where(F.col("y") != F.col("s"))
+        .join(maybe_bcast(w), "z")
+    )
+    scores = cand.groupBy("s", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w_micro").cast("long").alias("aa_micro"),
+    )
+    new_links = scores.join(
+        F.broadcast(sadj.select("s", F.col("z").alias("y"))), ["s", "y"], "left_anti"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("s").orderBy(F.col("aa_micro").desc(), F.col("y"))
+    )
+    out = (
+        new_links.withColumn("rank", rn.cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("s").alias("src"),
+            F.col("y").alias("dst"),
+            "rank",
+            "n_common",
+            "aa_micro",
+            F.round(F.col("aa_micro") / 1e6, 6).alias("aa_score"),
+        )
+        .orderBy("src", "rank")
+    )
+    return out
