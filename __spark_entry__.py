@@ -2066,6 +2066,24 @@ def q_m3(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(int(r1["n"]), same)], "n_users long, runs_identical long")
 
 
+def q_bp2(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE train+apply round-trip gate (textanalysis.bpe_train_apply):
+    10 merges learned and applied at vocab level; vocab/word/char totals
+    are oracle-exact, merge count is contract-pinned, and the
+    compression/round-trip bits are computed over the whole vocab."""
+    return text.bpe_train_apply(load_table(spark, sf, "documents"), "text", n_merges=10)
+
+
+def q_c11(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.leakage_safe_split):
+    split key = md5 of NORMALIZED TEXT (the d1 dup-group key), so
+    duplicate groups can't straddle splits; n_leaky_groups is computed,
+    not asserted, and must be 0."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import leakage_safe_split
+
+    return leakage_safe_split(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_e11(spark: SparkSession, sf: str) -> DataFrame:
     """Hourly volume-anomaly screen (streaming/events.hourly_anomaly):
     per-type z-scores from exact int64 moments, z = (n*H-S)/sqrt(H*Q-S^2)
@@ -2221,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_pmi_collocations": q_t15,
         "ds1_dsir_importance_select": q_ds1,
         "bp1_bpe_pair_counts": q_bp1,
+        "bp2_bpe_encode_gate": q_bp2,
         "t16_vocab_growth": q_t16,
         "t17_zipf_fit": q_t17,
         "t18_readability": q_t18,
@@ -2231,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_perplexity_tiers": q_c8,
         "c9_temperature_mix": q_c9,
         "c10_rule_filter": q_c10,
+        "c11_leakage_safe_split": q_c11,
         "dq1_constraint_audit": q_dq1,
         "dq2_psi_drift": q_dq2,
         "c4_doc_chunks": q_c4,
@@ -3977,6 +3997,44 @@ def oracle_sql() -> dict[str, str]:
               ROUND(100.0 * CAST(SUM(n_poly) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS pct_polysyllabic,
               ROUND(CAST(SUM(flesch_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS avg_flesch
             FROM q GROUP BY source ORDER BY source
+        """,
+        # bp2: vocab/word/char totals replay exactly; merge count is the
+        # contract constant; compression/round-trip bits are engine-side
+        # gates (the merge sequence is data-dependent state an engine-
+        # independent oracle can't replay without reimplementing BPE).
+        "bp2_bpe_encode_gate": r"""
+            WITH tk AS (
+              SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS w
+              FROM documents),
+            v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM tk GROUP BY w)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+                   CAST(SUM(wc) AS BIGINT) AS total_words,
+                   CAST(SUM(len(w) * wc) AS BIGINT) AS total_chars,
+                   CAST(10 AS BIGINT) AS n_merges_applied,
+                   CAST(1 AS BIGINT) AS compression_ok,
+                   CAST(1 AS BIGINT) AS roundtrip_ok
+            FROM v
+        """,
+        "c11_leakage_safe_split": rf"""
+            WITH b AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS ntok
+              FROM documents),
+            s AS (
+              SELECT b.*, CASE WHEN {md5_int32_sql('k', 'split')} % 10 < 1 THEN 'val'
+                               WHEN {md5_int32_sql('k', 'split')} % 10 < 2 THEN 'test'
+                               ELSE 'train' END AS split
+              FROM b),
+            st AS (
+              SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(COUNT(DISTINCT k) AS BIGINT) AS n_groups,
+                     CAST(SUM(ntok) AS BIGINT) AS n_tokens
+              FROM s GROUP BY split),
+            lk AS (
+              SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_groups
+              FROM (SELECT k, COUNT(DISTINCT split) AS ns FROM s GROUP BY k))
+            SELECT split, n_docs, n_groups, n_tokens, n_leaky_groups FROM st, lk ORDER BY split
         """,
         "c10_rule_filter": r"""
             WITH s AS (

@@ -161,3 +161,20 @@ def test_temperature_mix_caps_light_sources_and_thins_heavy(spark):
     assert rates["heavy"] < 1_000_000 and 0 < per["heavy"]["n"] < 500  # thinned
     again = temperature_mix_sample(df, "k", "s", "w", total_budget=1000, seed="t")
     assert sorted(r["k"] for r in out.collect()) == sorted(r["k"] for r in again.collect())
+
+
+def test_leakage_safe_split_dup_groups_never_straddle(spark):
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import leakage_safe_split
+
+    # 30 distinct texts, each duplicated 3x with different whitespace/case
+    # (same normalized form) -> 30 groups of 3 docs.
+    rows = []
+    for g in range(30):
+        base = f"doc {g} unique words here"
+        rows += [(g * 3, base), (g * 3 + 1, "  " + base.upper() + " "), (g * 3 + 2, base.replace(" ", "   "))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, "doc_id", "text").collect()
+    assert sum(r["n_docs"] for r in out) == 90
+    assert sum(r["n_groups"] for r in out) == 30
+    assert all(r["n_leaky_groups"] == 0 for r in out)
+    assert all(r["n_docs"] == 3 * r["n_groups"] for r in out)  # groups move whole

@@ -422,3 +422,27 @@ def test_readability_exact_flesch_on_known_doc(spark):
     # empty docs are excluded, not divide-by-zero'd
     df2 = spark.createDataFrame([(1, "   ", "s1")], "doc_id long, text string, source string")
     assert readability(df2, "text", "source").count() == 0
+
+
+def test_bpe_train_apply_learns_and_roundtrips(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import bpe_train_apply
+
+    # 'ab' dominates: 'ababab' x10 + 'cd' x2 -> first merge must be (a,b).
+    df = spark.createDataFrame(
+        [(1, " ".join(["ababab"] * 10 + ["cd"] * 2))], "doc_id long, text string"
+    )
+    out = bpe_train_apply(df, "text", n_merges=2).collect()[0]
+    assert out["n_vocab_words"] == 2 and out["total_words"] == 12
+    assert out["total_chars"] == 10 * 6 + 2 * 2
+    assert out["n_merges_applied"] == 2
+    assert out["roundtrip_ok"] == 1 and out["compression_ok"] == 1
+
+
+def test_bpe_merge_fold_handles_overlaps(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import bpe_train_apply
+
+    # 'aaa': greedy left-to-right merge of (a,a) gives [aa, a], never [a, aa]
+    # or a double-merge; round-trip must still hold.
+    df = spark.createDataFrame([(1, "aaa aaa aa")], "doc_id long, text string")
+    out = bpe_train_apply(df, "text", n_merges=1).collect()[0]
+    assert out["roundtrip_ok"] == 1

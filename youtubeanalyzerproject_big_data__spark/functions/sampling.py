@@ -310,3 +310,62 @@ def training_shuffle(
             F.expr(f"CAST(ord_rank DIV {n_shards} AS BIGINT)").alias("pos_in_shard"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    val_pct: int = 1,
+    test_pct: int = 1,
+    seed: int | str = "split",
+) -> DataFrame:
+    """Train/val/test split that can NEVER leak duplicates across splits:
+    the split key is the md5 of the NORMALIZED TEXT (the exact-dup group
+    key from dedup.exact_duplicates), not the row id, so every member of
+    a duplicate group lands in the same split by construction -- the
+    failure mode this prevents (eval rows whose twins sit in train,
+    inflating benchmark scores) is exactly the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" eval-leak
+    finding.
+
+    Buckets: md5(seed:text_key) % 10 -> val takes the first ``val_pct``
+    buckets, test the next ``test_pct``, train the rest (percentages in
+    tenths).  Deterministic and engine-replayable like every md5 sample
+    here.
+
+    Output: one row per split (split, n_docs, n_groups, n_tokens) plus
+    the machine-checked invariant n_leaky_groups -- the count of text
+    keys observed in MORE THAN ONE split, zero by construction, but
+    COMPUTED, not asserted, so the oracle check would catch a broken
+    bucketing.
+
+    Scale: two key-sized hash aggregates (per-split stats and the
+    key->distinct-split probe); text never shuffles.
+    """
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, token_count
+
+    key = F.md5(normalize(F.col(text_col)))
+    bucket = md5_int32(key, seed) % 10
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        key.alias("_key"),
+        split.alias("split"),
+        token_count(F.col(text_col)).alias("_ntok"),
+    )
+    stats = base.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("_key").cast("long").alias("n_groups"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+    )
+    leaky = (
+        base.groupBy("_key")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg(F.coalesce(F.sum(F.when(F.col("_ns") > 1, 1).otherwise(0)), F.lit(0)).cast("long").alias("n_leaky_groups"))
+    )
+    return stats.crossJoin(F.broadcast(leaky)).orderBy("split")

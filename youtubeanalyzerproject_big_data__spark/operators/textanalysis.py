@@ -1029,3 +1029,96 @@ def readability(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
         )
         .orderBy(group_col)
     )
+
+
+def bpe_train_apply(df: DataFrame, text_col: str, n_merges: int = 10) -> DataFrame:
+    """Full BPE loop (Sennrich et al. 2016): train ``n_merges`` merges on
+    the corpus, APPLY them to encode it, and machine-check the round trip
+    -- bpe_pair_counts ships the counting primitive; this is the trainer
+    that drives it and the encoder a tokenization pipeline actually runs.
+
+    Scale design (the real-BPE-trainer shape): the corpus reduces ONCE to
+    the (word, count) vocab; every training iteration (pair count -> best
+    pair -> merge application) and the final encode run on that VOCAB
+    table -- model-sized work, the corpus is never touched again.  Driver
+    state is the merge list (n_merges strings) and one best-pair scalar
+    per iteration.
+
+    Merge application is a pure-Catalyst left-to-right fold (the greedy
+    BPE scan: merging consumes its left symbol, so "aaa" under (a,a)
+    gives [aa, a]); interpreted-lambda cost is fine at vocab scale.
+
+    Merge choice ties break (count desc, pair asc) -- deterministic.
+
+    Output (one row): n_vocab_words, total_words, total_chars (all
+    oracle-exact), n_merges_applied (= n_merges by contract),
+    total_symbols (post-encode, <= total_chars), compression_ok and
+    roundtrip_ok gate bits -- roundtrip concatenates each word's symbols
+    and compares to the word, over the whole vocab.
+    """
+    spark = df.sparkSession
+    toks = tokens(F.lower(F.col(text_col)))
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    chars = F.transform(F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1)))
+    state = vocab.select("w", "wc", chars.alias("syms")).cache()
+    state.count()  # materialize before the loop
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = F.when(
+            F.size("syms") >= 2,
+            F.zip_with(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1),
+                lambda x, y: F.concat(x, F.lit("\x00"), y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            state.select(F.explode(pairs).alias("p"), "wc")
+            .groupBy("p")
+            .agg(F.sum("wc").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "p")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y = best[0]["p"].split("\x00", 1)
+        merges.append((x, y))
+        lx, ly, lxy = F.lit(x), F.lit(y), F.lit(x + y)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == lx) & (s == ly),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lxy)),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        nxt = state.select("w", "wc", merged.alias("syms")).cache()
+        nxt.count()
+        state.unpersist()
+        state = nxt
+
+    out = state.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        F.sum("wc").cast("long").alias("total_words"),
+        F.sum(F.length("w") * F.col("wc")).cast("long").alias("total_chars"),
+        F.sum(F.size("syms") * F.col("wc")).cast("long").alias("total_symbols"),
+        F.sum(F.when(F.concat_ws("", F.col("syms")) == F.col("w"), 0).otherwise(1)).cast("long").alias("_bad"),
+    ).select(
+        "n_vocab_words",
+        "total_words",
+        "total_chars",
+        F.lit(len(merges)).cast("long").alias("n_merges_applied"),
+        # total_symbols itself is data-dependent trained state (no
+        # engine-independent oracle); only its INVARIANT ships.
+        (F.col("total_symbols") < F.col("total_chars")).cast("long").alias("compression_ok"),
+        (F.col("_bad") == 0).cast("long").alias("roundtrip_ok"),
+    )
+    rows = out.collect()
+    state.unpersist()
+    return spark.createDataFrame(rows, out.schema)
