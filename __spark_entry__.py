@@ -1878,15 +1878,12 @@ def q_mm3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_mm4(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL byte-parsing decode in-gate, no external codec: every event row
-    becomes a 16-sample 16-bit PCM WAV (struct-packed via the stdlib wave
-    module, samples a pure function of event_id), and
-    extract_features(decode_stub='stdlib') walks the RIFF/fmt/data chunks
-    back out.  decode(encode(x)) == x, so the oracle needs no WAV parser --
-    it aggregates the sample formula directly; any header-offset or
-    byte-order bug in the decoder breaks the hash.  Division is by 2^19
-    (exact in binary FP), so no libm residual.  Repartitions before the
+def _wav_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared mm4/mm6 fixture: every event row becomes a 16-sample 16-bit
+    PCM WAV (stdlib wave module, samples a pure function of event_id --
+    sample_j = ((event_id*7919 + j*104729) % 20000) - 10000), framed by
+    attach_media_metadata.  Oracles replay the formula, so any decoder
+    byte-offset bug breaks the hash.  Repartitions before the
     construction kernel (per-row CPU; small parquet arrives
     single-partition)."""
     ev_ids = (
@@ -1916,7 +1913,29 @@ def q_mm4(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"event_id": pdf["event_id"], "blob": blobs})
 
     raw = ev_ids.mapInPandas(build, schema="event_id long, blob binary")
-    media = multimodal.attach_media_metadata(raw, "event_id", "blob", "audio")
+    return multimodal.attach_media_metadata(raw, "event_id", "blob", "audio")
+
+
+def q_mm6(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio DSP features over real byte-parsed WAVs
+    (multimodal.audio_features): exact int64 energy / zero-crossings /
+    peak per clip + one correctly-rounded RMS; oracle replays the sample
+    formula, never touching bytes."""
+    return multimodal.audio_features(_wav_media(spark, sf))
+
+
+def q_mm4(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL byte-parsing decode in-gate, no external codec: every event row
+    becomes a 16-sample 16-bit PCM WAV (struct-packed via the stdlib wave
+    module, samples a pure function of event_id), and
+    extract_features(decode_stub='stdlib') walks the RIFF/fmt/data chunks
+    back out.  decode(encode(x)) == x, so the oracle needs no WAV parser --
+    it aggregates the sample formula directly; any header-offset or
+    byte-order bug in the decoder breaks the hash.  Division is by 2^19
+    (exact in binary FP), so no libm residual.  Repartitions before the
+    construction kernel (per-row CPU; small parquet arrives
+    single-partition)."""
+    media = _wav_media(spark, sf)
     feats = multimodal.extract_features(media, decode_stub="stdlib")
     return feats.select(
         "media_id",
@@ -2262,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_samples": q_mm2,
         "mm3_resized_features": q_mm3,
         "mm4_stdlib_wav_decode": q_mm4,
+        "mm6_audio_features": q_mm6,
         "mm5_phash_near_dups": q_mm5,
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
@@ -4668,6 +4688,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS BIGINT) AS feat_dim
             FROM events, range(16) t(j)
             GROUP BY event_id
+        """,
+        "mm6_audio_features": """
+            WITH s AS (
+              SELECT event_id, t.j, CAST(((event_id * 7919 + t.j * 104729) % 20000) - 10000 AS BIGINT) AS v
+              FROM events, range(16) t(j)),
+            p AS (
+              SELECT a.event_id, a.v AS v1, b.v AS v2
+              FROM s a JOIN s b ON a.event_id = b.event_id AND b.j = a.j + 1),
+            agg AS (
+              SELECT event_id, CAST(16 AS BIGINT) AS n_samples,
+                     CAST(SUM(v * v) AS BIGINT) AS energy,
+                     CAST(MAX(ABS(v)) AS BIGINT) AS peak
+              FROM s GROUP BY event_id),
+            zc AS (
+              SELECT event_id, CAST(SUM(CASE WHEN v1 * v2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+              FROM p GROUP BY event_id)
+            SELECT CAST(a.event_id AS VARCHAR) AS media_id, n_samples, energy, zero_crossings, peak,
+                   ROUND(sqrt(CAST(energy AS DOUBLE) / n_samples) / 32768.0, 6) AS rms_level
+            FROM agg a JOIN zc USING (event_id)
         """,
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
         "s3_ann_ivf_top5": _ivf_ann_oracle(dim=64, num_cells=16, nprobe=4, k=5),

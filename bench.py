@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "u3_scd2_history",
     "lp1_label_propagation",
     "mm5_phash_near_dups",
+    "g9_adamic_adar",
+    "e12_rfm_segments",
+    "c10_rule_filter",
 ]
 
 

@@ -267,3 +267,29 @@ def test_phash_pairs_rejects_unblockable_distance(spark):
     df = spark.createDataFrame([("1", 0)], "media_id string, phash long")
     with _pytest.raises(ValueError):
         mm.phash_near_dup_pairs(df, n_bits=32, max_distance=4, n_chunks=4)
+
+
+def test_audio_features_exact_dsp_on_known_samples(spark):
+    import io
+    import struct
+    import wave
+
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal
+
+    samples = [100, -200, 300, 0, -50, 50]  # 3 sign-change pairs (0 breaks one)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    df = spark.createDataFrame([(7, bytearray(buf.getvalue()))], "media_id long, blob binary")
+    media = multimodal.attach_media_metadata(df, "media_id", "blob", "audio")
+    out = multimodal.audio_features(media).collect()[0]
+    assert out["media_id"] == "7" and out["n_samples"] == 6
+    assert out["energy"] == sum(s * s for s in samples)
+    # crossings: (100,-200), (-200,300), (-50,50); (0,-50) product is 0
+    assert out["zero_crossings"] == 3
+    assert out["peak"] == 300
+    expected = round((sum(s * s for s in samples) / 6) ** 0.5 / 32768.0, 6)
+    assert abs(out["rms_level"] - expected) < 1e-9

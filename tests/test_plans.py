@@ -250,3 +250,29 @@ def test_conversion_latency_filters_reach_scan(spark):
     plan = _plan(entrymod.q_e10(spark, SF))
     assert "PushedFilters: [" in plan
     assert "event_type" in plan
+
+
+def test_rule_filter_is_single_scan_single_shuffle(spark):
+    plan = _plan(entrymod.q_c10(spark, SF))
+    # one documents scan; the round-robin repartition + one agg shuffle
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hourly_anomaly_moment_table_broadcasts(spark):
+    plan = _plan(entrymod.q_e11(spark, SF))
+    assert "BroadcastHashJoin" in plan  # type-sized moments join the grid broadcast
+    assert "TakeOrderedAndProject" in plan  # top-|z| cut, no full sort
+
+
+def test_rfm_scoring_is_map_side_after_cutpoints(spark):
+    plan = _plan(entrymod.q_e12(spark, SF))
+    # after the customer grid, scoring uses literal cutpoints: no join at all
+    assert "Join" not in plan
+
+
+def test_adamic_adar_frontier_broadcasts(spark):
+    plan = _plan(entrymod.q_g9(spark, SF))
+    # the seed frontier (2-hop expansion) and the degree-weight table both
+    # broadcast; the only shuffles are edge-build + score aggregation
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -609,3 +609,46 @@ def phash_near_dup_pairs(
     )
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
     return cand.select("id1", "id2", ham.alias("hamming")).where(F.col("hamming") <= max_distance)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio DSP features from REAL byte-parsed WAV blobs (the
+    _wav_samples stdlib decoder -- no external codec): per clip the exact
+    int64 energy (sum of squared samples), zero-crossing count
+    (sign-change pairs), peak amplitude, sample count, plus the derived
+    RMS level (sqrt(energy/n)/32768, rounded) -- the clip-level screen an
+    audio-curation pipeline runs for silence/clipping detection.
+
+    All kernel outputs are exact integers (Arrow-batched mapInPandas, the
+    extract_features dataflow), so cross-engine determinism reduces to
+    one correctly-rounded sqrt on the Catalyst side.  Expects
+    attach_media_metadata framing with modality='audio'.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_s, energy, zc, peak = [], [], [], []
+            for content in pdf["content"]:
+                samples = _wav_samples(bytes(content) if content is not None else b"")
+                n_s.append(len(samples))
+                energy.append(sum(s * s for s in samples))
+                zc.append(sum(1 for a, b in zip(samples, samples[1:]) if a * b < 0))
+                peak.append(max((abs(s) for s in samples), default=0))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "n_samples": n_s, "energy": energy,
+                 "zero_crossings": zc, "peak": peak}
+            )
+
+    out = media.mapInPandas(
+        kernel, schema="media_id string, n_samples long, energy long, zero_crossings long, peak long"
+    )
+    return out.select(
+        "media_id",
+        "n_samples",
+        "energy",
+        "zero_crossings",
+        "peak",
+        F.round(
+            F.sqrt(F.col("energy").cast("double") / F.col("n_samples")) / F.lit(32768.0), 6
+        ).alias("rms_level"),
+    )
