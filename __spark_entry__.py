@@ -31,6 +31,7 @@ from youtubeanalyzerproject_big_data__spark.functions.hashing import (
     md5_int32_sql,
 )
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize as textfns_normalize
+from youtubeanalyzerproject_big_data__spark.functions.zorder import hilbert_sql_2d
 from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum
 from youtubeanalyzerproject_big_data__spark.io import load_events, load_table
 from youtubeanalyzerproject_big_data__spark.operators import (
@@ -536,6 +537,28 @@ def q_l1(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load_table(spark, sf, "orders")
     return o.select("o_orderkey", zorder_key(o, ["o_custkey", "o_totalprice"], bits=8).alias("zkey"))
+
+
+def q_l3(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert-curve clustering keys over (o_custkey, o_totalprice) --
+    l1's Morton key upgraded to the jump-free curve (zorder.hilbert_key_2d,
+    unrolled xy2d fold; oracle generated from the same fold by
+    hilbert_sql_2d, verified against the textbook walk in
+    tests/test_zorder.py)."""
+    from youtubeanalyzerproject_big_data__spark.functions.zorder import hilbert_key_2d, quantize
+
+    o = load_table(spark, sf, "orders")
+    row = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("lox"),
+        F.max(F.col("o_custkey").cast("double")).alias("hix"),
+        F.min(F.col("o_totalprice").cast("double")).alias("loy"),
+        F.max(F.col("o_totalprice").cast("double")).alias("hiy"),
+    ).collect()[0]
+    qx = quantize(F.col("o_custkey"), row["lox"], row["hix"], 8)
+    qy = quantize(F.col("o_totalprice"), row["loy"], row["hiy"], 8)
+    return hilbert_key_2d(o.select("o_orderkey", qx.alias("_qx"), qy.alias("_qy")), F.col("_qx"), F.col("_qy"), bits=8).select(
+        "o_orderkey", "hkey"
+    )
 
 
 def q_dq2(spark: SparkSession, sf: str) -> DataFrame:
@@ -2213,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_served_category_stats": q_v1,
         "l1_zorder_keys": q_l1,
         "l2_table_fingerprint": q_l2,
+        "l3_hilbert_keys": q_l3,
         "f11_funnel_counts": q_f11,
         "e10_conversion_latency": q_e10,
         "sj_customers_with_orders": q_semi,
@@ -3429,6 +3453,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor({md5_int32_lane_sql("canon", "fp", 1)}) AS BIGINT) AS fp_lane1
             FROM c
         """,
+        "l3_hilbert_keys": hilbert_sql_2d(
+            """
+            SELECT o_orderkey,
+                   LEAST(CAST(FLOOR((CAST(o_custkey AS DOUBLE) - st.lox) / (st.hix - st.lox) * 256.0) AS BIGINT), 255) AS qx,
+                   LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - st.loy) / (st.hiy - st.loy) * 256.0) AS BIGINT), 255) AS qy
+            FROM orders, (
+              SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lox, MAX(CAST(o_custkey AS DOUBLE)) AS hix,
+                     MIN(CAST(o_totalprice AS DOUBLE)) AS loy, MAX(CAST(o_totalprice AS DOUBLE)) AS hiy
+              FROM orders) st
+            """,
+            "o_orderkey",
+            bits=8,
+            out_name="hkey",
+        ),
         "l1_zorder_keys": f"""
             WITH st AS (
               SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lox, MAX(CAST(o_custkey AS DOUBLE)) AS hix,

@@ -62,3 +62,36 @@ def test_zordered_layout_tightens_file_spans(spark, tmp_path_factory):
         assert span_ordered < span_scattered * 0.5, (
             f"{col}: zorder {span_ordered} not < half of scattered {span_scattered}"
         )
+
+
+def test_hilbert_key_matches_textbook_walk_and_is_jump_free(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.functions.zorder import hilbert_key_2d
+
+    grid = spark.range(256).select(
+        "id", (F.col("id") % 16).alias("qx"), (F.col("id") / 16).cast("long").alias("qy")
+    )
+    out = hilbert_key_2d(grid, F.col("qx"), F.col("qy"), bits=4)
+    rows = {r["hkey"]: (r["qx"], r["qy"]) for r in out.collect()}
+    # bijection onto [0, 256)
+    assert sorted(rows) == list(range(256))
+    # textbook xy2d walk (Hilbert curve reference implementation)
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) else 0
+            ry = 1 if (y & s) else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+    assert all(xy2d(16, x, y) == d for d, (x, y) in rows.items())
+    # locality: consecutive keys are ALWAYS grid neighbors (the property
+    # Morton keys lack -- Z jumps)
+    for d in range(255):
+        (x1, y1), (x2, y2) = rows[d], rows[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
