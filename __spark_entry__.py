@@ -539,6 +539,13 @@ def q_l1(spark: SparkSession, sf: str) -> DataFrame:
     return o.select("o_orderkey", zorder_key(o, ["o_custkey", "o_totalprice"], bits=8).alias("zkey"))
 
 
+def q_em4(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA gate over embeddings (similarity.pca_gate): integer-quantized
+    Gram/mean accumulation (model-sized shuffle), driver-side 64x64 eigh;
+    n/dim/trace are oracle-exact, eigen invariants are computed gates."""
+    return similarity.pca_gate(load_table(spark, sf, "embeddings"), "embedding", dim=64)
+
+
 def q_l3(spark: SparkSession, sf: str) -> DataFrame:
     """Hilbert-curve clustering keys over (o_custkey, o_totalprice) --
     l1's Morton key upgraded to the jump-free curve (zorder.hilbert_key_2d,
@@ -2217,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em1_label_centroids": q_em1,
         "em2_normalization_stats": q_em2,
         "em3_int8_quantization_gate": q_em3,
+        "em4_pca_gate": q_em4,
         "km1_kmeans_centroids": q_km1,
         "j1_orders_line_counts_top10": q_j1,
         "j6_topk_enriched_customers": q_j6,
@@ -4726,6 +4734,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS BIGINT) AS feat_dim
             FROM events, range(16) t(j)
             GROUP BY event_id
+        """,
+        # em4: n/dim/trace replay exactly (same quantized-sum formula);
+        # eigenvalues/vectors are LAPACK state -- their invariants ship as
+        # engine-computed gate bits (constant 1 here), like m3/a12.
+        "em4_pca_gate": """
+            WITH x AS (
+              SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+              FROM embeddings, range(1, 65) t(i)),
+            s AS (
+              SELECT i, CAST(SUM(FLOOR(v * v * 1e6)) AS BIGINT) AS gii,
+                     CAST(SUM(FLOOR(v * 1e6)) AS BIGINT) AS mi,
+                     COUNT(*) AS n
+              FROM x GROUP BY i)
+            SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+                   CAST(64 AS BIGINT) AS dim,
+                   CAST(SUM(FLOOR((CAST(gii AS DOUBLE) / n / 1e6
+                                   - (CAST(mi AS DOUBLE) / n / 1e6) * (CAST(mi AS DOUBLE) / n / 1e6)) * 1e9)) AS BIGINT) AS trace_cov_nano,
+                   CAST(1 AS BIGINT) AS eigsum_matches_trace,
+                   CAST(1 AS BIGINT) AS orthonormal_ok,
+                   CAST(1 AS BIGINT) AS eigs_descending_ok
+            FROM s
         """,
         "mm6_audio_features": """
             WITH s AS (

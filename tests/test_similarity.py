@@ -263,3 +263,20 @@ def test_int8_quantization_gate_holds_and_handles_constant_dim(spark):
     assert all(r["all_within_half_step"] == 1 for r in out.values())
     assert all(r["n_values"] == 3 for r in out.values())
     assert out[1]["dim_min"] == out[1]["dim_max"] == 7.5  # constant dim
+
+
+def test_pca_gate_recovers_known_covariance(spark):
+    import numpy as np
+
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import pca_gate
+
+    # 2-dim data with known covariance: x ~ {-1, 1}, y = 2x -> cov diag
+    # trace = var(x) + var(y) = 1 + 4 = 5 (population).
+    rows = [(i, [float(s), float(2 * s)]) for i, s in enumerate([1.0, -1.0] * 50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_gate(df, "embedding", dim=2).collect()[0]
+    assert out["n_vectors"] == 100 and out["dim"] == 2
+    assert abs(out["trace_cov_nano"] / 1e9 - 5.0) < 1e-5
+    assert out["eigsum_matches_trace"] == 1
+    assert out["orthonormal_ok"] == 1
+    assert out["eigs_descending_ok"] == 1

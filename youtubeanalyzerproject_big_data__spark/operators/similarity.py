@@ -652,3 +652,96 @@ def scalar_quantize_int8_gate(emb: DataFrame, id_col: str, vec_col: str) -> Data
         )
         .orderBy("pos")
     )
+
+
+def pca_gate(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """PCA over the embedding table with machine-checked invariants -- the
+    dimensionality-reduction step an embedding pipeline runs before
+    clustering/ANN (Sherman-Morrison-free classic: covariance eigh).
+
+    Scale design: the ONLY distributed work is accumulating the Gram
+    matrix and mean vector as INTEGER-QUANTIZED partial sums -- an Arrow
+    kernel emits per-batch (i, j, floor(x_i*x_j*1e6)-sum) rows (d*(d+1)/2
+    pairs, model-sized regardless of row count), one hash aggregate
+    combines them, and the d x d eigendecomposition runs driver-side on
+    the model-sized matrix (numpy eigh on 64x64).  Per-element floor
+    quantization BEFORE summation makes the accumulated sums exact int64
+    and therefore partition-count/engine invariant.
+
+    Output (one row): n_vectors and dim (oracle-exact), trace_cov_nano
+    (integer; per-dim variance terms floor-quantized at 1e9 then summed
+    -- replayed exactly by the oracle from the same quantized sums), and
+    three computed gate bits: eigsum_matches_trace (sum of eigenvalues
+    equals the trace within 1e-6 -- the eigh sanity invariant),
+    orthonormal_ok (||Q^T Q - I||_max < 1e-8), eigs_descending_ok.
+    Eigenvalues/vectors themselves are LAPACK state, deliberately NOT in
+    the contract (same rationale as ALS factors: m1/m3).
+    """
+    import math
+
+    spark = emb.sparkSession
+
+    n_pairs = dim * (dim + 1) // 2
+
+    def gram_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # per-element floor quantization BEFORE any summation: exact
+            # int64 partials, order-free combination
+            prods = mat[:, iu[0], None].squeeze(-1) * mat[:, iu[1], None].squeeze(-1)
+            gq = np.floor(prods * 1e6).astype(np.int64).sum(axis=0)
+            mq = np.floor(mat * 1e6).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu[0], np.arange(dim)]),
+                    "j": np.concatenate([iu[1], np.full(dim, -1)]),
+                    "s": np.concatenate([gq, mq]),
+                    "n": np.concatenate([np.full(n_pairs, len(pdf)), np.zeros(dim, dtype=np.int64)]),
+                }
+            )
+
+    parts = (
+        emb.select(vec_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gram_kernel, schema="i int, j int, s long, n long")
+    )
+    sums = parts.groupBy("i", "j").agg(F.sum("s").alias("s"), F.sum("n").alias("n")).collect()  # model-sized: d(d+1)/2 + d rows
+
+    import numpy as np
+
+    G = np.zeros((dim, dim), dtype=np.int64)
+    m = np.zeros(dim, dtype=np.int64)
+    n_total = 0
+    for r in sums:
+        if r["j"] == -1:
+            m[r["i"]] = r["s"]
+        else:
+            G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["s"]
+            if r["i"] == 0 and r["j"] == 0:
+                n_total = r["n"] // 1  # every pair row carries the batch count
+    n_total = int(n_total)
+    mean = m / (n_total * 1e6)
+    cov = G / (n_total * 1e6) - np.outer(mean, mean)
+    # trace from the SAME scalar formula the oracle replays, term-quantized
+    trace_nano = 0
+    for i in range(dim):
+        gii = int(G[i, i])
+        mi = int(m[i])
+        term = gii / n_total / 1e6 - (mi / n_total / 1e6) * (mi / n_total / 1e6)
+        trace_nano += math.floor(term * 1e9)
+    evals, evecs = np.linalg.eigh(cov)
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+    eigsum_ok = int(abs(float(evals.sum()) - float(np.trace(cov))) < 1e-6)
+    ortho_ok = int(float(np.abs(evecs.T @ evecs - np.eye(dim)).max()) < 1e-8)
+    desc_ok = int(bool(np.all(np.diff(evals) <= 1e-12)))
+    return spark.createDataFrame(
+        [(n_total, dim, int(trace_nano), eigsum_ok, ortho_ok, desc_ok)],
+        "n_vectors long, dim long, trace_cov_nano long, eigsum_matches_trace long, "
+        "orthonormal_ok long, eigs_descending_ok long",
+    )
