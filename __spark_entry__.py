@@ -805,6 +805,19 @@ def q_g9(spark: SparkSession, sf: str) -> DataFrame:
     return graph.adamic_adar(pairs, seeds, k=5)
 
 
+def q_g10(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficients on the part co-purchase graph
+    (graph.clustering_coefficient_topk): g6's oriented-intersection engine
+    with per-corner triangle attribution; integer-micro coefficients,
+    top-20 by (triangles desc, v)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y, (F.col("x.l_orderkey") == F.col("y.l_orderkey")) & (F.col("x.l_partkey") < F.col("y.l_partkey"))
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return graph.clustering_coefficient_topk(pairs, k=20)
+
+
 def q_semi(spark: SparkSession, sf: str) -> DataFrame:
     """Left-semi join: customers having orders."""
     c = load_table(spark, sf, "customer")
@@ -2318,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
         "g9_adamic_adar": q_g9,
+        "g10_clustering_coefficient": q_g10,
         "lp1_label_propagation": q_lp1,
         "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
         "g7_personalized_pagerank": q_ppr,
@@ -3616,6 +3630,27 @@ def oracle_sql() -> dict[str, str]:
         # Triangle replay: identical degree-ordered orientation; the LEFT
         # JOIN marker counts wedges and closed wedges in one pass, like the
         # engine's single wedge-scan aggregate.
+        "g10_clustering_coefficient": """
+            WITH e AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+            deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+            tri AS (
+              SELECT e1.a AS a, e1.b AS b, e2.b AS c
+              FROM e e1 JOIN e e2 ON e1.b = e2.a
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri UNION ALL SELECT c AS v FROM tri)
+                   GROUP BY v)
+            SELECT pv.v, deg.d, pv.n_triangles,
+                   CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) AS coef_micro,
+                   ROUND(CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) / 1e6, 6) AS clustering_coef
+            FROM pv JOIN deg ON pv.v = deg.v
+            WHERE deg.d >= 2
+            ORDER BY pv.n_triangles DESC, pv.v LIMIT 20
+        """,
         "g9_adamic_adar": """
             WITH e AS (
               SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

@@ -263,3 +263,18 @@ def test_adamic_adar_hand_computed(spark):
     assert out[4]["aa_micro"] == w2 + w3 and out[4]["n_common"] == 2
     assert out[5]["aa_micro"] == w2 and out[5]["n_common"] == 1
     assert out[4]["rank"] == 1 and out[5]["rank"] == 2
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.graph import clustering_coefficient_topk
+
+    # K4 on {1,2,3,4} plus pendant 5-1: every K4 vertex is in 3 triangles;
+    # deg(1)=4 -> C(1) = 2*3/(4*3) = 0.5; deg(2..4)=3 -> C = 2*3/(3*2) = 1.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)], "src long, dst long"
+    )
+    out = {r["v"]: r for r in clustering_coefficient_topk(edges, k=10).collect()}
+    assert 5 not in out  # degree-1 vertex excluded
+    assert out[1]["n_triangles"] == 3 and out[1]["clustering_coef"] == 0.5
+    for v in (2, 3, 4):
+        assert out[v]["n_triangles"] == 3 and out[v]["clustering_coef"] == 1.0

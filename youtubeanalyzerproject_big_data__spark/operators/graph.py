@@ -686,3 +686,70 @@ def adamic_adar(
         .orderBy("src", "rank")
     )
     return out
+
+
+def clustering_coefficient_topk(
+    edges: DataFrame, src: str = "src", dst: str = "dst", k: int = 20, hint_small_vertices: bool = True
+) -> DataFrame:
+    """Per-vertex local clustering coefficient, top-``k`` by triangle
+    count: C(v) = 2*tri(v) / (d(v)*(d(v)-1)) -- the neighborhood-density
+    score behind community/spam detection (Watts & Strogatz 1998).
+
+    Same degree-ordered-orientation engine as triangle_count (wedge work
+    capped at m^1.5 under any skew; adjacency intersections run map-side),
+    extended to ATTRIBUTE each triangle to its three corners without
+    materializing triple rows twice: an oriented edge (u,w) with
+    ``n_c = |N+(u) & N+(w)|`` closures contributes n_c to u and w in one
+    row each, and one exploded row per common neighbor c.  The per-vertex
+    aggregate is triangle-bounded, the only data-sized shuffles are the
+    canonical edge build and that aggregate.
+
+    Determinism: coefficients ship as floor(2*tri*1e6 / (d*(d-1)))
+    integer micros (exact int64 arithmetic); cut ties (tri desc, v).
+    """
+    a, b = F.least(F.col(src), F.col(dst)).alias("a"), F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = edges.select(a, b).where(F.col("a") != F.col("b")).distinct().cache()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    maybe_bcast = F.broadcast if hint_small_vertices else (lambda df: df)
+    ed = (
+        e.join(maybe_bcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))), "a")
+        .join(maybe_bcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db"))), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    adj = oriented.groupBy("u").agg(F.collect_list("w").alias("nbrs")).cache()
+    closures = (
+        oriented.join(maybe_bcast(adj.select(F.col("u"), F.col("nbrs").alias("nbrs_u"))), "u")
+        .join(maybe_bcast(adj.select(F.col("u").alias("w"), F.col("nbrs").alias("nbrs_w"))), "w")
+        .select("u", "w", F.array_intersect("nbrs_u", "nbrs_w").alias("cs"))
+        .where(F.size("cs") > 0)
+        .cache()
+    )
+    contrib = (
+        closures.select(F.col("u").alias("v"), F.size("cs").cast("long").alias("t"))
+        .unionAll(closures.select(F.col("w").alias("v"), F.size("cs").cast("long").alias("t")))
+        .unionAll(closures.select(F.explode("cs").alias("v"), F.lit(1).cast("long").alias("t")))
+    )
+    tri = contrib.groupBy("v").agg(F.sum("t").cast("long").alias("n_triangles"))
+    out = (
+        tri.join(maybe_bcast(deg), "v")
+        .where(F.col("d") >= 2)
+        .select(
+            "v",
+            "d",
+            "n_triangles",
+            F.floor(F.lit(2_000_000) * F.col("n_triangles") / (F.col("d") * (F.col("d") - 1))).cast("long").alias("coef_micro"),
+        )
+        .withColumn("clustering_coef", F.round(F.col("coef_micro") / 1e6, 6))
+        .orderBy(F.col("n_triangles").desc(), "v")
+        .limit(k)
+    )
+    return out
