@@ -351,7 +351,7 @@ def rfm_segments(
         score("mon_micros", cuts["m"], invert=False).alias("m_score"),
         "mon_micros",
     )
-    return (
+    out = (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -364,3 +364,9 @@ def rfm_segments(
         .select("segment", "r_score", "f_score", "m_score", "n_customers", "monetary_total")
         .orderBy("segment")
     )
+    # Pin the segment-sized result, then release the customer-grid cache
+    # (session cache hygiene: operators must not leak entries -- see
+    # tests/test_dedup.py::test_dedup_releases_cached_shingles).
+    out = out.localCheckpoint(eager=True)
+    rfm.unpersist()
+    return out

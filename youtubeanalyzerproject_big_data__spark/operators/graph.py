@@ -685,6 +685,11 @@ def adamic_adar(
         )
         .orderBy("src", "rank")
     )
+    # Pin the |S|*k-sized result, then release the adjacency/frontier
+    # caches (session cache hygiene).
+    out = out.localCheckpoint(eager=True)
+    sadj.unpersist()
+    adj.unpersist()
     return out
 
 
@@ -752,4 +757,9 @@ def clustering_coefficient_topk(
         .orderBy(F.col("n_triangles").desc(), "v")
         .limit(k)
     )
+    # Pin the k-sized result, then release the edge/adjacency/closure
+    # caches (session cache hygiene).
+    out = out.localCheckpoint(eager=True)
+    for cached in (closures, adj, e):
+        cached.unpersist()
     return out
