@@ -2162,6 +2162,13 @@ def q_e12(spark: SparkSession, sf: str) -> DataFrame:
     return agg.rfm_segments(load_table(spark, sf, "orders"), "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def q_t19(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (textanalysis.rake_keywords): stopword-run
+    phrases, deg/freq word scores in integer micros, top-20 distinct
+    phrases with deterministic ties."""
+    return text.rake_keywords(load_table(spark, sf, "documents"), "doc_id", "text", k=20)
+
+
 def q_c10(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher/C4 hard rule filter funnel (textanalysis.rule_filter_stats):
     five integer-comparison rules per doc, per-source rejection counts +
@@ -2307,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t16_vocab_growth": q_t16,
         "t17_zipf_fit": q_t17,
         "t18_readability": q_t18,
+        "t19_rake_keywords": q_t19,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -4071,6 +4079,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Zipf replay: quantized per-point logs, HUGEINT-exact regression
         # sums, and the same float-then-divide sequence as the engine.
+        "t19_rake_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS w
+              FROM documents),
+            base AS (
+              SELECT doc_id, i AS pos, w[i] AS token,
+                     CASE WHEN w[i] IN ('the','and','of','to','a') THEN 1 ELSE 0 END AS stop
+              FROM toks, unnest(generate_series(1, len(w))) AS t(i)),
+            runs AS (
+              SELECT doc_id, pos, token, run FROM (
+                SELECT doc_id, pos, token, stop,
+                       SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+                FROM base)
+              WHERE stop = 0),
+            inst AS (
+              SELECT doc_id, run, CAST(COUNT(*) AS BIGINT) AS plen,
+                     string_agg(token, ' ' ORDER BY pos) AS phrase
+              FROM runs GROUP BY doc_id, run HAVING COUNT(*) <= 4),
+            pw AS (
+              SELECT r.doc_id, r.run, r.token, i.plen
+              FROM runs r JOIN inst i ON r.doc_id = i.doc_id AND r.run = i.run),
+            ws AS (
+              SELECT token, CAST(FLOOR((1000000 * SUM(plen)) / COUNT(*)) AS BIGINT) AS wscore_micro
+              FROM pw GROUP BY token),
+            ps AS (
+              SELECT pw.doc_id, pw.run, CAST(SUM(ws.wscore_micro) AS BIGINT) AS score_micro
+              FROM pw JOIN ws ON pw.token = ws.token GROUP BY pw.doc_id, pw.run)
+            SELECT i.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MIN(ps.score_micro) AS BIGINT) AS score_micro,
+                   ROUND(MIN(ps.score_micro) / 1e6, 6) AS rake_score
+            FROM ps JOIN inst i ON ps.doc_id = i.doc_id AND ps.run = i.run
+            GROUP BY i.phrase ORDER BY score_micro DESC, phrase LIMIT 20
+        """,
         "t18_readability": r"""
             WITH s AS (
               SELECT source,

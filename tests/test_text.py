@@ -446,3 +446,22 @@ def test_bpe_merge_fold_handles_overlaps(spark):
     df = spark.createDataFrame([(1, "aaa aaa aa")], "doc_id long, text string")
     out = bpe_train_apply(df, "text", n_merges=1).collect()[0]
     assert out["roundtrip_ok"] == 1
+
+
+def test_rake_keywords_hand_computed(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import rake_keywords
+
+    # One doc: "deep learning of deep learning systems and fast code".
+    # Stopwords {of, and} split runs: [deep learning], [deep learning
+    # systems], [fast code].
+    # freq: deep=2 learning=2 systems=1 fast=1 code=1
+    # deg:  deep=2+3=5 learning=5 systems=3 fast=2 code=2
+    # score: deep=2.5 learning=2.5 systems=3 fast=2 code=2
+    # phrases: "deep learning systems"=8.0 > "deep learning"=5.0 > "fast code"=4.0
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep learning systems and fast code")], "doc_id long, text string"
+    )
+    out = rake_keywords(df, "doc_id", "text", k=10).collect()
+    assert [r["phrase"] for r in out] == ["deep learning systems", "deep learning", "fast code"]
+    assert [r["rake_score"] for r in out] == [8.0, 5.0, 4.0]
+    assert out[1]["n_occurrences"] == 1  # "deep learning" standalone run occurs once

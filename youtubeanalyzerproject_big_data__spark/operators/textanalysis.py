@@ -7,7 +7,7 @@ inside whole-stage codegen.  At 100 TB these run at parquet-scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
@@ -1122,3 +1122,67 @@ def bpe_train_apply(df: DataFrame, text_col: str, n_merges: int = 10) -> DataFra
     rows = out.collect()
     state.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+def rake_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 20, max_phrase_len: int = 4) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores deg/freq (deg =
+    total length of phrases containing it, freq = its occurrences in
+    phrases); a phrase scores the sum of its words' scores.  Top-``k``
+    distinct phrases corpus-wide -- the cheap unsupervised keyword miner
+    a curation/labeling pipeline runs per domain.
+
+    Stopword set = LANG_MARKERS['en'] (the repo's deterministic marker
+    lexicon; a production run would pass a fuller list -- the plan shape
+    is identical).
+
+    Scale design: one posexplode pass; run-splitting is a doc-partitioned
+    running sum (no global window); word stats are vocab-sized and
+    broadcast back; the phrase aggregate keys phrase text.  Everything
+    else is map-side.
+
+    Cross-engine determinism: deg/freq are exact ints; each word score is
+    floor(1e6*deg/freq) integer micros summed exactly per phrase
+    occurrence; phrase text is built from an array_sort by position (no
+    collect_list order dependence); cut ties (score desc, phrase).
+    """
+    stops = LANG_MARKERS["en"]
+    base = (
+        df.select(F.col(id_col).alias("_doc"), tokens(F.lower(F.col(text_col))).alias("toks"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("_doc", F.posexplode("toks").alias("pos", "token"))
+        .withColumn("stop", F.col("token").isin(stops))
+    )
+    w_doc = Window.partitionBy("_doc").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    runs = base.withColumn("run", F.sum(F.col("stop").cast("int")).over(w_doc)).where(~F.col("stop"))
+    # phrase instances: (doc, run) -> ordered words
+    inst = runs.groupBy("_doc", "run").agg(
+        F.count(F.lit(1)).cast("long").alias("plen"),
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "token"))), lambda s: s["token"])
+        ).alias("phrase"),
+    ).where(F.col("plen") <= max_phrase_len)
+    # word stats over phrase words (vocab-sized)
+    pw = runs.join(inst.select("_doc", "run", "plen"), ["_doc", "run"])
+    wstats = (
+        pw.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"), F.sum("plen").cast("long").alias("deg"))
+        .select("token", F.floor(F.lit(1_000_000) * F.col("deg") / F.col("freq")).cast("long").alias("wscore_micro"))
+    )
+    # phrase score = sum of member word scores (per occurrence slot)
+    pscore = (
+        pw.join(F.broadcast(wstats), "token")
+        .groupBy("_doc", "run")
+        .agg(F.sum("wscore_micro").cast("long").alias("score_micro"))
+        .join(inst, ["_doc", "run"])
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("score_micro").cast("long").alias("score_micro"),  # identical per text; min = deterministic pick
+        )
+        .select("phrase", "n_occurrences", "score_micro", F.round(F.col("score_micro") / 1e6, 6).alias("rake_score"))
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(k)
+    )
