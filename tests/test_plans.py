@@ -276,3 +276,28 @@ def test_adamic_adar_frontier_broadcasts(spark):
     # the seed frontier (2-hop expansion) and the degree-weight table both
     # broadcast; the only shuffles are edge-build + score aggregation
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path_factory):
+    """Fact partitioned by a dim-derived key, filtered via a JOIN on the
+    dim (no literal predicate on the fact): Spark must inject a dynamic
+    pruning subquery on the partition column so only matching partitions
+    are scanned -- at 100 TB this is the difference between reading 3
+    partitions and reading 300 (star-schema query shape)."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table, write_parquet
+
+    out = str(tmp_path_factory.mktemp("dpp") / "orders_by_priority")
+    write_parquet(load_table(spark, SF, "orders"), out, partition_by=["o_orderpriority"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "u"), ("2-HIGH", "h"), ("3-MEDIUM", "m")], "o_orderpriority string, tag string"
+    )
+    # DPP preconditions: a SELECTIVE predicate on the dim and the dim as
+    # the broadcast build side (reuseBroadcastOnly default) -- exactly the
+    # star-schema shape.
+    q = fact.join(F.broadcast(dim).where("tag = 'u'"), "o_orderpriority").select("o_orderkey", "tag")
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
