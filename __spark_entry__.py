@@ -2169,6 +2169,52 @@ def q_t19(spark: SparkSession, sf: str) -> DataFrame:
     return text.rake_keywords(load_table(spark, sf, "documents"), "doc_id", "text", k=20)
 
 
+def q_se7(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters (stream_heavy_hitters),
+    gate-checked across 3 micro-batches: a deterministic skew fixture
+    (half of all events collapse onto key -1, the sk1 recipe) guarantees
+    a nonempty true-heavy set; the MG invariant -- every key with exact
+    count*(k+1) > shard total MUST sit in that shard's final summary --
+    is machine-checked against exact batch counts.  n_shards*k counters
+    of state total, regardless of key cardinality."""
+    _utc(spark)
+    n_shards, k = 4, 8
+    e = load_events(spark, sf).select(
+        F.when(F.col("user_id") % 10 < 5, F.lit(-1)).otherwise(F.col("user_id")).alias("hh_key"),
+        "ts",
+    )
+    out = _drive_stream(
+        spark,
+        e,
+        lambda src: ev.stream_heavy_hitters(spark, src, "hh_key", n_shards=n_shards, k=k, max_files_per_trigger=1),
+        "update",
+        "se7_",
+        n_files=3,
+        order_col="ts",
+    )
+    w_last = Window.partitionBy("shard")
+    final = (
+        out.withColumn("_mx", F.max("n_seen").over(w_last))
+        .where(F.col("n_seen") == F.col("_mx"))
+        .select("shard", "key")
+    )
+    exact = (
+        e.select(F.col("hh_key"), F.pmod(F.col("hh_key"), F.lit(n_shards)).alias("shard"))
+        .groupBy("shard", "hh_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = exact.groupBy("shard").agg(F.sum("cnt").cast("long").alias("ns"))
+    heavy = exact.join(F.broadcast(totals), "shard").where(F.col("cnt") * (k + 1) > F.col("ns"))
+    missing = heavy.join(
+        final.withColumnRenamed("key", "hh_key"), ["shard", "hh_key"], "left_anti"
+    ).count()
+    n_heavy = heavy.count()
+    return spark.createDataFrame(
+        [(n_shards, k, int(n_heavy), 1 if (missing == 0 and n_heavy > 0) else 0)],
+        "n_shards long, k long, n_true_heavy long, all_captured long",
+    )
+
+
 def q_c10(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher/C4 hard rule filter funnel (textanalysis.rule_filter_stats):
     five integer-comparison rules per doc, per-source rejection counts +
@@ -2241,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se4_stream_dedup_first_seen": q_se4,
         "se5_stream_user_totals": q_se5,
         "se6_stream_dedup_ttl": q_se6,
+        "se7_stream_heavy_hitters": q_se7,
         "em1_label_centroids": q_em1,
         "em2_normalization_stats": q_em2,
         "em3_int8_quantization_gate": q_em3,
@@ -3311,6 +3358,21 @@ def oracle_sql() -> dict[str, str]:
               FROM g)
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        # se7: true-heavy count replays exactly (integer cross-multiplied
+        # threshold); capture bit is the engine-computed MG-invariant gate.
+        "se7_stream_heavy_hitters": """
+            WITH k AS (
+              SELECT CASE WHEN user_id % 10 < 5 THEN -1 ELSE user_id END AS hh_key
+              FROM events),
+            c AS (
+              SELECT ((hh_key % 4) + 4) % 4 AS shard, hh_key, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM k GROUP BY 1, 2),
+            n AS (SELECT shard, CAST(SUM(cnt) AS BIGINT) AS ns FROM c GROUP BY shard)
+            SELECT CAST(4 AS BIGINT) AS n_shards, CAST(8 AS BIGINT) AS k,
+                   CAST(SUM(CASE WHEN c.cnt * 9 > n.ns THEN 1 ELSE 0 END) AS BIGINT) AS n_true_heavy,
+                   CAST(1 AS BIGINT) AS all_captured
+            FROM c JOIN n USING (shard)
         """,
         "se5_stream_user_totals": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

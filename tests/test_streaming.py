@@ -347,3 +347,42 @@ def test_conversion_latency_first_events_and_sentinels(spark):
     assert r2["n_converted"] == 1  # user 2 purchase->signup
     r3 = conversion_latency(df.where("user_id = 3"), "signup", "purchase").collect()[0]
     assert (r3["n_converted"], r3["p50_us"], r3["mean_us"]) == (0, -1, -1)
+
+
+def test_stream_heavy_hitters_captures_frequent_keys(spark, tmp_path_factory):
+    """MG invariant end-to-end: with one dominant key per shard and more
+    distinct keys than counters, the dominant key must survive every
+    eviction; state stays at <= k counters."""
+    import pandas as pd
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_heavy_hitters
+
+    rows = []
+    eid = 0
+    # shard key: hh_key % 2.  Key 100 (shard 0) appears 60x; keys
+    # 2,4,...,40 (shard 0) once each -> 20 distinct vs k=3 counters.
+    for _ in range(60):
+        rows.append((eid, f"2024-01-01 00:{eid % 60:02d}:00", 100)); eid += 1
+    for u in range(2, 42, 2):
+        rows.append((eid, f"2024-01-01 01:{u % 60:02d}:00", u)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, hh_key long").selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "hh_key"
+    )
+    path = str(tmp_path_factory.mktemp("hh_src"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    q = (
+        stream_heavy_hitters(spark, path, "hh_key", n_shards=2, k=3)
+        .writeStream.format("memory")
+        .queryName("hh_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM hh_test").collect()
+    shard0 = [r for r in out if r["shard"] == 0 and r["n_seen"] == max(x["n_seen"] for x in out if x["shard"] == 0)]
+    assert len(shard0) <= 3  # bounded state
+    keys = {r["key"] for r in shard0}
+    assert 100 in keys  # 60/80 > n_seen/(k+1): MUST be captured
+    top = {r["key"]: r["mg_count"] for r in shard0}
+    assert top[100] >= 80 // 4  # residual count at least cnt - N/(k+1)

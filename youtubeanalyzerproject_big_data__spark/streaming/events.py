@@ -576,3 +576,73 @@ def hourly_anomaly(events: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.abs(F.col("z_micro")).desc(), "event_type", "hour")
         .limit(top_k)
     )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    source_dir: str,
+    key_col: str = "hh_key",
+    n_shards: int = 4,
+    k: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: bounded-state frequent-key
+    tracking over an unbounded stream -- the sketch twin of the batch a14
+    gate, and the canonical answer to "top talkers, but state must not
+    grow with |keys|".
+
+    Each of ``n_shards`` hash shards holds ONE Misra-Gries summary of at
+    most ``k`` counters in the state store (applyInPandasWithState;
+    state = two arrays + the monotone n_seen counter, so total state is
+    n_shards * k counters REGARDLESS of key cardinality).  Batches fold
+    in via the mergeable-summaries rule (Agarwal et al. 2012): add the
+    batch's counts, then subtract the (k+1)-th largest and keep the
+    positive top-k -- total error <= n_seen/(k+1), which preserves the MG
+    guarantee that any key with true count > n_seen/(k+1) is ALWAYS in
+    the summary (the se7 gate machine-checks exactly that against the
+    exact batch counts).
+
+    Emits each shard's current summary every micro-batch (update mode):
+    (shard, key, mg_count, n_seen); the final summary per shard is the
+    rows with that shard's max n_seen.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
+    keyed = stream.withColumn("_shard", F.pmod(F.col(key_col), F.lit(n_shards)))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            users, counts, n_seen = state.get
+            mg = dict(zip(users, counts))
+        else:
+            mg, n_seen = {}, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_seen += len(pdf)
+            for u, c in pdf[key_col].value_counts().items():
+                mg[int(u)] = mg.get(int(u), 0) + int(c)
+            if len(mg) > k:
+                # mergeable-summaries reduction: subtract the (k+1)-th
+                # largest count, keep the strictly positive survivors
+                t = sorted(mg.values(), reverse=True)[k]
+                mg = {u: c - t for u, c in mg.items() if c - t > 0}
+        state.update((list(mg.keys()), list(mg.values()), n_seen))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(mg),
+                "key": list(mg.keys()),
+                "mg_count": list(mg.values()),
+                "n_seen": [n_seen] * len(mg),
+            }
+        )
+
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType="shard long, key long, mg_count long, n_seen long",
+        stateStructType="users array<long>, counts array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
