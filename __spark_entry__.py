@@ -2169,6 +2169,29 @@ def q_t19(spark: SparkSession, sf: str) -> DataFrame:
     return text.rake_keywords(load_table(spark, sf, "documents"), "doc_id", "text", k=20)
 
 
+def q_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered order
+    quantities (decimal-exact) joined back through orders to customer,
+    top-100 by (o_totalprice desc, o_orderkey).  The order-qty aggregate
+    shuffles once; the join-back carries only qualifying orders; customer
+    broadcasts."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity", "sum_qty"))
+        .where(F.col("sum_qty") > 250.0)
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q_se7(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming Misra-Gries heavy hitters (stream_heavy_hitters),
     gate-checked across 3 micro-batches: a deterministic skew fixture
@@ -2296,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_orders_line_counts_top10": q_j1,
         "j6_topk_enriched_customers": q_j6,
         "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q18_big_orders": q_q18,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -3805,6 +3829,16 @@ def oracle_sql() -> dict[str, str]:
         "g3_part_indegree_distribution": """
             WITH d AS (SELECT l_partkey, COUNT(*) AS degree FROM lineitem GROUP BY l_partkey)
             SELECT degree, COUNT(*) AS num_keys FROM d GROUP BY degree
+        """,
+        "tpch_q18_big_orders": """
+            WITH big AS (
+              SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250.0)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice, b.sum_qty
+            FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
         """,
         "e11_hourly_anomaly": """
             WITH h AS (
