@@ -2169,6 +2169,45 @@ def q_t19(spark: SparkSession, sf: str) -> DataFrame:
     return text.rake_keywords(load_table(spark, sf, "documents"), "doc_id", "text", k=20)
 
 
+def q_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL corpus round trip (io.write_jsonl / read_jsonl): documents ->
+    sharded newline-JSON -> explicit-schema read-back, fingerprinted with
+    l2's order-invariant XOR-folded md5 lanes.  The oracle computes the
+    SAME fingerprint from the parquet source, so a hash match proves the
+    JSONL sink+source preserved every row and byte of the corpus -- the
+    training-data interchange format, verified, not assumed."""
+    import shutil
+    import tempfile
+
+    from youtubeanalyzerproject_big_data__spark.io import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="v2_jsonl_")
+    try:
+        write_jsonl(docs, tmp, n_files=8)
+        back = read_jsonl(
+            spark, tmp, schema="doc_id long, text string, lang string, source string, n_chars long"
+        ).select("doc_id", "text", "lang", "source", "n_chars")
+        canon = F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("__null__")),
+            F.coalesce(F.col("lang"), F.lit("__null__")),
+            F.coalesce(F.col("source"), F.lit("__null__")),
+            F.col("n_chars").cast("string"),
+        )
+        lanes = md5_int32_lanes_col(canon, seed="v2", lanes=2)
+        out = back.select(lanes[0].alias("l0"), lanes[1].alias("l1")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("l0").cast("long").alias("fp_lane0"),
+            F.bit_xor("l1").cast("long").alias("fp_lane1"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): HAVING-filtered order
     quantities (decimal-exact) joined back through orders to customer,
@@ -2336,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_zorder_keys": q_l1,
         "l2_table_fingerprint": q_l2,
         "l3_hilbert_keys": q_l3,
+        "v2_jsonl_roundtrip": q_v2,
         "f11_funnel_counts": q_f11,
         "e10_conversion_latency": q_e10,
         "sj_customers_with_orders": q_semi,
@@ -3557,6 +3597,19 @@ def oracle_sql() -> dict[str, str]:
         # are engine-exact, the rescale is the same IEEE sequence.
         # Fingerprint replay: identical canonical bytes (decimal(18,6)
         # string form on both engines), same md5 lanes, XOR fold.
+        "v2_jsonl_roundtrip": f"""
+            WITH c AS (
+              SELECT concat_ws('|', CAST(doc_id AS VARCHAR),
+                               COALESCE(text, '__null__'),
+                               COALESCE(lang, '__null__'),
+                               COALESCE(source, '__null__'),
+                               CAST(n_chars AS VARCHAR)) AS canon
+              FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "v2", 0)}) AS BIGINT) AS fp_lane0,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "v2", 1)}) AS BIGINT) AS fp_lane1
+            FROM c
+        """,
         "l2_table_fingerprint": f"""
             WITH c AS (
               SELECT concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),

@@ -93,3 +93,23 @@ def test_json_artifact_roundtrip(spark, tmp_path):
     write_json_artifact(df, path)
     back = read_json_artifact(spark, path)
     assert {(r["category"], r["n"], r["avg_rate"]) for r in back.collect()} == {("Music", 10, 4.2), ("Comedy", 7, 3.9)}
+
+
+def test_jsonl_roundtrip_preserves_tricky_strings(spark, tmp_path_factory):
+    """JSONL escaping: newlines, quotes, backslashes, unicode, nulls all
+    survive write_jsonl -> read_jsonl byte-for-byte."""
+    from youtubeanalyzerproject_big_data__spark.io import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'line1\nline2', "en"),
+        (2, 'quote " and \\ backslash', "en"),
+        (3, "unicode é中文 \U0001f600", "zh"),
+        (4, None, None),
+        (5, "\ttabs\tand trailing space ", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path_factory.mktemp("jsonl") / "docs")
+    write_jsonl(df, path, n_files=2)
+    back = read_jsonl(spark, path, schema="doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    assert got == {i: (t, g) for i, t, g in rows}

@@ -107,3 +107,21 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_jsonl(df: DataFrame, path: str, n_files: int = 8) -> None:
+    """JSONL corpus sink: newline-delimited JSON, the lingua franca of
+    LLM-training corpora (one doc per line, shardable, streamable).
+    ``n_files`` shards for parallel re-read; Spark's json writer IS JSONL
+    (one object per line)."""
+    df.repartition(n_files).write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSONL corpus source with an EXPLICIT schema (inference at 100 TB
+    means a full extra pass over the data -- always pass the schema in
+    production; None keeps the convenience path for ad-hoc use)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
