@@ -2169,6 +2169,28 @@ def q_t19(spark: SparkSession, sf: str) -> DataFrame:
     return text.rake_keywords(load_table(spark, sf, "documents"), "doc_id", "text", k=20)
 
 
+def q_a21(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketch MERGEABILITY gate (Datasketches hll_sketch_agg /
+    hll_union_agg): per-event-type user sketches merged via union must
+    estimate the same cardinality as one direct global sketch (sketch
+    algebra: merge-then-estimate == estimate-of-all -- what makes
+    pre-aggregated sketch tables valid at 100 TB), and land within 5% of
+    the exact distinct count.  Exact count is oracle-replayed; the two
+    estimator bits are engine-computed gates (estimates are Datasketches
+    state, deterministic in-engine but not engine-portable)."""
+    e = load_events(spark, sf).select("event_type", "user_id")
+    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")).collect()[0]["est"]
+    direct = e.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")).collect()[0]["est"]
+    n_groups = per.count()
+    exact = e.select("user_id").distinct().count()
+    within = 1 if abs(int(merged) - exact) <= 0.05 * exact else 0
+    return spark.createDataFrame(
+        [(int(n_groups), int(exact), 1 if int(merged) == int(direct) else 0, within)],
+        "n_groups long, exact_distinct long, merge_equals_direct long, union_within_5pct long",
+    )
+
+
 def q_v2(spark: SparkSession, sf: str) -> DataFrame:
     """JSONL corpus round trip (io.write_jsonl / read_jsonl): documents ->
     sharded newline-JSON -> explicit-schema read-back, fingerprinted with
@@ -2334,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_column_profile": q_a18,
         "a19_group_distinct_gate": q_a19,
         "a20_robust_group_stats": q_a20,
+        "a21_hll_merge_gate": q_a21,
         "e6_cohort_retention": q_e6,
         "e8_session_paths": q_e8,
         "e9_transition_matrix": q_e9,
@@ -3437,6 +3460,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c.cnt * 9 > n.ns THEN 1 ELSE 0 END) AS BIGINT) AS n_true_heavy,
                    CAST(1 AS BIGINT) AS all_captured
             FROM c JOIN n USING (shard)
+        """,
+        "a21_hll_merge_gate": """
+            SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   CAST(1 AS BIGINT) AS merge_equals_direct,
+                   CAST(1 AS BIGINT) AS union_within_5pct
+            FROM events
         """,
         "se5_stream_user_totals": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
