@@ -266,16 +266,43 @@ def test_hourly_anomaly_moment_table_broadcasts(spark):
 
 
 def test_rfm_scoring_is_map_side_after_cutpoints(spark):
-    plan = _plan(entrymod.q_e12(spark, SF))
-    # after the customer grid, scoring uses literal cutpoints: no join at all
-    assert "Join" not in plan
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators.aggregates import rfm_segments
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = rfm_segments(
+        load_table(spark, SF, "orders"), "o_custkey", "o_orderdate", "o_totalprice", checkpoint=False
+    )
+    try:
+        plan = _plan(df)
+        # after the customer grid, scoring uses literal cutpoints: no join at all
+        assert "Join" not in plan
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_adamic_adar_frontier_broadcasts(spark):
-    plan = _plan(entrymod.q_g9(spark, SF))
-    # the seed frontier (2-hop expansion) and the degree-weight table both
-    # broadcast; the only shuffles are edge-build + score aggregation
-    assert plan.count("BroadcastHashJoin") >= 3
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators.graph import adamic_adar
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y, (F.col("x.l_orderkey") == F.col("y.l_orderkey")) & (F.col("x.l_partkey") < F.col("y.l_partkey"))
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    seeds = li.select(F.col("l_partkey").alias("seed")).where(F.col("l_partkey") % 1000 == 1).distinct()
+    df = adamic_adar(pairs, seeds, k=5, checkpoint=False)
+    try:
+        plan = _plan(df)
+        # the seed frontier (2-hop expansion) and the degree-weight table both
+        # broadcast; the only shuffles are edge-build + score aggregation
+        assert plan.count("BroadcastHashJoin") >= 3
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_dynamic_partition_pruning_fires(spark, tmp_path_factory):

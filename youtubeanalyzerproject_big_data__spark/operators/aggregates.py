@@ -301,6 +301,7 @@ def rfm_segments(
     amount_col: str,
     approx: bool = False,
     accuracy: int = 10000,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """RFM customer segmentation (Hughes 1994, the classic marketing
     quartile scheme): per customer recency (days since last order, vs the
@@ -367,6 +368,8 @@ def rfm_segments(
     # Pin the segment-sized result, then release the customer-grid cache
     # (session cache hygiene: operators must not leak entries -- see
     # tests/test_dedup.py::test_dedup_releases_cached_shingles).
-    out = out.localCheckpoint(eager=True)
-    rfm.unpersist()
+    # checkpoint=False -> live plan for plan tests, caller owns cleanup.
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        rfm.unpersist()
     return out

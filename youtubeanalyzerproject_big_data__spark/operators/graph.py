@@ -610,6 +610,7 @@ def adamic_adar(
     seed_col: str = "seed",
     k: int = 5,
     hint_small_vertices: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Link prediction for a seed set: top-``k`` new-neighbor candidates
     per seed vertex by Adamic-Adar score AA(s,y) = sum over common
@@ -686,15 +687,22 @@ def adamic_adar(
         .orderBy("src", "rank")
     )
     # Pin the |S|*k-sized result, then release the adjacency/frontier
-    # caches (session cache hygiene).
-    out = out.localCheckpoint(eager=True)
-    sadj.unpersist()
-    adj.unpersist()
+    # caches (session cache hygiene).  checkpoint=False keeps the live
+    # plan visible for plan-shape tests (caller owns cache cleanup).
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        sadj.unpersist()
+        adj.unpersist()
     return out
 
 
 def clustering_coefficient_topk(
-    edges: DataFrame, src: str = "src", dst: str = "dst", k: int = 20, hint_small_vertices: bool = True
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 20,
+    hint_small_vertices: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-vertex local clustering coefficient, top-``k`` by triangle
     count: C(v) = 2*tri(v) / (d(v)*(d(v)-1)) -- the neighborhood-density
@@ -758,8 +766,10 @@ def clustering_coefficient_topk(
         .limit(k)
     )
     # Pin the k-sized result, then release the edge/adjacency/closure
-    # caches (session cache hygiene).
-    out = out.localCheckpoint(eager=True)
-    for cached in (closures, adj, e):
-        cached.unpersist()
+    # caches (session cache hygiene); checkpoint=False -> live plan for
+    # plan tests, caller owns cleanup.
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        for cached in (closures, adj, e):
+            cached.unpersist()
     return out
