@@ -2169,6 +2169,55 @@ def q_t19(spark: SparkSession, sf: str) -> DataFrame:
     return text.rake_keywords(load_table(spark, sf, "documents"), "doc_id", "text", k=20)
 
 
+def q_l4(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction end-to-end (io.compact_parquet): documents
+    deliberately shattered into 64 tiny files, compacted to 4
+    range-partitioned sorted files.  The row count and XOR-fold md5
+    fingerprint of the COMPACTED copy are oracle-matched against the
+    parquet source (rewrite provably lossless); file count and per-file
+    row balance (max <= 2x mean, range partitioner quality) ship as gate
+    bits."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from youtubeanalyzerproject_big_data__spark.io import compact_parquet
+
+    docs = load_table(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="l4_compact_")
+    try:
+        small, big = f"{tmp}/small", f"{tmp}/big"
+        docs.repartition(64).write.mode("overwrite").parquet(small)
+        compact_parquet(spark, small, big, n_files=4, sort_col="doc_id")
+        n_small = len(_glob.glob(f"{small}/part-*"))
+        n_big = len(_glob.glob(f"{big}/part-*"))
+        back = spark.read.parquet(big)
+        canon = F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("__null__")),
+            F.coalesce(F.col("lang"), F.lit("__null__")),
+            F.coalesce(F.col("source"), F.lit("__null__")),
+            F.col("n_chars").cast("string"),
+        )
+        lanes = md5_int32_lanes_col(canon, seed="l4", lanes=2)
+        fp = back.select(lanes[0].alias("l0"), lanes[1].alias("l1")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("l0").cast("long").alias("fp_lane0"),
+            F.bit_xor("l1").cast("long").alias("fp_lane1"),
+        ).collect()[0]
+        per_file = (
+            back.groupBy(F.input_file_name().alias("f")).count().agg(F.max("count")).collect()[0][0]
+        )
+        balanced = 1 if (n_big == 4 and per_file * 4 <= 2 * fp["n_rows"]) else 0
+        return spark.createDataFrame(
+            [(int(fp["n_rows"]), int(fp["fp_lane0"]), int(fp["fp_lane1"]), 1 if n_small >= 32 else 0, balanced)],
+            "n_rows long, fp_lane0 long, fp_lane1 long, was_fragmented long, compacted_balanced long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_a21(spark: SparkSession, sf: str) -> DataFrame:
     """HLL sketch MERGEABILITY gate (Datasketches hll_sketch_agg /
     hll_union_agg): per-event-type user sketches merged via union must
@@ -2399,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_table_fingerprint": q_l2,
         "l3_hilbert_keys": q_l3,
         "v2_jsonl_roundtrip": q_v2,
+        "l4_compaction": q_l4,
         "f11_funnel_counts": q_f11,
         "e10_conversion_latency": q_e10,
         "sj_customers_with_orders": q_semi,
@@ -3627,6 +3677,21 @@ def oracle_sql() -> dict[str, str]:
         # are engine-exact, the rescale is the same IEEE sequence.
         # Fingerprint replay: identical canonical bytes (decimal(18,6)
         # string form on both engines), same md5 lanes, XOR fold.
+        "l4_compaction": f"""
+            WITH c AS (
+              SELECT concat_ws('|', CAST(doc_id AS VARCHAR),
+                               COALESCE(text, '__null__'),
+                               COALESCE(lang, '__null__'),
+                               COALESCE(source, '__null__'),
+                               CAST(n_chars AS VARCHAR)) AS canon
+              FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "l4", 0)}) AS BIGINT) AS fp_lane0,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "l4", 1)}) AS BIGINT) AS fp_lane1,
+                   CAST(1 AS BIGINT) AS was_fragmented,
+                   CAST(1 AS BIGINT) AS compacted_balanced
+            FROM c
+        """,
         "v2_jsonl_roundtrip": f"""
             WITH c AS (
               SELECT concat_ws('|', CAST(doc_id AS VARCHAR),

@@ -95,3 +95,35 @@ def test_hilbert_key_matches_textbook_walk_and_is_jump_free(spark):
     for d in range(255):
         (x1, y1), (x2, y2) = rows[d], rows[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_compact_parquet_balances_and_prunes(spark, tmp_path_factory):
+    """Compaction: 32 shattered files -> 4 range-partitioned files with
+    non-overlapping doc_id ranges (footer min/max pruning works on the
+    sort column) and balanced row counts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from youtubeanalyzerproject_big_data__spark.io import compact_parquet, load_table
+
+    base = tmp_path_factory.mktemp("compact")
+    small, big = str(base / "small"), str(base / "big")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.repartition(32).write.mode("overwrite").parquet(small)
+    compact_parquet(spark, small, big, n_files=4, sort_col="doc_id")
+    files = sorted(glob.glob(f"{big}/part-*"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.row_group(0).column(i).path_in_schema: i for i in range(md.row_group(0).num_columns)}
+        lo = min(md.row_group(g).column(cols["doc_id"]).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(cols["doc_id"]).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2  # non-overlapping ranges -> per-file pruning
+    n = docs.count()
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert sum(counts) == n and max(counts) <= 2 * (n // 4)

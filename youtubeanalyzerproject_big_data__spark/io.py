@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.schema import TESTDATA_TABLES
 
@@ -125,3 +126,17 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def compact_parquet(spark: SparkSession, src_path: str, dst_path: str, n_files: int, sort_col: str) -> None:
+    """Small-file compaction (the OPTIMIZE primitive): rewrite a
+    many-small-files parquet directory as ``n_files`` range-partitioned,
+    internally sorted files.  Range partitioning on ``sort_col`` gives
+    both balanced file sizes AND tight per-file min/max on the sort
+    column (scan pruning), vs. coalesce() which just glues adjacent
+    partitions.  At 100 TB this is the nightly job that keeps file counts
+    (and thus driver planning time + open-file overhead) bounded."""
+    df = spark.read.parquet(src_path)
+    df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(sort_col).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
