@@ -2221,10 +2221,12 @@ def q_l4(spark: SparkSession, sf: str) -> DataFrame:
 def q_a21(spark: SparkSession, sf: str) -> DataFrame:
     """HLL sketch MERGEABILITY gate (Datasketches hll_sketch_agg /
     hll_union_agg): per-event-type user sketches merged via union must
-    estimate the same cardinality as one direct global sketch (sketch
-    algebra: merge-then-estimate == estimate-of-all -- what makes
-    pre-aggregated sketch tables valid at 100 TB), and land within 5% of
-    the exact distinct count.  Exact count is oracle-replayed; the two
+    estimate the same cardinality as one direct global sketch to within
+    2% (sketch algebra: merge-then-estimate ~= estimate-of-all -- what
+    makes pre-aggregated sketch tables valid at 100 TB; exact sketch
+    equality is NOT guaranteed because the union path can promote the
+    HLL representation, observed at sf0.1), and land within 5% of the
+    exact distinct count.  Exact count is oracle-replayed; the two
     estimator bits are engine-computed gates (estimates are Datasketches
     state, deterministic in-engine but not engine-portable)."""
     e = load_events(spark, sf).select("event_type", "user_id")
@@ -2234,9 +2236,10 @@ def q_a21(spark: SparkSession, sf: str) -> DataFrame:
     n_groups = per.count()
     exact = e.select("user_id").distinct().count()
     within = 1 if abs(int(merged) - exact) <= 0.05 * exact else 0
+    merge_ok = 1 if abs(float(merged) - float(direct)) <= max(1.0, 0.02 * float(direct)) else 0
     return spark.createDataFrame(
-        [(int(n_groups), int(exact), 1 if int(merged) == int(direct) else 0, within)],
-        "n_groups long, exact_distinct long, merge_equals_direct long, union_within_5pct long",
+        [(int(n_groups), int(exact), merge_ok, within)],
+        "n_groups long, exact_distinct long, merge_within_2pct long, union_within_5pct long",
     )
 
 
@@ -3514,7 +3517,7 @@ def oracle_sql() -> dict[str, str]:
         "a21_hll_merge_gate": """
             SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-                   CAST(1 AS BIGINT) AS merge_equals_direct,
+                   CAST(1 AS BIGINT) AS merge_within_2pct,
                    CAST(1 AS BIGINT) AS union_within_5pct
             FROM events
         """,

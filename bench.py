@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "g9_adamic_adar",
     "e12_rfm_segments",
     "c10_rule_filter",
+    "g10_clustering_coefficient",
+    "tpch_q18_big_orders",
 ]
 
 
