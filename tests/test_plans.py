@@ -328,3 +328,22 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path_factory):
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+
+def test_rake_windows_are_doc_partitioned(spark):
+    """t19: the run-splitting window must be PARTITIONed by the doc id --
+    no global ordered window anywhere in the plan."""
+    import re
+
+    plan = _plan(entrymod.q_t19(spark, SF))
+    specs = [s for s in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan) if s]
+    assert specs, f"no Window partition specs found:\n{plan[:500]}"
+    assert all("_doc" in s for s in specs), specs
+
+
+def test_hilbert_keys_are_map_side(spark):
+    """l3: after the 4-scalar min/max aggregate, key computation must be a
+    pure projection -- no join, no shuffle in the output plan."""
+    plan = _plan(entrymod.q_l3(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
