@@ -818,6 +818,18 @@ def q_g10(spark: SparkSession, sf: str) -> DataFrame:
     return graph.clustering_coefficient_topk(pairs, k=20)
 
 
+def q_g11(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph
+    (graph.degree_assortativity): exact-int64 moment sums, one final
+    arbitrary-precision division replayed by the oracle with HUGEINTs."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y, (F.col("x.l_orderkey") == F.col("y.l_orderkey")) & (F.col("x.l_partkey") < F.col("y.l_partkey"))
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return graph.degree_assortativity(pairs)
+
+
 def q_semi(spark: SparkSession, sf: str) -> DataFrame:
     """Left-semi join: customers having orders."""
     c = load_table(spark, sf, "customer")
@@ -2527,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_khop_reachability": q_g8,
         "g9_adamic_adar": q_g9,
         "g10_clustering_coefficient": q_g10,
+        "g11_degree_assortativity": q_g11,
         "lp1_label_propagation": q_lp1,
         "g5_pagerank_cyclic_top100": q_pagerank_cyclic,
         "g7_personalized_pagerank": q_ppr,
@@ -3875,6 +3888,34 @@ def oracle_sql() -> dict[str, str]:
         # Triangle replay: identical degree-ordered orientation; the LEFT
         # JOIN marker counts wedges and closed wedges in one pass, like the
         # engine's single wedge-scan aggregate.
+        "g11_degree_assortativity": """
+            WITH e AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+            deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+            ed AS (
+              SELECT da.d AS ja, db.d AS jb
+              FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+            s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                     CAST(SUM(CAST(ja AS HUGEINT) * jb) AS HUGEINT) AS sjk,
+                     CAST(SUM(CAST(ja AS HUGEINT) + jb) AS HUGEINT) AS s2,
+                     CAST(SUM(CAST(ja AS HUGEINT) * ja + CAST(jb AS HUGEINT) * jb) AS HUGEINT) AS h2
+              FROM ed)
+            SELECT CAST(m AS BIGINT) AS n_edges,
+                   CAST(sjk AS BIGINT) AS sum_jk,
+                   CAST(s2 AS BIGINT) AS sum_j_plus_k,
+                   CAST(h2 AS BIGINT) AS sum_j2_plus_k2,
+                   CAST(CASE WHEN 2 * m * h2 - s2 * s2 = 0 THEN 0
+                        ELSE FLOOR(1e6 * (CAST(4 * m * sjk - s2 * s2 AS DOUBLE)
+                                          / CAST(2 * m * h2 - s2 * s2 AS DOUBLE))) END AS BIGINT) AS assortativity_micro,
+                   ROUND(CAST(CASE WHEN 2 * m * h2 - s2 * s2 = 0 THEN 0
+                        ELSE FLOOR(1e6 * (CAST(4 * m * sjk - s2 * s2 AS DOUBLE)
+                                          / CAST(2 * m * h2 - s2 * s2 AS DOUBLE))) END AS BIGINT) / 1e6, 6) AS assortativity
+            FROM s
+        """,
         "g10_clustering_coefficient": """
             WITH e AS (
               SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

@@ -278,3 +278,18 @@ def test_clustering_coefficient_hand_computed(spark):
     assert out[1]["n_triangles"] == 3 and out[1]["clustering_coef"] == 0.5
     for v in (2, 3, 4):
         assert out[v]["n_triangles"] == 3 and out[v]["clustering_coef"] == 1.0
+
+
+def test_degree_assortativity_signs(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.graph import degree_assortativity
+
+    # Star K1,4: hub degree 4 joined only to degree-1 leaves -> perfectly
+    # disassortative, r = -1.
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    out = degree_assortativity(star).collect()[0]
+    assert out["n_edges"] == 4 and out["assortativity"] == -1.0
+    # 3-regular graph (K4): zero degree variance -> r = 0 by convention.
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    assert degree_assortativity(k4).collect()[0]["assortativity"] == 0.0

@@ -773,3 +773,54 @@ def clustering_coefficient_topk(
         for cached in (closures, adj, e):
             cached.unpersist()
     return out
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): Pearson correlation
+    of endpoint degrees over undirected edges -- do hubs link to hubs
+    (r > 0, social nets) or to leaves (r < 0, co-purchase/biological)?
+    The one-number mixing diagnostic for any graph pipeline.
+
+    Exact-integer formulation: with M edges, Sjk = sum(j*k),
+    S2 = sum(j + k), H2 = sum(j^2 + k^2) over edge endpoint degrees,
+        r = (4*M*Sjk - S2^2) / (2*M*H2 - S2^2)
+    -- every term an exact int64 sum (degrees are small ints), combined
+    in arbitrary-precision driver arithmetic, so the oracle replays it
+    with HUGEINTs and one identical final division.  Constant-degree
+    graphs (zero variance) return 0 by convention.
+
+    Scale: two hash aggregates (degrees, one 4-scalar moment aggregate
+    over the degree-joined edges); degree table broadcasts (vertex dim).
+    """
+    a, b = F.least(F.col(src), F.col(dst)).alias("a"), F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        e.join(F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("ja"))), "a")
+        .join(F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("jb"))), "b")
+    )
+    row = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("ja") * F.col("jb")).cast("long").alias("sjk"),
+        F.sum(F.col("ja") + F.col("jb")).cast("long").alias("s2"),
+        F.sum(F.col("ja") * F.col("ja") + F.col("jb") * F.col("jb")).cast("long").alias("h2"),
+    ).collect()[0]
+    m, sjk, s2, h2 = (int(row[c]) for c in ("m", "sjk", "s2", "h2"))
+    num = 4 * m * sjk - s2 * s2  # exact python ints (no int64 overflow risk)
+    den = 2 * m * h2 - s2 * s2
+    import math
+
+    r_micro = math.floor(1e6 * (float(num) / float(den))) if den != 0 else 0
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(m, sjk, s2, h2, int(r_micro))],
+        "n_edges long, sum_jk long, sum_j_plus_k long, sum_j2_plus_k2 long, assortativity_micro long",
+    ).select(
+        "n_edges", "sum_jk", "sum_j_plus_k", "sum_j2_plus_k2", "assortativity_micro",
+        F.round(F.col("assortativity_micro") / 1e6, 6).alias("assortativity"),
+    )
