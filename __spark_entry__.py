@@ -818,6 +818,18 @@ def q_g10(spark: SparkSession, sf: str) -> DataFrame:
     return graph.clustering_coefficient_topk(pairs, k=20)
 
 
+def q_s7(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-filtered vector search (similarity.filtered_topk): top-5
+    cosine neighbors SHARING THE QUERY'S LABEL -- pre-filtering composed
+    into the broadcast join condition, never post-filtering a fixed-k
+    list."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.filtered_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", "label", k=5
+    )
+    return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
+
+
 def q_g11(spark: SparkSession, sf: str) -> DataFrame:
     """Degree assortativity of the part co-purchase graph
     (graph.degree_assortativity): exact-int64 moment sums, one final
@@ -2493,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_ann_pq_top5": q_s4,
         "s5_ann_ivfpq_top5": q_s5,
         "s6_ann_refined_top5": q_s6,
+        "s7_ann_filtered_top5": q_s7,
         "t1_token_counts": q_t1,
         "t2_quality_scores": q_t2,
         "t3_language_id": q_t3,
@@ -4291,6 +4304,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE lng.lang_pred = 'en' AND q.n_tokens >= 10 AND q.dup_token_ratio <= 0.6
         """,
         "s1_ann_bruteforce_top5": _bruteforce_ann_oracle(k=5),
+        "s7_ann_filtered_top5": f"""
+            WITH s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_cos_sql("q.embedding", "c.embedding")} AS cos
+              FROM embeddings q JOIN embeddings c
+                ON q.vec_id != c.vec_id AND q.label = c.label
+              WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+            WHERE rk <= 5
+        """,
         # Recall is a JOIN of two already-replayable indexes: both CTEs are
         # the bit-exact s1/s2 oracles, so the metric itself is gate-checked.
         "r1_ann_lsh_recall": f"""

@@ -280,3 +280,25 @@ def test_pca_gate_recovers_known_covariance(spark):
     assert out["eigsum_matches_trace"] == 1
     assert out["orthonormal_ok"] == 1
     assert out["eigs_descending_ok"] == 1
+
+
+def test_filtered_topk_respects_filter_and_is_prefiltered(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.similarity import filtered_topk
+
+    # 2 labels; the globally-nearest neighbor of query 0 has the WRONG
+    # label and must not appear.
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.999, 0.01], "b"),   # closest overall, wrong label
+        (2, [0.9, 0.1], "a"),
+        (3, [0.5, 0.5], "a"),
+        (4, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = filtered_topk(df, df.where(F.col("vec_id") == 0), "vec_id", "embedding", "label", k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]  # label-a only, rank order
+    # plan: the label filter sits in the join condition (pre-filter), so
+    # the joined row count is label-matched only
+    assert all(r["query_id"] == 0 for r in out)

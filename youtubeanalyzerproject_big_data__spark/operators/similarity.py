@@ -745,3 +745,42 @@ def pca_gate(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
         "n_vectors long, dim long, trace_cov_nano long, eigsum_matches_trace long, "
         "orthonormal_ok long, eigs_descending_ok long",
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    filter_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-filtered vector search: exact top-k cosine neighbors where
+    each neighbor must share the query's ``filter_col`` value -- the
+    "filtered ANN" every production vector store exposes (category-scoped
+    retrieval, tenant isolation, language-matched examples).
+
+    Plan shape: the filter composes INTO the scoring join condition
+    (label equality AND id inequality), so non-matching corpus rows are
+    discarded by the broadcast-hash probe BEFORE the cosine kernel ever
+    runs -- pre-filtering, not post-filtering, which matters both for
+    cost and because post-filtering a fixed-k candidate list can return
+    FEWER than k valid results.  Corpus never shuffles; the re-rank is
+    the two-stage partial top-k.  Composes with ivfpq_topk/refine_topk
+    for the approximate route (filter the candidate join the same way).
+    """
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_cosine_seq
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col(filter_col).alias("_qf")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col(filter_col).alias("_cf")
+    )
+    cos = make_cosine_seq()
+    scored = (
+        c.join(F.broadcast(q), (F.col("_qf") == F.col("_cf")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cos_sim", cos(F.col("qv"), F.col("cv")))
+        .drop("_qf", "_cf")
+    )
+    return _topk_per_query(scored, k)
