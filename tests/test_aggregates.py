@@ -182,3 +182,16 @@ def test_hourly_anomaly_flags_spike_and_zeroes_constant(spark):
     top = out[0]
     assert top["event_type"] == "a" and top["n_events"] == 50 and top["z"] > 2.5
     assert all(r["z"] == 0.0 for r in out if r["event_type"] == "b")
+
+
+def test_hourly_anomaly_single_hour_scores_zero(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import hourly_anomaly
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "a", 1.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+    out = hourly_anomaly(df).collect()
+    assert len(out) == 1 and out[0]["z"] == 0.0  # zero variance -> 0, no div-by-zero

@@ -465,3 +465,16 @@ def test_rake_keywords_hand_computed(spark):
     assert [r["phrase"] for r in out] == ["deep learning systems", "deep learning", "fast code"]
     assert [r["rake_score"] for r in out] == [8.0, 5.0, 4.0]
     assert out[1]["n_occurrences"] == 1  # "deep learning" standalone run occurs once
+
+
+def test_round5_text_operators_handle_empty_corpus(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import (
+        rake_keywords,
+        readability,
+        rule_filter_stats,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert rake_keywords(empty, "doc_id", "text").count() == 0
+    assert rule_filter_stats(empty, "text", "source").count() == 0
+    assert readability(empty, "text", "source").count() == 0
