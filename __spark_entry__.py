@@ -818,6 +818,17 @@ def q_g10(spark: SparkSession, sf: str) -> DataFrame:
     return graph.clustering_coefficient_topk(pairs, k=20)
 
 
+def q_m4(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed logistic-regression gate (classify.
+    logreg_separability_gate): a linearly-separable-by-construction
+    target (x0 + x1 > 0) that the distributed LBFGS fit must recover
+    (AUC >= 0.95) with run-to-run deterministic coefficients (m3's
+    recipe for LBFGS).  Row/positive counts are oracle-exact."""
+    from youtubeanalyzerproject_big_data__spark.operators.classify import logreg_separability_gate
+
+    return logreg_separability_gate(load_table(spark, sf, "embeddings"), "embedding", min_auc=0.95)
+
+
 def q_s7(spark: SparkSession, sf: str) -> DataFrame:
     """Metadata-filtered vector search (similarity.filtered_topk): top-5
     cosine neighbors SHARING THE QUERY'S LABEL -- pre-filtering composed
@@ -2559,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_als_recommendations": q_als,
         "m2_als_contract": q_m2,
         "m3_als_determinism_gate": q_m3,
+        "m4_logreg_gate": q_m4,
     }
 
 
@@ -4302,6 +4314,14 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN lng ON q.doc_id = lng.doc_id
             JOIN rep ON q.doc_id = rep.doc_id
             WHERE lng.lang_pred = 'en' AND q.n_tokens >= 10 AND q.dup_token_ratio <= 0.6
+        """,
+        "m4_logreg_gate": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+                   CAST(64 AS BIGINT) AS n_features,
+                   CAST(1 AS BIGINT) AS auc_ok,
+                   CAST(1 AS BIGINT) AS runs_identical
+            FROM embeddings
         """,
         "s1_ann_bruteforce_top5": _bruteforce_ann_oracle(k=5),
         "s7_ann_filtered_top5": f"""

@@ -65,3 +65,17 @@ def test_recommend_dims_semi_reduced_before_broadcast(interactions):
     out = recommend_for_users(model, ratings, n_users=5, n_recs=3, pin_result=False)
     plan = executed_plan(out)
     assert plan.count("LeftSemi, BuildRight") >= 2, plan
+
+
+def test_logreg_gate_recovers_separable_direction(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.classify import logreg_separability_gate
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = logreg_separability_gate(df, "embedding", min_auc=0.95).collect()[0]
+    assert out["n_rows"] == 400 and out["n_features"] == 4
+    assert out["auc_ok"] == 1        # separable by construction -> recovered
+    assert out["runs_identical"] == 1  # LBFGS deterministic in-session

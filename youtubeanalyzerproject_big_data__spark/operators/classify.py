@@ -1,0 +1,68 @@
+"""Distributed classification on embedding features (MLlib LogisticRegression).
+
+Complements the ALS (recommend.py) and k-means (clustering.py) MLlib
+coverage with the supervised member of the family -- the quality-classifier
+shape (fastText/logreg over document features) that training-data pipelines
+run to score documents against a curated seed set (e.g. the GPT-3/LLaMA
+"pages classified as reference-like" filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def logreg_separability_gate(
+    emb: DataFrame,
+    vec_col: str,
+    min_auc: float = 0.95,
+) -> DataFrame:
+    """Train LogisticRegression twice on a linearly-separable-BY-
+    CONSTRUCTION target (y = [x0 + x1 > 0] over the embedding's first two
+    components) and machine-check the engine claims: the distributed
+    LBFGS fit RECOVERS the separating direction (train AUC >=
+    ``min_auc``; a broken gradient aggregation could not) and is
+    RUN-TO-RUN deterministic in-session (identical 6dp-rounded
+    coefficient digests -- the m3 recipe for LBFGS instead of ALS).
+    Deriving the label from the features, not the synthetic cluster ids,
+    keeps the gate scale-invariant: it tests the TRAINER, not the
+    separability of whatever labels the fixture happens to carry.
+
+    Scale: training is MLlib's treeAggregate gradient loop (map-side
+    partial gradients, depth-2 combine) -- the textbook distributed-GD
+    shape; the driver holds only the d-sized coefficient vector.  Output
+    row: n_rows and n_positive (oracle-exact), n_features, auc_ok,
+    runs_identical (gates).
+    """
+    import hashlib
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    arr = F.col(vec_col).cast("array<double>")
+    train = emb.select(
+        array_to_vector(arr).alias("features"),
+        ((arr.getItem(0) + arr.getItem(1)) > 0).cast("double").alias("label"),
+    ).cache()
+    n_rows = train.count()
+    n_pos = train.where(F.col("label") == 1.0).count()
+    dim = len(train.first()["features"])
+
+    def fit_digest():
+        model = LogisticRegression(maxIter=20, regParam=0.01, standardization=True).fit(train)
+        coefs = [round(float(c), 6) for c in model.coefficients] + [round(float(model.intercept), 6)]
+        digest = hashlib.md5(",".join(f"{c:.6f}" for c in coefs).encode()).hexdigest()
+        preds = model.transform(train)
+        auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(preds)
+        return digest, auc
+
+    d1, auc1 = fit_digest()
+    d2, _ = fit_digest()
+    train.unpersist()
+    return spark.createDataFrame(
+        [(int(n_rows), int(n_pos), int(dim), 1 if auc1 >= min_auc else 0, 1 if d1 == d2 else 0)],
+        "n_rows long, n_positive long, n_features long, auc_ok long, runs_identical long",
+    )
