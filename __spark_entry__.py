@@ -818,6 +818,16 @@ def q_g10(spark: SparkSession, sf: str) -> DataFrame:
     return graph.clustering_coefficient_topk(pairs, k=20)
 
 
+def q_d12(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dups (dedup.containment_pairs):
+    |A&B|/|A| >= 0.9 in either direction -- the quote/excerpt detector
+    symmetric Jaccard misses.  Same capped inverted index as d2."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9).orderBy(
+        "contained_id", "container_id"
+    )
+
+
 def q_m4(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed logistic-regression gate (classify.
     logreg_separability_gate): a linearly-separable-by-construction
@@ -2509,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_embedding_lsh_near_dups": q_d9,
         "d10_semantic_dedup": q_d10,
         "d11_segment_dedup": q_d11,
+        "d12_containment_pairs": q_d12,
         "c1_corpus_curation": q_c1,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
@@ -4170,6 +4181,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY k
         """,
         "d2_ngram_jaccard_pairs": f"WITH {_shingles_cte(dedup.DEFAULT_MAX_DF)} SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8",
+        "d12_containment_pairs": f"""
+            WITH {_shingles_cte(dedup.DEFAULT_MAX_DF)},
+            b AS (
+              SELECT doc1, doc2, n_common, s1.n AS n1, s2.n AS n2
+              FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id)
+            SELECT contained_id, container_id, containment FROM (
+              SELECT doc1 AS contained_id, doc2 AS container_id, ROUND(n_common / n1, 6) AS containment FROM b
+              UNION ALL
+              SELECT doc2 AS contained_id, doc1 AS container_id, ROUND(n_common / n2, 6) AS containment FROM b)
+            WHERE containment >= 0.9
+            ORDER BY contained_id, container_id
+        """,
         "d3_minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 0.8, max_bucket=dedup.DEFAULT_MAX_BUCKET),
         # Components via recursive transitive closure (pair graphs from
         # dedup are tiny relative to the corpus, so closure is affordable

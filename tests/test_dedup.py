@@ -380,3 +380,17 @@ def test_segment_dedup_partial_tail_segment(spark):
     out = {r["doc_id"]: r for r in segment_dedup(df, "doc_id", "text", seg_tokens=3, min_df=2).collect()}
     assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1 and out[1]["clean_n_tokens"] == 3
     assert out[2]["n_segments"] == 1 and out[2]["n_removed"] == 1 and out[2]["clean_n_tokens"] == 0
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, quote), (2, quote + " " + filler)]  # doc 1 fully inside doc 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = containment_pairs(df, "doc_id", "text", threshold=0.9, max_df=None).collect()
+    assert [(r["contained_id"], r["container_id"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0  # every shingle of 1 is in 2
+    # symmetric Jaccard at the same bar sees nothing
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8, max_df=None).count() == 0

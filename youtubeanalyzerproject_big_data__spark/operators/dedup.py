@@ -826,3 +826,52 @@ def segment_dedup(
         token_count(kept_txt).alias("clean_n_tokens"),
         F.md5(kept_txt).alias("clean_md5"),
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.9, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A in B) = |A & B| / |A| >= threshold -- catches quotes, excerpts,
+    and doc-inside-doc duplication that symmetric Jaccard misses (a short
+    doc fully quoted inside a long one has tiny Jaccard but containment
+    1.0).  The standard complement to d2 in corpus forensics
+    (Broder 1997's containment, the other resemblance measure).
+
+    Same inverted-index engine as ngram_jaccard_pairs (one
+    groupBy(shingle) pair expansion, multiplicity = intersection, max_df
+    stop-shingle cut mirrored by the oracle); emits BOTH directions of a
+    qualifying pair separately since containment is directional:
+    (contained_id, container_id, containment).
+    """
+    sh = _hashed_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    groups = sh.groupBy("sh").agg(F.sort_array(F.collect_set("doc_id")).alias("ds")).where(F.size("ds") >= 2)
+    if max_df is not None:
+        groups = groups.where(F.size("ds") <= max_df)
+    inter = (
+        groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
+        .select("p.doc1", "p.doc2")
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    both = inter.join(
+        sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1"
+    ).join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
+    fwd = both.select(
+        F.col("doc1").alias("contained_id"),
+        F.col("doc2").alias("container_id"),
+        F.round(F.col("n_common") / F.col("n1"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc2").alias("contained_id"),
+        F.col("doc1").alias("container_id"),
+        F.round(F.col("n_common") / F.col("n2"), 6).alias("containment"),
+    )
+    result = (
+        fwd.unionByName(rev)
+        .where(F.col("containment") >= threshold)
+        .localCheckpoint(eager=True)  # bounded pairs; release the shingle cache
+    )
+    sh.unpersist()
+    return result
