@@ -818,6 +818,38 @@ def q_g10(spark: SparkSession, sf: str) -> DataFrame:
     return graph.clustering_coefficient_topk(pairs, k=20)
 
 
+def q_u4(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation diff (merge.snapshot_diff): orders vs a
+    deterministically mutated copy (u1's md5 recipe: 5% price updates, 2%
+    deletes, 1% shifted-key inserts) -- per-status key counts + per-column
+    change attribution in ONE full-outer join + one aggregate."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import hash_sample_predicate
+    from youtubeanalyzerproject_big_data__spark.operators.merge import snapshot_diff
+
+    base = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    p_upd = hash_sample_predicate(key, 50_000, 1_000_000, seed="u4upd")
+    p_del = hash_sample_predicate(key, 20_000, 1_000_000, seed="u4del")
+    p_ins = hash_sample_predicate(key, 10_000, 1_000_000, seed="u4ins")
+    kept = base.where(~(p_del & ~p_upd))
+    mutated = kept.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(p_upd, F.lit("5-LOW")).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        F.when(p_upd, F.round(F.col("o_totalprice") * 1.1, 6)).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    inserted = base.where(p_ins).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("9-NEW").alias("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 0.5, 6).alias("o_totalprice"),
+    )
+    new = mutated.unionByName(inserted)
+    return snapshot_diff(base, new, ["o_orderkey"], ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+
 def q_d12(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric shingle-containment near-dups (dedup.containment_pairs):
     |A&B|/|A| >= 0.9 in either direction -- the quote/excerpt detector
@@ -2490,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_cdc_merge": q_u1,
         "i1_incremental_agg_state": q_i1,
         "u3_scd2_history": q_u3,
+        "u4_snapshot_diff": q_u4,
         "u2_incremental_dedup_index": q_u2,
         "v1_served_category_stats": q_v1,
         "l1_zorder_keys": q_l1,
@@ -3859,6 +3892,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, state, valid_from_us, valid_to_us, version,
                    valid_to_us = 253402214400000000 AS is_current
             FROM v ORDER BY user_id, version
+        """,
+        "u4_snapshot_diff": f"""
+            WITH b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders),
+            kept AS (
+              SELECT * FROM b
+              WHERE NOT ((({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u4del")}) % 1000000 < 20000)
+                         AND NOT (({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u4upd")}) % 1000000 < 50000))),
+            mut AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u4upd")}) % 1000000 < 50000
+                          THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority,
+                     CASE WHEN ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u4upd")}) % 1000000 < 50000
+                          THEN ROUND(o_totalprice * 1.1, 6) ELSE o_totalprice END AS o_totalprice
+              FROM kept),
+            ins AS (
+              SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+                     '9-NEW' AS o_orderpriority, ROUND(o_totalprice * 0.5, 6) AS o_totalprice
+              FROM b WHERE ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u4ins")}) % 1000000 < 10000),
+            nw AS (SELECT * FROM mut UNION ALL SELECT * FROM ins),
+            j AS (
+              SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                     o.o_orderkey IS NOT NULL AS op, n.o_orderkey IS NOT NULL AS np,
+                     (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) AS eq_status,
+                     (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) AS eq_prio,
+                     (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) AS eq_price
+              FROM b o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey),
+            st AS (
+              SELECT CASE WHEN op AND NOT np THEN 'deleted'
+                          WHEN np AND NOT op THEN 'inserted'
+                          WHEN eq_status AND eq_prio AND eq_price THEN 'unchanged'
+                          ELSE 'changed' END AS status,
+                     (NOT eq_status) AS c_status, (NOT eq_prio) AS c_prio, (NOT eq_price) AS c_price,
+                     op, np
+              FROM j)
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN status = 'changed' AND c_status THEN 1 ELSE 0 END) AS BIGINT) AS changed_o_orderstatus,
+                   CAST(SUM(CASE WHEN status = 'changed' AND c_prio THEN 1 ELSE 0 END) AS BIGINT) AS changed_o_orderpriority,
+                   CAST(SUM(CASE WHEN status = 'changed' AND c_price THEN 1 ELSE 0 END) AS BIGINT) AS changed_o_totalprice
+            FROM st GROUP BY status ORDER BY status
         """,
         "u1_cdc_merge": f"""
             WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders),

@@ -164,3 +164,24 @@ def test_agg_state_merge_is_order_free(spark):
     right = merge_agg_state(sa, merge_agg_state(sb, sc, ["k"]).drop("avg_v"), ["k"]).collect()
     key = lambda rows: sorted((r["k"], r["n_rows"], r["sum_micro"], r["min_v"], r["max_v"], r["avg_v"]) for r in rows)
     assert key(left) == key(right)
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 changed (both cols), 3 deleted, 4 unchanged (all-null
+        # compare cols must still count as present), 5 inserted
+        [(1, "a", 10.0), (2, "B", 25.0), (4, None, None), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {r["status"]: r for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert out["unchanged"]["n_keys"] == 2
+    assert out["deleted"]["n_keys"] == 1 and out["inserted"]["n_keys"] == 1
+    assert out["changed"]["n_keys"] == 1
+    assert out["changed"]["changed_s"] == 1 and out["changed"]["changed_v"] == 1
+    assert out["unchanged"]["changed_s"] == 0
