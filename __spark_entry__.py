@@ -818,6 +818,17 @@ def q_g10(spark: SparkSession, sf: str) -> DataFrame:
     return graph.clustering_coefficient_topk(pairs, k=20)
 
 
+def q_t20(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion matrix (quality.confusion_matrix): the t3
+    heuristic scored against the corpus's declared lang -- per-truth-class
+    recall from exact counts, the labeling-audit primitive."""
+    docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    pred = text.language_id(docs, "doc_id", "text")
+    j = docs.select("doc_id", "lang").join(pred.select("doc_id", "lang_pred"), "doc_id")
+    return quality_ops.confusion_matrix(j, "doc_id", "lang", "lang_pred")
+
+
 def q_u4(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot reconciliation diff (merge.snapshot_diff): orders vs a
     deterministically mutated copy (u1's md5 recipe: 5% price updates, 2%
@@ -2582,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_zipf_fit": q_t17,
         "t18_readability": q_t18,
         "t19_rake_keywords": q_t19,
+        "t20_langid_confusion": q_t20,
         "c2_token_budget_mix": q_c2,
         "c3_decontamination": q_c3,
         "c6_quality_weighted_sample": q_c6,
@@ -4478,6 +4490,15 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "t3_language_id": _lang_id_oracle(),
+        "t20_langid_confusion": f"""
+            WITH p AS ({_lang_id_oracle()}),
+            j AS (SELECT d.lang AS truth, p.lang_pred AS pred
+                  FROM documents d JOIN p ON d.doc_id = p.doc_id),
+            per AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+            t AS (SELECT truth, CAST(SUM(n) AS BIGINT) AS t FROM per GROUP BY truth)
+            SELECT per.truth, per.pred, per.n, ROUND(per.n / t.t, 6) AS recall
+            FROM per JOIN t USING (truth) ORDER BY truth, pred
+        """,
         # Unigram-LM replay: per-token logprob quantized to integer micros
         # (floor(ln(c/N)*1e6)) BEFORE the per-doc sum, so the reduction is
         # exact integer arithmetic in both engines; the only float op is the

@@ -110,3 +110,17 @@ def test_psi_drift_detects_shift_in_top_bin(spark):
     assert all(r["psi_term_nano"] >= 0 for r in out.values())
     total = sum(r["psi_term_nano"] for r in out.values()) / 1e9
     assert total > 0.1  # conventional "significant drift" line
+
+
+def test_confusion_matrix_counts_and_recall(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.quality import confusion_matrix
+
+    rows = [
+        (1, "en", "en"), (2, "en", "en"), (3, "en", "es"),   # en recall 2/3
+        (4, "es", "es"),                                      # es recall 1.0
+    ]
+    df = spark.createDataFrame(rows, "id long, truth string, pred string")
+    out = {(r["truth"], r["pred"]): r for r in confusion_matrix(df, "id", "truth", "pred").collect()}
+    assert out[("en", "en")]["n"] == 2 and out[("en", "en")]["recall"] == round(2 / 3, 6)
+    assert out[("en", "es")]["n"] == 1
+    assert out[("es", "es")]["recall"] == 1.0

@@ -146,3 +146,28 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str, n_bins: int = 10) 
         )
         .orderBy("bin")
     )
+
+
+def confusion_matrix(
+    labeled: DataFrame, id_col: str, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Classification confusion matrix with per-truth-class recall -- the
+    evaluation primitive behind any labeling/classifier audit (here used
+    to score the language-ID heuristic against the corpus's declared
+    language, driver query t20).
+
+    Scale: one (truth, pred) hash aggregate (cells = |classes|^2, tiny),
+    truth totals are class-cardinality-sized and broadcast back.  Recall
+    divides exact int64 counts.
+
+    Returns (truth, pred, n, recall) ordered by (truth, pred).
+    """
+    per = labeled.groupBy(
+        F.col(truth_col).alias("truth"), F.col(pred_col).alias("pred")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = per.groupBy("truth").agg(F.sum("n").cast("long").alias("t"))
+    return (
+        per.join(F.broadcast(totals), "truth")
+        .select("truth", "pred", "n", F.round(F.col("n") / F.col("t"), 6).alias("recall"))
+        .orderBy("truth", "pred")
+    )
