@@ -818,6 +818,37 @@ def q_g10(spark: SparkSession, sf: str) -> DataFrame:
     return graph.clustering_coefficient_topk(pairs, k=20)
 
 
+# c12 target mixture: an explicit whitelist of sources with fixed shares
+# (ppm).  Single source of truth for BOTH the Spark query and its oracle.
+C12_TARGETS: dict[str, int] = {
+    **{f"src{i}": 150_000 for i in range(1, 6)},   # 5 majors @ 15%
+    **{f"src{i}": 50_000 for i in range(6, 11)},   # 5 minors @ 5%
+}
+C12_BUDGET = 20_000
+
+
+def q_c12(spark: SparkSession, sf: str) -> DataFrame:
+    """Match-the-target mixture (sampling.target_mix_sample, DoReMi
+    deployment shape): explicit per-source ppm shares of a 20k-token
+    budget; whitelist semantics (untargeted sources drop); all-integer
+    floor-division rates, md5 membership."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import target_mix_sample
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import token_count
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    kept = target_mix_sample(d, "doc_id", "source", "n_tokens", C12_TARGETS, C12_BUDGET, seed="target")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+            F.min("rate_ppm").cast("long").alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_t20(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID confusion matrix (quality.confusion_matrix): the t3
     heuristic scored against the corpus's declared lang -- per-truth-class
@@ -2602,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_temperature_mix": q_c9,
         "c10_rule_filter": q_c10,
         "c11_leakage_safe_split": q_c11,
+        "c12_target_mix": q_c12,
         "dq1_constraint_audit": q_dq1,
         "dq2_psi_drift": q_dq2,
         "c4_doc_chunks": q_c4,
@@ -5112,6 +5144,28 @@ def oracle_sql() -> dict[str, str]:
         # Temperature mixture: sqrt-flattened shares (T=2), all-integer
         # rates through HUGEINT so the floor division is exact, f9's md5
         # membership predicate.
+        "c12_target_mix": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            t AS (SELECT source, SUM(n_tokens) AS mass FROM d GROUP BY source),
+            tg AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {p})" for s, p in sorted(C12_TARGETS.items()))}) AS v(source, t_ppm)),
+            r AS (
+              SELECT t.source,
+                     CASE WHEN t.mass > 0
+                          THEN LEAST(CAST(1000000 AS HUGEINT),
+                                     (((CAST({C12_BUDGET} AS HUGEINT) * COALESCE(tg.t_ppm, 0)) // 1000000) * 1000000) // t.mass)
+                          ELSE 0 END AS rate_ppm
+              FROM t LEFT JOIN tg USING (source)),
+            kept AS (
+              SELECT d.source, d.n_tokens, r.rate_ppm FROM d JOIN r USING (source)
+              WHERE ({md5_int32_sql("CAST(doc_id AS VARCHAR)", "target")}) % 1000000 < rate_ppm)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
+                   CAST(MIN(rate_ppm) AS BIGINT) AS rate_ppm
+            FROM kept GROUP BY source ORDER BY source
+        """,
         "c9_temperature_mix": f"""
             WITH d AS (
               SELECT doc_id, source,

@@ -178,3 +178,21 @@ def test_leakage_safe_split_dup_groups_never_straddle(spark):
     assert sum(r["n_groups"] for r in out) == 30
     assert all(r["n_leaky_groups"] == 0 for r in out)
     assert all(r["n_docs"] == 3 * r["n_groups"] for r in out)  # groups move whole
+
+
+def test_target_mix_whitelist_and_rates(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import target_mix_sample
+
+    # sources a (1000 tokens), b (1000), c (1000); targets: a 50%, b 50%,
+    # c absent -> c fully dropped; budget 1000 -> each target wants 500
+    # tokens -> rate 50%.
+    rows = [(i, ["a", "b", "c"][i % 3], 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, src string, w long")
+    kept = target_mix_sample(df, "k", "src", "w", {"a": 500_000, "b": 500_000}, 1000, seed="t")
+    got = {r["src"]: r for r in kept.groupBy("src").agg(F.count(F.lit(1)).alias("n"), F.min("rate_ppm").alias("rate")).collect()}
+    assert "c" not in got  # whitelist semantics
+    assert got["a"]["rate"] == 500_000 and got["b"]["rate"] == 500_000
+    # md5 sampling at 50%: keep count near half (deterministic, just sane)
+    assert 20 <= got["a"]["n"] <= 80 and 20 <= got["b"]["n"] <= 80

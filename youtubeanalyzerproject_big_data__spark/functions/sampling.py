@@ -369,3 +369,42 @@ def leakage_safe_split(
         .agg(F.coalesce(F.sum(F.when(F.col("_ns") > 1, 1).otherwise(0)), F.lit(0)).cast("long").alias("n_leaky_groups"))
     )
     return stats.crossJoin(F.broadcast(leaky)).orderBy("split")
+
+
+def target_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str,
+    targets_ppm: dict,
+    total_budget: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Match-the-target mixture sampling: given EXPLICIT target shares per
+    stratum (parts-per-million, the DoReMi/"data mixing laws" deployment
+    shape -- domain weights come from an optimizer or a reference model,
+    not a closed-form rule like c9's temperature flattening), down-sample
+    each stratum to its share of ``total_budget``.
+
+    All-integer: desired_s = (budget * target_ppm_s) // 1e6, rate_ppm_s =
+    min(1e6, desired_s * 1e6 // mass_s) (exact Python-int driver
+    arithmetic, HUGEINT in the oracle); membership is the md5 predicate.
+    Strata missing from ``targets_ppm`` get rate 0 (explicitly excluded
+    -- a target mixture is a whitelist).
+
+    Scale: identical plan to temperature_mix_sample -- one model-sized
+    aggregate, broadcast rates, map-side filter.  Kept rows carry
+    ``rate_ppm``.
+    """
+    denominator = 1_000_000
+    totals = df.groupBy(stratum_col).agg(F.sum(F.col(weight_col)).alias("_t")).collect()
+    mass = {row[stratum_col]: int(row["_t"]) for row in totals}
+    rates = []
+    for s in sorted(mass):
+        t_ppm = int(targets_ppm.get(s, 0))
+        desired = (int(total_budget) * t_ppm) // denominator
+        rates.append((s, min(denominator, (desired * denominator) // mass[s]) if mass[s] > 0 else 0))
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(rates, f"{stratum_col} string, rate_ppm long")
+    h = F.pmod(md5_int32(F.col(key_col).cast("string"), seed=seed), F.lit(denominator))
+    return df.join(F.broadcast(rate_df), stratum_col).where(h < F.col("rate_ppm"))
