@@ -827,6 +827,23 @@ C12_TARGETS: dict[str, int] = {
 C12_BUDGET = 20_000
 
 
+def q_w6(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-normalizing window functions: percent_rank + cume_dist
+    of order totals WITHIN each priority -- the per-group percentile score
+    used for cross-group-comparable rankings.  Both are pure rank
+    arithmetic over exact doubles (ties share ranks, so no order
+    dependence); key-partitioned windows only."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_orderkey")
+
+
 def q_c12(spark: SparkSession, sf: str) -> DataFrame:
     """Match-the-target mixture (sampling.target_mix_sample, DoReMi
     deployment shape): explicit per-source ppm shares of a 20k-token
@@ -2560,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_order_lag_quartiles": q_w3,
         "w4_rolling_user_value": q_w4,
         "w5_trailing_window_rate": q_w5,
+        "w6_percentile_scores": q_w6,
         "g6_triangle_census": q_g6,
         "u1_cdc_merge": q_u1,
         "i1_incremental_agg_state": q_i1,
@@ -4232,6 +4250,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
                    ROUND(CAST(SUM(mon_micros) AS DOUBLE) / 1000000, 6) AS monetary_total
             FROM s GROUP BY 1, 2, 3, 4 ORDER BY segment
+        """,
+        "w6_percentile_scores": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS cume
+            FROM orders ORDER BY o_orderkey
         """,
         "e1_events_hourly": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS num_events,
