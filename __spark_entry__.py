@@ -827,6 +827,15 @@ C12_TARGETS: dict[str, int] = {
 C12_BUDGET = 20_000
 
 
+def q_dq3(spark: SparkSession, sf: str) -> DataFrame:
+    """Header-vs-detail reconciliation (quality.fact_reconciliation):
+    o_totalprice against the micro-quantized lineitem-implied total,
+    1-cent integer tolerance; mismatches quantified, not boolean."""
+    return quality_ops.fact_reconciliation(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
 def q_w6(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-normalizing window functions: percent_rank + cume_dist
     of order totals WITHIN each priority -- the per-group percentile score
@@ -2654,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c12_target_mix": q_c12,
         "dq1_constraint_audit": q_dq1,
         "dq2_psi_drift": q_dq2,
+        "dq3_fact_reconciliation": q_dq3,
         "c4_doc_chunks": q_c4,
         "c5_sequence_packing": q_c5,
         "r1_ann_lsh_recall": q_r1,
@@ -4250,6 +4260,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
                    ROUND(CAST(SUM(mon_micros) AS DOUBLE) / 1000000, 6) AS monetary_total
             FROM s GROUP BY 1, 2, 3, 4 ORDER BY segment
+        """,
+        "dq3_fact_reconciliation": """
+            WITH d AS (
+              SELECT l_orderkey AS k,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1e6) AS BIGINT)) AS BIGINT) AS detail_micros
+              FROM lineitem GROUP BY l_orderkey),
+            h AS (SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 1e6) AS BIGINT) AS head_micros FROM orders),
+            j AS (SELECT h.k, h.head_micros, COALESCE(d.detail_micros, 0) AS detail_micros
+                  FROM h LEFT JOIN d USING (k))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN ABS(head_micros - detail_micros) <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   CAST(SUM(CASE WHEN ABS(head_micros - detail_micros) > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+                   CAST(SUM(ABS(head_micros - detail_micros)) AS BIGINT) AS total_drift_micros
+            FROM j
         """,
         "w6_percentile_scores": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,

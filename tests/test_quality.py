@@ -124,3 +124,21 @@ def test_confusion_matrix_counts_and_recall(spark):
     assert out[("en", "en")]["n"] == 2 and out[("en", "en")]["recall"] == round(2 / 3, 6)
     assert out[("en", "es")]["n"] == 1
     assert out[("es", "es")]["recall"] == 1.0
+
+
+def test_fact_reconciliation_flags_drift(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.quality import fact_reconciliation
+
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 999.0), (3, 50.0)], "o_orderkey long, o_totalprice double"
+    )
+    li = spark.createDataFrame(
+        # order 1: exactly 100; order 2: 200 (drift 799); order 3: no lines
+        [(1, 100.0, 0.0, 0.0), (2, 200.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    out = fact_reconciliation(orders, li).collect()[0]
+    assert out["n_orders"] == 3
+    assert out["n_matched"] == 1      # only order 1
+    assert out["n_mismatched"] == 2   # order 2 drift + order 3 missing detail
+    assert out["total_drift_micros"] == 799_000_000 + 50_000_000

@@ -171,3 +171,44 @@ def confusion_matrix(
         .select("truth", "pred", "n", F.round(F.col("n") / F.col("t"), 6).alias("recall"))
         .orderBy("truth", "pred")
     )
+
+
+def fact_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    order_key: str = "o_orderkey",
+    li_key: str = "l_orderkey",
+    tolerance_micros: int = 10_000,
+) -> DataFrame:
+    """Cross-fact reconciliation: does each order header's total equal the
+    sum its line items imply (sum of extendedprice*(1-discount)*(1+tax))?
+    The accounting audit every warehouse runs between a rollup table and
+    its detail -- mismatch counts and total absolute drift, not a boolean,
+    so regressions are quantified.
+
+    Cross-engine determinism: each line's contribution is floor-quantized
+    to integer micros BEFORE the per-order sum (row-local double product
+    is correctly rounded and identical everywhere; the sum is then exact
+    int64), headers quantize the same way, and "matched" is an integer
+    tolerance comparison (default 1 cent = 10^4 micros).
+
+    Plan: one per-order hash aggregate on the detail (map-side combined),
+    one key join against headers, one conditional-sum aggregate.
+    """
+    li_micro = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax")) * F.lit(1e6)
+    ).cast("long")
+    detail = lineitem.groupBy(F.col(li_key).alias("k")).agg(F.sum(li_micro).alias("detail_micros"))
+    head = orders.select(
+        F.col(order_key).alias("k"), F.floor(F.col("o_totalprice") * F.lit(1e6)).cast("long").alias("head_micros")
+    )
+    j = head.join(detail, "k", "left").select(
+        "k", "head_micros", F.coalesce(F.col("detail_micros"), F.lit(0)).alias("detail_micros")
+    )
+    diff = F.abs(F.col("head_micros") - F.col("detail_micros"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(diff <= tolerance_micros, 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.sum(F.when(diff > tolerance_micros, 1).otherwise(0)).cast("long").alias("n_mismatched"),
+        F.sum(diff).cast("long").alias("total_drift_micros"),
+    )
