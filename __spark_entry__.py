@@ -827,6 +827,15 @@ C12_TARGETS: dict[str, int] = {
 C12_BUDGET = 20_000
 
 
+def q_d13(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dups with prefix blocking (dedup.
+    edit_distance_pairs): Levenshtein <= 10 over 64-char heads within
+    16-char-prefix blocks -- the typo/short-text dedup route; max_block
+    drops boilerplate-prefix groups (mirrored by the oracle)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.edit_distance_pairs(docs, "doc_id", "text").orderBy("doc1", "doc2")
+
+
 def q_dq3(spark: SparkSession, sf: str) -> DataFrame:
     """Header-vs-detail reconciliation (quality.fact_reconciliation):
     o_totalprice against the micro-quantized lineitem-implied total,
@@ -2622,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_semantic_dedup": q_d10,
         "d11_segment_dedup": q_d11,
         "d12_containment_pairs": q_d12,
+        "d13_edit_distance_pairs": q_d13,
         "c1_corpus_curation": q_c1,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
@@ -4345,6 +4355,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY k
         """,
         "d2_ngram_jaccard_pairs": f"WITH {_shingles_cte(dedup.DEFAULT_MAX_DF)} SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8",
+        "d13_edit_distance_pairs": r"""
+            WITH nrm AS (
+              SELECT doc_id,
+                     substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 16) AS blk,
+                     substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64) AS head
+              FROM documents
+              WHERE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 16),
+            g AS (SELECT blk FROM nrm GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 64),
+            p AS (
+              SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                     CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
+              FROM nrm a JOIN nrm b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              JOIN g ON g.blk = a.blk)
+            SELECT doc1, doc2, edit_distance FROM p WHERE edit_distance <= 10
+            ORDER BY doc1, doc2
+        """,
         "d12_containment_pairs": f"""
             WITH {_shingles_cte(dedup.DEFAULT_MAX_DF)},
             b AS (

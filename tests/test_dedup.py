@@ -394,3 +394,18 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert cont[0]["containment"] == 1.0  # every shingle of 1 is in 2
     # symmetric Jaccard at the same bar sees nothing
     assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8, max_df=None).count() == 0
+
+
+def test_edit_distance_pairs_blocking_and_distance(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "dig")),        # same prefix, distance 1
+        (3, "completely different opening words here today"),  # other block
+        (4, base[:20] + " totally divergent tail of words"),   # same block, far
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = edit_distance_pairs(df, "doc_id", "text", max_distance=5).collect()
+    assert [(r["doc1"], r["doc2"], r["edit_distance"]) for r in out] == [(1, 2, 1)]

@@ -875,3 +875,64 @@ def containment_pairs(
     )
     sh.unpersist()
     return result
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 16,
+    compare_len: int = 64,
+    max_distance: int = 10,
+    max_block: int = 64,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking: documents whose
+    normalized texts share a ``prefix_len``-char prefix are compared by
+    Levenshtein distance over their first ``compare_len`` chars -- the
+    short-text/title dedup route (shingle methods need enough tokens to
+    shingle; edit distance catches single-character typo dups they
+    miss).  Both engines ship the identical classic Levenshtein, so
+    distances are exact ints.
+
+    Scale levers (same shape as d2/d3): blocking caps candidate
+    generation (only same-prefix docs pair); ``max_block`` drops
+    degenerate prefix groups (boilerplate openings) the way max_df drops
+    stop-shingles -- mirrored by the oracle; ``compare_len`` bounds the
+    O(n*m) per-pair DP.  Pair expansion is the one-groupBy in-array form,
+    never a self-join.
+
+    Returns (doc1, doc2, edit_distance), doc1 < doc2, distance <=
+    ``max_distance``.
+    """
+    norm = normalize(F.col(text_col))
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(norm, 1, prefix_len).alias("blk"),
+        F.substring(norm, 1, compare_len).alias("head"),
+    ).where(F.length("blk") >= prefix_len)
+    groups = (
+        keyed.groupBy("blk")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "head"))).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_block))
+    )
+    pairs = groups.select(F.explode(_ordered_pairs_structs(F.col("ds"))).alias("p")).select(
+        F.col("p.d1.doc_id").alias("doc1"),
+        F.col("p.d2.doc_id").alias("doc2"),
+        F.levenshtein(F.col("p.d1.head"), F.col("p.d2.head")).alias("edit_distance"),
+    )
+    return pairs.where(F.col("edit_distance") <= max_distance)
+
+
+def _ordered_pairs_structs(arr):
+    """All (d1, d2) element pairs with d1 before d2 from a sorted struct
+    array -- the slice-based _ordered_pairs idiom (no per-lambda-index
+    element_at; see CLAUDE.md)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
