@@ -827,6 +827,34 @@ C12_TARGETS: dict[str, int] = {
 C12_BUDGET = 20_000
 
 
+def q_c14(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-side contamination report (dedup.contamination_report): per
+    held-out doc (doc_id % 97 == 0), leaked 5-gram and corpus-doc counts
+    -- c3's broadcast direction, contamination-sized downstream."""
+    docs = load_table(spark, sf, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_report(corpus, eval_docs, "doc_id", "text", n=5)
+
+
+def q_e13(spark: SparkSession, sf: str) -> DataFrame:
+    """Traffic seasonality matrix: day-of-week x hour-of-day event
+    intensity (counts + exact-ratio share) -- the heatmap a capacity
+    planner reads.  DOW convention pinned Sunday=1 on both engines
+    (Spark dayofweek is 1-based Sunday, DuckDB dayofweek is 0-based
+    Sunday -> +1 in the oracle); UTC session."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    cells = e.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    total = cells.agg(F.sum("n_events")).collect()[0][0]
+    return cells.withColumn("share", F.round(F.col("n_events") / F.lit(int(total)), 6)).orderBy(
+        "dow", "hour"
+    )
+
+
 def q_d13(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance near-dups with prefix blocking (dedup.
     edit_distance_pairs): Levenshtein <= 10 over 64-char heads within
@@ -2568,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_transition_matrix": q_e9,
         "e11_hourly_anomaly": q_e11,
         "e12_rfm_segments": q_e12,
+        "e13_traffic_matrix": q_e13,
         "e7_decayed_engagement": q_e7,
         "p1_pivot_flag_status": q_p1,
         "p2_unpivot_priority_stats": q_p2,
@@ -2671,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_rule_filter": q_c10,
         "c11_leakage_safe_split": q_c11,
         "c12_target_mix": q_c12,
+        "c14_contamination_report": q_c14,
         "dq1_constraint_audit": q_dq1,
         "dq2_psi_drift": q_dq2,
         "dq3_fact_reconciliation": q_dq3,
@@ -4222,6 +4252,16 @@ def oracle_sql() -> dict[str, str]:
                        JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
         """,
+        "e13_traffic_matrix": """
+            WITH c AS (
+              SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                     CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+            SELECT dow, hour, n_events, ROUND(n_events / t.total, 6) AS share
+            FROM c, t ORDER BY dow, hour
+        """,
         "e11_hourly_anomaly": """
             WITH h AS (
               SELECT event_type, date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n_events
@@ -5111,6 +5151,30 @@ def oracle_sql() -> dict[str, str]:
         # text (the engine's _shingles spec); the engine joins on xxhash64 of
         # the gram, the oracle on the gram string -- only match COUNTS reach
         # the result, so they agree modulo 64-bit hash collisions.
+        "c14_contamination_report": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM toks WHERE len(w) >= 5)),
+            ev AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 = 0),
+            corp AS (SELECT doc_id AS c_doc, gram FROM g WHERE doc_id % 97 != 0),
+            pe AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM ev GROUP BY doc_id),
+            leaks AS (SELECT DISTINCT gram FROM corp JOIN (SELECT DISTINCT gram FROM ev) e USING (gram)),
+            lk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked_grams
+                   FROM ev JOIN leaks USING (gram) GROUP BY doc_id),
+            dp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_docs_hit FROM (
+                     SELECT DISTINCT ev.doc_id, corp.c_doc FROM ev JOIN corp USING (gram))
+                   GROUP BY doc_id)
+            SELECT d.doc_id AS eval_id,
+                   COALESCE(pe.n_grams, 0) AS n_grams,
+                   COALESCE(lk.n_leaked_grams, 0) AS n_leaked_grams,
+                   COALESCE(dp.n_corpus_docs_hit, 0) AS n_corpus_docs_hit
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) d
+            LEFT JOIN pe USING (doc_id) LEFT JOIN lk USING (doc_id) LEFT JOIN dp USING (doc_id)
+            ORDER BY eval_id
+        """,
         "c3_decontamination": r"""
             WITH toks AS (
               SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w

@@ -409,3 +409,21 @@ def test_edit_distance_pairs_blocking_and_distance(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = edit_distance_pairs(df, "doc_id", "text", max_distance=5).collect()
     assert [(r["doc1"], r["doc2"], r["edit_distance"]) for r in out] == [(1, 2, 1)]
+
+
+def test_contamination_report_counts_leaks_per_eval_doc(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import contamination_report
+
+    leak = "one two three four five"
+    corpus = spark.createDataFrame(
+        [(10, leak + " tail words here today now"), (11, "totally clean corpus document text")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(1, leak + " and six seven"), (2, "unrelated benchmark question here folks")],
+        "doc_id long, text string",
+    )
+    out = {r["eval_id"]: r for r in contamination_report(corpus, evals, "doc_id", "text", n=5).collect()}
+    assert out[1]["n_leaked_grams"] >= 1 and out[1]["n_corpus_docs_hit"] == 1
+    assert out[2]["n_leaked_grams"] == 0 and out[2]["n_corpus_docs_hit"] == 0
+    assert out[1]["n_grams"] == 4  # 8 tokens -> 4 distinct 5-grams

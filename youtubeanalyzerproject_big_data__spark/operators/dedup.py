@@ -936,3 +936,58 @@ def _ordered_pairs_structs(arr):
             ),
         )
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """The EVAL-side view of decontamination: for each held-out benchmark
+    document, how badly does it leak into the training corpus?  (c3
+    answers "which corpus docs to drop"; this answers "which benchmark
+    items are compromised" -- the report an eval-integrity review reads,
+    per GPT-3 appendix C / PaLM contamination analyses.)
+
+    Scale: identical broadcast direction as decontaminate -- the EVAL
+    gram set is the small side; the corpus flows map-side through the
+    semijoin, and everything downstream of it (leaking grams, (eval doc,
+    corpus doc) pairs) is contamination-sized, never corpus-sized.
+
+    Returns per eval doc: (eval_id, n_grams, n_leaked_grams,
+    n_corpus_docs_hit) -- grams with >= 1 corpus occurrence, and the
+    DISTINCT corpus documents sharing any gram.
+    """
+    ev = _hashed_shingles(eval_docs, id_col, text_col, n)
+    co = _hashed_shingles(corpus, id_col, text_col, n).select(
+        "sh", F.col("doc_id").alias("c_doc")
+    )
+    per_eval = ev.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    hits = co.join(F.broadcast(ev.select("sh").distinct()), "sh")  # contamination-sized
+    gram_leaks = hits.select("sh").distinct()
+    leaked = ev.join(F.broadcast(gram_leaks), "sh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaked_grams")
+    )
+    doc_pairs = (
+        ev.select("doc_id", "sh")
+        .join(F.broadcast(hits.select("sh", "c_doc").distinct()), "sh")
+        .select("doc_id", "c_doc")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_docs_hit"))
+    )
+    return (
+        eval_docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_eval, "doc_id", "left")
+        .join(leaked, "doc_id", "left")
+        .join(doc_pairs, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_leaked_grams", F.lit(0)).cast("long").alias("n_leaked_grams"),
+            F.coalesce("n_corpus_docs_hit", F.lit(0)).cast("long").alias("n_corpus_docs_hit"),
+        )
+        .orderBy("eval_id")
+    )
