@@ -827,6 +827,44 @@ C12_TARGETS: dict[str, int] = {
 C12_BUDGET = 20_000
 
 
+def q_a22(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped mode with DETERMINISTIC ties (most-frequent order status
+    per priority): count + ROW_NUMBER(count desc, value asc) on both
+    engines -- native mode() tie behavior is engine-unspecified, so the
+    deterministic formulation IS the operator."""
+    o = load_table(spark, sf, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("n").desc(), "o_orderstatus")
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"), "n")
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_em5(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space anisotropy histogram (Ethayarajh 2019 diagnostic):
+    cosine similarity over the deterministic half-shift pairing
+    (vec i with vec i + N/2), bucketed at 0.1 -- a healthy embedding
+    space shows mass near 0, a collapsed one near 1.  Exact-sequential
+    cosine (the s1 kernel), floor(cos*10) integer buckets."""
+    from youtubeanalyzerproject_big_data__spark.functions._arrow_udfs import make_cosine_seq
+
+    emb = load_table(spark, sf, "embeddings")
+    n_total = emb.count()
+    half = n_total // 2
+    a = emb.where(F.col("vec_id") < half).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("va"))
+    b = emb.where(F.col("vec_id") >= half).select((F.col("vec_id") - half).alias("pid"), F.col("embedding").alias("vb"))
+    cos = make_cosine_seq()
+    pairs = a.join(b, "pid").withColumn("cos", cos(F.col("va"), F.col("vb")))
+    return (
+        pairs.groupBy(F.floor(F.col("cos") * 10).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
 def q_c14(spark: SparkSession, sf: str) -> DataFrame:
     """Eval-side contamination report (dedup.contamination_report): per
     held-out doc (doc_id % 97 == 0), leaked 5-gram and corpus-doc counts
@@ -2591,6 +2629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_group_distinct_gate": q_a19,
         "a20_robust_group_stats": q_a20,
         "a21_hll_merge_gate": q_a21,
+        "a22_grouped_mode": q_a22,
+        "em5_anisotropy_histogram": q_em5,
         "e6_cohort_retention": q_e6,
         "e8_session_paths": q_e8,
         "e9_transition_matrix": q_e9,
@@ -3708,6 +3748,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS all_captured
             FROM c JOIN n USING (shard)
         """,
+        "a22_grouped_mode": """
+            WITH per AS (
+              SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2),
+            rk AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY n DESC, o_orderstatus) AS r
+              FROM per)
+            SELECT o_orderpriority, o_orderstatus AS mode_status, n
+            FROM rk WHERE r = 1 ORDER BY o_orderpriority
+        """,
         "a21_hll_merge_gate": """
             SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
@@ -4575,6 +4626,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS auc_ok,
                    CAST(1 AS BIGINT) AS runs_identical
             FROM embeddings
+        """,
+        "em5_anisotropy_histogram": f"""
+            WITH t AS (SELECT COUNT(*) AS n FROM embeddings),
+            a AS (SELECT vec_id AS pid, embedding AS ea FROM embeddings, t WHERE vec_id < n // 2),
+            b AS (SELECT vec_id - n // 2 AS pid, embedding AS eb FROM embeddings, t WHERE vec_id >= n // 2),
+            p AS (SELECT {_cos_sql("ea", "eb")} AS cos FROM a JOIN b USING (pid))
+            SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1 ORDER BY bucket
         """,
         "s1_ann_bruteforce_top5": _bruteforce_ann_oracle(k=5),
         "s7_ann_filtered_top5": f"""
