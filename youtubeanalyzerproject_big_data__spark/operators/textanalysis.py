@@ -1176,9 +1176,13 @@ def rake_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 20, max_ph
         .agg(F.sum("wscore_micro").cast("long").alias("score_micro"))
         .join(inst, ["_doc", "run"])
     )
+    # Final aggregate shuffles on md5(phrase), not phrase text (repo
+    # invariant: agg/join keys are narrow hashes; the phrase rides as
+    # payload -- identical within a group, so first() is deterministic).
     return (
-        pscore.groupBy("phrase")
+        pscore.groupBy(F.md5(F.col("phrase")).alias("_pk"))
         .agg(
+            F.first("phrase").alias("phrase"),
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
             F.min("score_micro").cast("long").alias("score_micro"),  # identical per text; min = deterministic pick
         )
