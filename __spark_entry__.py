@@ -827,6 +827,29 @@ C12_TARGETS: dict[str, int] = {
 C12_BUDGET = 20_000
 
 
+def q_i2(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental top-k leaderboard maintenance (merge.topk_state /
+    merge_topk_state): per-priority top-5 orders by price kept as
+    k-bounded state; the batch (orderkeys ending in 0) folds in by
+    union-and-recut -- 2k rows per group shuffle, history never
+    rescanned.  The oracle recomputes from the FULL table: equality IS
+    the mergeability proof (i1's argument for order statistics)."""
+    from youtubeanalyzerproject_big_data__spark.operators.merge import merge_topk_state, topk_state
+
+    orders = load_table(spark, sf, "orders")
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    batch = orders.where(F.col("o_orderkey") % 10 == 0)
+    merged = merge_topk_state(
+        topk_state(base, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=5),
+        topk_state(batch, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=5),
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        k=5,
+    )
+    return merged.orderBy("o_orderpriority", "rank")
+
+
 def q_a22(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped mode with DETERMINISTIC ties (most-frequent order status
     per priority): count + ROW_NUMBER(count desc, value asc) on both
@@ -2668,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_triangle_census": q_g6,
         "u1_cdc_merge": q_u1,
         "i1_incremental_agg_state": q_i1,
+        "i2_incremental_topk_state": q_i2,
         "u3_scd2_history": q_u3,
         "u4_snapshot_diff": q_u4,
         "u2_incremental_dedup_index": q_u2,
@@ -3747,6 +3771,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c.cnt * 9 > n.ns THEN 1 ELSE 0 END) AS BIGINT) AS n_true_heavy,
                    CAST(1 AS BIGINT) AS all_captured
             FROM c JOIN n USING (shard)
+        """,
+        # i2: full-table recompute == merged incremental state (top-k
+        # mergeability); deterministic (price desc, orderkey) cut.
+        "i2_incremental_topk_state": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rank
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders)
+            WHERE rk <= 5 ORDER BY o_orderpriority, rank
         """,
         "a22_grouped_mode": """
             WITH per AS (

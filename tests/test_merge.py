@@ -185,3 +185,23 @@ def test_snapshot_diff_classifies_all_statuses(spark):
     assert out["changed"]["n_keys"] == 1
     assert out["changed"]["changed_s"] == 1 and out["changed"]["changed_v"] == 1
     assert out["unchanged"]["changed_s"] == 0
+
+
+def test_topk_state_merge_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.merge import merge_topk_state, topk_state
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, ["a", "b"][i % 2], float(rng.randrange(1000))) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    full = topk_state(df, ["g"], "v", "id", k=5).collect()
+    merged = merge_topk_state(
+        topk_state(df.where("id % 3 != 0"), ["g"], "v", "id", k=5),
+        topk_state(df.where("id % 3 = 0"), ["g"], "v", "id", k=5),
+        ["g"], "v", "id", k=5,
+    ).collect()
+    key = lambda r: (r["g"], r["rank"], r["id"], r["v"])  # noqa: E731
+    assert sorted(map(key, merged)) == sorted(map(key, full))

@@ -17,7 +17,7 @@ for tombstones) arrive via the union.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -209,3 +209,33 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str], compare_cols:
         .agg(F.count(F.lit(1)).cast("long").alias("n_keys"), *per_col)
         .orderBy("status")
     )
+
+
+def topk_state(df: DataFrame, group_cols: list[str], order_col: str, id_col: str, k: int) -> DataFrame:
+    """Per-group top-k rows as a mergeable state table (leaderboard
+    materialization): (group, rank, id, value), deterministic
+    (value desc, id) order.  Top-k is a mergeable summary: the union of
+    two groups' top-k lists always CONTAINS the true top-k of their
+    union, so maintenance never rescans history (see merge_topk_state)."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).desc(), F.col(id_col))
+    return (
+        df.select(*group_cols, id_col, order_col)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def merge_topk_state(
+    state: DataFrame, batch_state: DataFrame, group_cols: list[str], order_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Fold a batch's top-k state into the standing state WITHOUT
+    rescanning base rows: union the two k-bounded lists, re-cut.  Each
+    side is at most k rows per group, so the merge shuffles 2k rows per
+    group regardless of history size -- the incremental-leaderboard shape
+    (i1's mergeable-aggregate argument applied to order statistics;
+    equality with a full recompute IS the mergeability proof, gated by
+    the i2 oracle)."""
+    u = state.select(*group_cols, id_col, order_col).unionByName(
+        batch_state.select(*group_cols, id_col, order_col)
+    )
+    return topk_state(u, group_cols, order_col, id_col, k)
