@@ -827,6 +827,30 @@ C12_TARGETS: dict[str, int] = {
 C12_BUDGET = 20_000
 
 
+def q_sk3(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnosis (the sk1/sk2 companion: DETECT before you
+    salt): the 20 hottest event user_ids with exact per-key shares and a
+    running cumulative share -- if cum_share at k=20 is large, the
+    aggregate/join needs the salted path.  Two hash aggregates + a
+    20-row window; shares divide exact int64 counts once."""
+    e = load_events(spark, sf)
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    total = per.agg(F.sum("n_events")).collect()[0][0]
+    top = (
+        per.orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.col("n_events").desc(), "user_id")).cast("long"))
+    )
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    return top.select(
+        "rk",
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events") / F.lit(int(total)), 6).alias("share"),
+        F.round(F.sum("n_events").over(w_cum) / F.lit(int(total)), 6).alias("cum_share"),
+    ).orderBy("rk")
+
+
 def q_i2(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental top-k leaderboard maintenance (merge.topk_state /
     merge_topk_state): per-priority top-5 orders by price kept as
@@ -2641,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_group_examples": q_f12,
         "sk1_salted_event_stats": q_sk1,
         "sk2_salted_join_user_clicks": q_sk2,
+        "sk3_skew_diagnosis": q_sk3,
         "a12_approx_distinct_gate": q_a12,
         "a13_approx_quantile_gate": q_a13,
         "a14_heavy_hitters_gate": q_a14,
@@ -3774,6 +3799,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # i2: full-table recompute == merged incremental state (top-k
         # mergeability); deterministic (price desc, orderkey) cut.
+        "sk3_skew_diagnosis": """
+            WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id),
+            t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per),
+            top AS (
+              SELECT user_id, n_events,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rk
+              FROM per ORDER BY n_events DESC, user_id LIMIT 20)
+            SELECT rk, user_id, n_events,
+                   ROUND(n_events / t.total, 6) AS share,
+                   ROUND(SUM(n_events) OVER (ORDER BY rk) / t.total, 6) AS cum_share
+            FROM top, t ORDER BY rk
+        """,
         "i2_incremental_topk_state": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rank
             FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
