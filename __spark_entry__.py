@@ -827,6 +827,27 @@ C12_TARGETS: dict[str, int] = {
 C12_BUDGET = 20_000
 
 
+def q_o7(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyset pagination (the serving pattern that replaces OFFSET at
+    scale): page 3 of orders by (o_totalprice desc, o_orderkey asc),
+    page size 50.  The cursor -- the 100th row's (price, key) -- is ONE
+    collected row; the page query is then a pushable predicate + top-50,
+    so deep pages cost the same as page 1 (OFFSET n scans-and-discards n
+    rows, growing linearly with depth).  Oracle replays cursor + page in
+    one query."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    cursor = (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(100).orderBy(
+            F.col("o_totalprice").asc(), F.col("o_orderkey").desc()
+        ).limit(1).collect()[0]
+    )  # the 100th row, model-sized collect
+    cp, ck = float(cursor["o_totalprice"]), int(cursor["o_orderkey"])
+    after = (F.col("o_totalprice") < cp) | (
+        (F.col("o_totalprice") == cp) & (F.col("o_orderkey") > ck)
+    )
+    return o.where(after).orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(50)
+
+
 def q_sk3(spark: SparkSession, sf: str) -> DataFrame:
     """Join-key skew diagnosis (the sk1/sk2 companion: DETECT before you
     salt): the 20 hottest event user_ids with exact per-key shares and a
@@ -2652,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_price_histogram": q_a4,
         "a5_order_size_distribution": q_a5,
         "a6_top_orders_by_price": q_a6,
+        "o7_keyset_pagination": q_o7,
         "a7_order_parts_csv": q_a7,
         "a8_table_counts": q_a8,
         "a9_distinct_customers": q_a9,
@@ -3799,6 +3821,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # i2: full-table recompute == merged incremental state (top-k
         # mergeability); deterministic (price desc, orderkey) cut.
+        # o7: cursor = the 100th row under (price desc, key); page = rows
+        # strictly after it.  QUALIFY-free formulation via ROW_NUMBER.
+        "o7_keyset_pagination": """
+            WITH r AS (
+              SELECT o_orderkey, o_totalprice, o_orderpriority,
+                     ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM r WHERE rn > 100 AND rn <= 150 ORDER BY rn
+        """,
         "sk3_skew_diagnosis": """
             WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id),
             t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per),
