@@ -64,3 +64,23 @@ def test_connected_components_fixpoint(spark, edges):
     for v, c in labels.items():
         assert c <= v  # label is the min of the component, so never above v
         assert labels[c] == c  # the representative labels itself
+
+
+def test_survey_header_matches_contract():
+    """SURVEY.md §8's round-state header must state the LIVE contract size:
+    '<N> driver queries (<M> with oracle twins' with N == len(queries())
+    and M == len(oracle_sql()).  Rounds 4 and 5 both shipped a stale
+    header (ADVICE r5 item 1); this gate makes the drift mechanical."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    text = open("/root/repo/SURVEY.md").read()
+    m = re.search(r"\*\*Round-\d+ state\*\*: (\d+) driver queries \((\d+) with oracle twins", text)
+    assert m, "SURVEY.md round-state header line not found"
+    assert int(m.group(1)) == len(entrymod.queries()), (
+        f"SURVEY.md header says {m.group(1)} queries but the contract has {len(entrymod.queries())}"
+    )
+    assert int(m.group(2)) == len(entrymod.oracle_sql()), (
+        f"SURVEY.md header says {m.group(2)} oracle twins but oracle_sql() has {len(entrymod.oracle_sql())}"
+    )
