@@ -386,3 +386,42 @@ def test_stream_heavy_hitters_captures_frequent_keys(spark, tmp_path_factory):
     assert 100 in keys  # 60/80 > n_seen/(k+1): MUST be captured
     top = {r["key"]: r["mg_count"] for r in shard0}
     assert top[100] >= 80 // 4  # residual count at least cnt - N/(k+1)
+
+
+def test_mg_fold_reduction_and_guarantee():
+    """The Misra-Gries fold keeps <= k counters, never loses a key whose
+    true count exceeds n_seen/(k+1), and folds batches associatively
+    enough that counts stay within the n_seen/(k+1) error bound."""
+    import pandas as pd
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import _mg_fold
+
+    # one heavy key (6 of 12 rows), k=3: heavy must survive the reduction
+    keys = [7, 7, 7, 7, 7, 7, 1, 2, 3, 4, 5, 6]
+    mg, n_seen = _mg_fold({}, 0, [pd.DataFrame({"k": keys})], "k", 3)
+    assert n_seen == 12
+    assert len(mg) <= 3
+    assert 7 in mg  # true count 6 > 12/(3+1) = 3
+    assert 6 - 12 // 4 <= mg[7] <= 6  # count within the MG error bound
+
+def test_mg_empty_reduction_emits_sentinel_row():
+    """All survivors tying at the (k+1)-th count empties the summary
+    (ADVICE r5 item 3); the emission must still carry ONE sentinel row so
+    n_seen advances downstream instead of falling back to a stale batch."""
+    import pandas as pd
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import (
+        MG_EMPTY_KEY,
+        _mg_fold,
+        _mg_rows,
+    )
+
+    # 4 keys x 2 occurrences, k=3: t = 2, every count - t == 0 -> empty
+    mg, n_seen = _mg_fold({}, 0, [pd.DataFrame({"k": [1, 1, 2, 2, 3, 3, 4, 4]})], "k", 3)
+    assert mg == {} and n_seen == 8
+    rows = _mg_rows(5, mg, n_seen)
+    assert rows["shard"] == [5] and rows["key"] == [MG_EMPTY_KEY]
+    assert rows["mg_count"] == [0] and rows["n_seen"] == [8]
+    # non-empty summaries emit one row per counter, no sentinel
+    rows2 = _mg_rows(1, {9: 4}, 10)
+    assert rows2["key"] == [9] and rows2["n_seen"] == [10]

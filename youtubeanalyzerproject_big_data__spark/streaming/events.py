@@ -578,6 +578,51 @@ def hourly_anomaly(events: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
+MG_EMPTY_KEY = -(2**62)
+"""Sentinel key for a micro-batch whose Misra-Gries reduction emptied the
+summary (every survivor's count equaled the (k+1)-th largest).  Real keys
+are event/user ids (>= -1 in every gate fixture), so the sentinel cannot
+collide; emitting it keeps n_seen advancing in the output stream instead of
+letting downstream max(n_seen) selections fall back to a stale batch
+(ADVICE r5 item 3)."""
+
+
+def _mg_fold(mg: dict, n_seen: int, pdfs, key_col: str, k: int) -> tuple[dict, int]:
+    """Fold a stream of pandas batches into a Misra-Gries summary of at
+    most ``k`` counters (mergeable-summaries rule, Agarwal et al. 2012):
+    add the batch's exact counts, then subtract the (k+1)-th largest and
+    keep the strictly positive survivors.  Total error <= n_seen/(k+1), so
+    any key with true count > n_seen/(k+1) is always present.  Pure
+    (returns the new summary + count); module-level so the reduction --
+    including the all-counts-tie case that empties the dict -- is
+    unit-testable without streaming machinery."""
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n_seen += len(pdf)
+        for u, c in pdf[key_col].value_counts().items():
+            mg[int(u)] = mg.get(int(u), 0) + int(c)
+        if len(mg) > k:
+            t = sorted(mg.values(), reverse=True)[k]
+            mg = {u: c - t for u, c in mg.items() if c - t > 0}
+    return mg, n_seen
+
+
+def _mg_rows(shard: int, mg: dict, n_seen: int) -> dict:
+    """Column dict for one shard's per-batch emission.  An emptied summary
+    still emits ONE sentinel row (MG_EMPTY_KEY, count 0) so every
+    micro-batch advances n_seen in the output -- heavy keys can never live
+    in an emptied summary, so the gate's containment check is unaffected."""
+    if not mg:
+        return {"shard": [shard], "key": [MG_EMPTY_KEY], "mg_count": [0], "n_seen": [n_seen]}
+    return {
+        "shard": [shard] * len(mg),
+        "key": list(mg.keys()),
+        "mg_count": list(mg.values()),
+        "n_seen": [n_seen] * len(mg),
+    }
+
+
 def stream_heavy_hitters(
     spark: SparkSession,
     source_dir: str,
@@ -604,7 +649,9 @@ def stream_heavy_hitters(
 
     Emits each shard's current summary every micro-batch (update mode):
     (shard, key, mg_count, n_seen); the final summary per shard is the
-    rows with that shard's max n_seen.
+    rows with that shard's max n_seen.  A batch whose reduction empties
+    the summary (all survivors tie at the (k+1)-th count) emits one
+    MG_EMPTY_KEY sentinel row so n_seen still advances in the output.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -618,26 +665,9 @@ def stream_heavy_hitters(
             mg = dict(zip(users, counts))
         else:
             mg, n_seen = {}, 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            n_seen += len(pdf)
-            for u, c in pdf[key_col].value_counts().items():
-                mg[int(u)] = mg.get(int(u), 0) + int(c)
-            if len(mg) > k:
-                # mergeable-summaries reduction: subtract the (k+1)-th
-                # largest count, keep the strictly positive survivors
-                t = sorted(mg.values(), reverse=True)[k]
-                mg = {u: c - t for u, c in mg.items() if c - t > 0}
+        mg, n_seen = _mg_fold(mg, n_seen, pdfs, key_col, k)
         state.update((list(mg.keys()), list(mg.values()), n_seen))
-        yield pd.DataFrame(
-            {
-                "shard": [int(key[0])] * len(mg),
-                "key": list(mg.keys()),
-                "mg_count": list(mg.values()),
-                "n_seen": [n_seen] * len(mg),
-            }
-        )
+        yield pd.DataFrame(_mg_rows(int(key[0]), mg, n_seen))
 
     return keyed.groupBy("_shard").applyInPandasWithState(
         update,
