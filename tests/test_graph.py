@@ -293,3 +293,21 @@ def test_degree_assortativity_signs(spark):
         [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "src long, dst long"
     )
     assert degree_assortativity(k4).collect()[0]["assortativity"] == 0.0
+
+
+def test_adamic_adar_weight_floor_is_libm_stable():
+    """g9's floor(1e6/ln(d)) weight is engine-portable only if no degree
+    puts the quotient within libm-disagreement range of an integer
+    (ADVICE r5 item 2).  Exhaustively sweep every degree up to 1e7: the
+    closest integer approach must exceed the worst few-ULP cross-libm
+    perturbation (<= ~1e-9 at |w| <= 1.45e6) by >= 100x."""
+    import numpy as np
+
+    min_dist = 1.0
+    for lo in range(2, 10_000_002, 1_000_000):
+        d = np.arange(lo, min(lo + 1_000_000, 10_000_002), dtype=np.float64)
+        w = 1e6 / np.log(d)
+        min_dist = min(min_dist, float(np.abs(w - np.round(w)).min()))
+    ulp_residual = 1e6 / np.log(2.0) * 2.0**-52  # |w|max * ulp
+    assert min_dist >= 1.5e-7, min_dist  # measured true min: 1.614e-7
+    assert min_dist > 100 * ulp_residual
