@@ -347,3 +347,38 @@ def test_hilbert_keys_are_map_side(spark):
     plan = _plan(entrymod.q_l3(spark, SF))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_graph_auto_broadcast_flips_on_edge_count(spark):
+    """g6/g9/g10's degree/adjacency broadcast must be AUTO-selected from
+    the measured edge count (VERDICT r5 item 2): below the ceiling the
+    hint engages (BroadcastHashJoin even with Spark's own threshold
+    disabled); above it (forced via auto_broadcast_max_edges=0) the joins
+    stay un-hinted and plan as SortMergeJoin instead of aborting on the
+    broadcast limit at scale."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators.graph import clustering_coefficient_topk
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y, (F.col("x.l_orderkey") == F.col("y.l_orderkey")) & (F.col("x.l_partkey") < F.col("y.l_partkey"))
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    thresholds = ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {c: spark.conf.get(c, None) for c in thresholds}
+    try:
+        for c in thresholds:  # the explicit hint must be the ONLY broadcast lever
+            spark.conf.set(c, "-1")
+        small = clustering_coefficient_topk(pairs, k=5, checkpoint=False)
+        assert "BroadcastHashJoin" in _plan(small)
+        big = clustering_coefficient_topk(pairs, k=5, auto_broadcast_max_edges=0, checkpoint=False)
+        plan_big = _plan(big)
+        assert "SortMergeJoin" in plan_big
+        # both modes return identical rows -- strategy, not semantics
+        assert [tuple(r) for r in small.collect()] == [tuple(r) for r in big.collect()]
+    finally:
+        for c, v in saved.items():
+            spark.conf.unset(c) if v is None else spark.conf.set(c, v)
+        spark.catalog.clearCache()
