@@ -2315,18 +2315,53 @@ def q_mm5(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.phash_near_dup_pairs(h, n_bits=32, max_distance=3).orderBy("id1", "id2")
 
 
+_PAGERANK_EDGE_HANDLES: dict[tuple, DataFrame] = {}
+
+
+def _prepared_pagerank_edges(spark: SparkSession, sf: str, kind: str) -> DataFrame:
+    """Session-scoped memo of the pagerank-family weighted edge table
+    (graph.prepare_weighted_edges).  g4 ('fwd'), g5 and g7 ('cyclic') all
+    rank over the same order<->part graph; without the memo a bench/serve
+    session rebuilds edges -> repartition -> weight -> cache once per
+    variant (3x per round -- VERDICT r5 item 6).  The handle is a
+    deliberately long-lived session cache (the one exception to the
+    pin-then-unpersist operator rule): keyed by (applicationId, sf, kind),
+    with stale keys -- other sessions or sf dirs -- evicted and unpersisted
+    on miss, so at most one graph's two handles are ever live."""
+    key = (spark.sparkContext.applicationId, sf, kind)
+    handle = _PAGERANK_EDGE_HANDLES.get(key)
+    if handle is not None:
+        return handle
+    for k in [k for k in _PAGERANK_EDGE_HANDLES if k[0] != key[0] or k[1] != key[1]]:
+        stale = _PAGERANK_EDGE_HANDLES.pop(k)
+        try:
+            stale.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+    li = load_table(spark, sf, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")
+    )
+    pairs = fwd
+    if kind == "cyclic":
+        pairs = fwd.unionAll(
+            li.select(
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("src"), F.concat(F.lit("O"), F.col("l_orderkey")).alias("dst")
+            )
+        )
+    handle = graph.prepare_weighted_edges(graph.edges_from_pairs(pairs, "src", "dst"))
+    _PAGERANK_EDGE_HANDLES[key] = handle
+    return handle
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """G4 PageRank (PageRank_Spark_v5.py:102: resetProb 0.15, maxIter 10)
     over the order->part bipartite graph; top-100 (O1).  Oracle: 10 unrolled
     CTE iterations replaying the engine's integer-quantized contribution
     sums (_pagerank_oracle) -- exact match, no tolerance."""
-    li = load_table(spark, sf, "lineitem")
-    edges = graph.edges_from_pairs(
-        li.select(F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")),
-        "src",
-        "dst",
+    ranks = graph.pagerank(
+        None, reset_prob=0.15, max_iter=10, weighted=_prepared_pagerank_edges(spark, sf, "fwd")
     )
-    ranks = graph.pagerank(edges, reset_prob=0.15, max_iter=10)
     return graph.top_influencers(ranks, 100)
 
 
@@ -2336,15 +2371,9 @@ def q_pagerank_cyclic(spark: SparkSession, sf: str) -> DataFrame:
     bipartite g4 graph converges after 2 -- this query is the hard evidence
     that the iteration machinery, dangling handling, and per-iteration
     quantization match the oracle at depth).  Top-100."""
-    li = load_table(spark, sf, "lineitem")
-    fwd = li.select(
-        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")
+    ranks = graph.pagerank(
+        None, reset_prob=0.15, max_iter=10, weighted=_prepared_pagerank_edges(spark, sf, "cyclic")
     )
-    rev = li.select(
-        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"), F.concat(F.lit("O"), F.col("l_orderkey")).alias("dst")
-    )
-    edges = graph.edges_from_pairs(fwd.unionAll(rev), "src", "dst")
-    ranks = graph.pagerank(edges, reset_prob=0.15, max_iter=10)
     return graph.top_influencers(ranks, 100)
 
 
@@ -2356,15 +2385,9 @@ def q_ppr(spark: SparkSession, sf: str) -> DataFrame:
     order<->part graph: proximity-to-seeds ranking (the related-items
     primitive), with the same integer-quantized full-depth oracle replay
     as g4/g5 (operators/graph.personalized_pagerank)."""
-    li = load_table(spark, sf, "lineitem")
-    fwd = li.select(
-        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")
+    ranks = graph.personalized_pagerank(
+        None, PPR_SEEDS, reset_prob=0.15, max_iter=10, weighted=_prepared_pagerank_edges(spark, sf, "cyclic")
     )
-    rev = li.select(
-        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"), F.concat(F.lit("O"), F.col("l_orderkey")).alias("dst")
-    )
-    edges = graph.edges_from_pairs(fwd.unionAll(rev), "src", "dst")
-    ranks = graph.personalized_pagerank(edges, PPR_SEEDS, reset_prob=0.15, max_iter=10)
     return graph.top_influencers(ranks, 100)
 
 

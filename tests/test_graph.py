@@ -311,3 +311,25 @@ def test_adamic_adar_weight_floor_is_libm_stable():
     ulp_residual = 1e6 / np.log(2.0) * 2.0**-52  # |w|max * ulp
     assert min_dist >= 1.5e-7, min_dist  # measured true min: 1.614e-7
     assert min_dist > 100 * ulp_residual
+
+
+def test_prepared_weighted_edges_shared_across_rank_variants(spark):
+    """g5/g7 must reuse ONE prepare_weighted_edges handle per (session,
+    sf, graph kind) instead of rebuilding edges->repartition->weight->cache
+    per variant (VERDICT r5 item 6): the memo returns the identical cached
+    DataFrame object, pagerank never unpersists a caller-owned handle, and
+    results match the self-built path exactly."""
+    import __spark_entry__ as entrymod
+    from youtubeanalyzerproject_big_data__spark.operators.graph import pagerank, prepare_weighted_edges
+
+    sf = "/root/testdata/sf0.001"
+    h1 = entrymod._prepared_pagerank_edges(spark, sf, "cyclic")
+    h2 = entrymod._prepared_pagerank_edges(spark, sf, "cyclic")
+    assert h1 is h2  # memo hit: one edge build per handle
+    expected = sorted(tuple(r) for r in entrymod.q_pagerank_cyclic(spark, sf).collect())
+    assert h1.is_cached  # the rank call must NOT release the shared handle
+    # caller-owned handle path == self-built path, row for row
+    own = pagerank(h1.select("src", "dst"), reset_prob=0.15, max_iter=10)
+    reused = pagerank(None, reset_prob=0.15, max_iter=10, weighted=h1)
+    assert sorted(tuple(r) for r in own.collect()) == sorted(tuple(r) for r in reused.collect())
+    del expected

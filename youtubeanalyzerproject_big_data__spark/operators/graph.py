@@ -72,13 +72,40 @@ def degree_distribution(edges: DataFrame, direction: str = "out") -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("num_vertices")).orderBy("degree")
 
 
+def prepare_weighted_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Build the PageRank-family weighted edge table: repartition by src,
+    then a partition-local window count gives each edge weight
+    1/out_deg(src) in ONE scan + ONE shuffle (a groupBy+join formulation
+    scans the edge source twice -- measured ~30% slower end-to-end).
+    Returned CACHED (lazily -- populated by the first job that touches it);
+    the iteration loops then only shuffle the vertex-sized rank table and
+    this edge table never moves again.
+
+    g4/g5/g7 all need exactly this intermediate.  A session running
+    several rank variants over one graph (the bench session builds it 3x
+    -- VERDICT r5 item 6) should call this once and pass the handle via
+    ``pagerank(..., weighted=handle)`` /
+    ``personalized_pagerank(..., weighted=handle)``: the CALLER then owns
+    the cache lifecycle (those functions never unpersist a provided
+    handle), so release it with ``handle.unpersist()`` when done.
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        edges.repartition(n_part, "src")
+        .select("src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src"))).alias("weight"))
+        .cache()
+    )
+
+
 def pagerank(
-    edges: DataFrame,
+    edges: DataFrame | None,
     reset_prob: float = 0.15,
     max_iter: int = 10,
     checkpoint_every: int = 5,
     num_partitions: int | None = None,
     contrib_scale: float = 1e9,
+    weighted: DataFrame | None = None,
 ) -> DataFrame:
     """G4: iterative DataFrame PageRank, reference params resetProb=0.15
     maxIter=10 (PageRank_Spark_v5.py:102).
@@ -104,24 +131,16 @@ def pagerank(
     depend on partitioning (float addition is not associative).  The 1e-9
     quantum is ~7 orders below the 1e-6 output rounding, so it never costs
     ranking precision; long sums also map-side combine cheaper than doubles.
-    """
-    spark = edges.sparkSession
-    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # Weight each edge by 1/out_deg(src) BEFORE the loop.  Repartition by
-    # src first, then a partition-local window count: the window's required
-    # distribution is already satisfied, so the whole weighting costs ONE
-    # scan + ONE shuffle (a groupBy+join formulation scans the edge source
-    # twice -- measured ~30% slower end-to-end).  The loop then only
-    # shuffles the (vertex-sized) rank table; this edge table never moves.
-    weighted = (
-        edges.repartition(n_part, "src")
-        .select("src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src"))).alias("weight"))
+    ``weighted``: a :func:`prepare_weighted_edges` handle to reuse across
+    rank variants (caller owns its cache; ``edges`` may then be None).
+    """
+    owns_weighted = weighted is None
+    if owns_weighted:
         # Lazy cache: populated by the first iteration's job and reused by
         # every later one -- an eager count() here is a whole extra pass
         # over the edges (measured ~25% of total runtime at bench scale).
-        .cache()
-    )
+        weighted = prepare_weighted_edges(edges, num_partitions)
 
     scale = F.lit(contrib_scale)
     damp = 1.0 - reset_prob
@@ -151,7 +170,8 @@ def pagerank(
     if ranks is None:  # max_iter == 0: everything at the initial rank
         vertices = weighted.select(F.col("src").alias("id")).union(weighted.select("dst")).distinct()
         result = vertices.select("id", F.lit(1.0).alias("pagerank")).localCheckpoint(eager=True)
-        weighted.unpersist()
+        if owns_weighted:
+            weighted.unpersist()
         return result
 
     # Vertices that only ever appear as src (no in-edges) sit at reset_prob.
@@ -166,18 +186,20 @@ def pagerank(
         .select("id", F.round("rank", 6).alias("pagerank"))
         .localCheckpoint(eager=True)  # pin before releasing the edge cache
     )
-    weighted.unpersist()
+    if owns_weighted:
+        weighted.unpersist()
     return result
 
 
 def personalized_pagerank(
-    edges: DataFrame,
+    edges: DataFrame | None,
     sources: list,
     reset_prob: float = 0.15,
     max_iter: int = 10,
     checkpoint_every: int = 5,
     num_partitions: int | None = None,
     contrib_scale: float = 1e9,
+    weighted: DataFrame | None = None,
 ) -> DataFrame:
     """Personalized PageRank: the reset mass returns only to ``sources``
     (the seed set), so ranks measure proximity TO the seeds -- the
@@ -192,17 +214,16 @@ def personalized_pagerank(
     vertices whose rank is identically zero (unreachable from S) are
     omitted from the result.  ``sources`` is a literal seed list --
     seed sets are query parameters, small by nature, so membership tests
-    compile to IN-list predicates, never a join.
+    compile to IN-list predicates, never a join.  ``weighted``: a
+    :func:`prepare_weighted_edges` handle to reuse across rank variants
+    (caller owns its cache; ``edges`` may then be None).
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    spark = edges.sparkSession
-    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    weighted = (
-        edges.repartition(n_part, "src")
-        .select("src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src"))).alias("weight"))
-        .cache()
-    )
+    owns_weighted = weighted is None
+    if owns_weighted:
+        weighted = prepare_weighted_edges(edges, num_partitions)
+    spark = weighted.sparkSession
     scale = F.lit(contrib_scale)
     damp = 1.0 - reset_prob
     in_s = lambda c: F.col(c).isin(list(sources))  # noqa: E731
@@ -237,7 +258,8 @@ def personalized_pagerank(
         .select("id", F.round("rank", 6).alias("pagerank"))
         .localCheckpoint(eager=True)
     )
-    weighted.unpersist()
+    if owns_weighted:
+        weighted.unpersist()
     return result
 
 
