@@ -382,3 +382,140 @@ def test_graph_auto_broadcast_flips_on_edge_count(spark):
         for c, v in saved.items():
             spark.conf.unset(c) if v is None else spark.conf.set(c, v)
         spark.catalog.clearCache()
+
+
+def _graph_full_lineage():
+    """Context manager: disable graph-module localCheckpoints so plan
+    gates see full loop lineage (graph._DISABLE_CHECKPOINTS hook)."""
+    import contextlib
+
+    import youtubeanalyzerproject_big_data__spark.operators.graph as graphmod
+
+    @contextlib.contextmanager
+    def cm():
+        graphmod._DISABLE_CHECKPOINTS = True
+        try:
+            yield graphmod
+        finally:
+            graphmod._DISABLE_CHECKPOINTS = False
+
+    return cm()
+
+
+def test_pagerank_loop_shape(spark):
+    """g4/g5: with a materialized prepare_weighted_edges handle, every
+    iteration must read the CACHE (InMemoryTableScan), the rank-side joins
+    must stay hash joins (no sort-merge of the edge table, no cartesian),
+    and the per-iteration aggregate shuffles on dst only."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    with _graph_full_lineage() as graphmod:
+        handle = entrymod._prepared_pagerank_edges(spark, SF, "fwd")
+        handle.count()  # materialize so references plan as cache reads
+        ranks = graphmod.pagerank(None, max_iter=3, weighted=handle)
+        plan = _plan(ranks)
+    assert plan.count("InMemoryTableScan") >= 4  # 3 iterations + src_only all read the cache
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") == 3  # 2 rank joins + 1 left-anti src_only
+    assert plan.count("CartesianProduct") == 0
+    assert re.search(r"Exchange hashpartitioning\(dst", plan)  # contribution agg key
+
+
+def test_ppr_seeds_compile_to_inlist(spark):
+    """g7: the seed set must reach the plan as IN-list literals, never a
+    join; loop shape mirrors g4 (hash joins only, cache reads)."""
+    import __spark_entry__ as entrymod
+
+    with _graph_full_lineage() as graphmod:
+        handle = entrymod._prepared_pagerank_edges(spark, SF, "cyclic")
+        handle.count()
+        ranks = graphmod.personalized_pagerank(None, ["P1", "P2"], max_iter=3, weighted=handle)
+        plan = _plan(ranks)
+    assert "INSET" in plan.upper() or " IN (" in plan  # literal membership test
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_label_propagation_round_has_no_window(spark):
+    """lp1: one round = edges join labels + (dst,label) count + min-struct
+    argmax -- hash aggregates only, NO analytic window anywhere (a window
+    would serialize per-vertex label histograms through one reducer)."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    with _graph_full_lineage() as graphmod:
+        labels = graphmod.label_propagation(edges, max_iter=1)
+        plan = _plan(labels)
+    assert plan.count("Window") == 0
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_khop_frontier_expansion_is_hash_joined(spark):
+    """g8: each hop is frontier-join-edges plus a left-anti against
+    visited -- hash/merge joins only, no nested-loop or cartesian
+    fallback, no window."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    with _graph_full_lineage() as graphmod:
+        visited = graphmod.k_hop_distances(edges, ["P1", "P2"], max_hops=2)
+        plan = _plan(visited)
+    assert "LeftAnti" in plan  # frontier-minus-visited is an anti join
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert plan.count("Window") == 0
+    spark.catalog.clearCache()
+
+
+def test_minhash_candidates_meet_in_buckets_not_crossjoin(spark):
+    """d3: LSH candidates come from band-bucket groupBys -- the plan may
+    contain NO cartesian/nested-loop join, and no Exchange may carry the
+    raw text column (shuffles move hashes and band keys only)."""
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(
+        load_table(spark, SF, "documents"), "doc_id", "text",
+        n=3, num_hashes=16, bands=4, threshold=0.8, checkpoint=False,
+    )
+    try:
+        plan = _plan(df)
+        assert plan.count("CartesianProduct") == 0
+        assert plan.count("BroadcastNestedLoopJoin") == 0
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text#" not in line, line
+        assert plan.count("BroadcastHashJoin") >= 1  # pair verification joins broadcast
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_semantic_dedup_pairs_are_cell_bounded(spark):
+    """d10: pair generation must be a single equi-join keyed on the
+    k-means cell (narrow int key) -- no cartesian, at most one sort-merge
+    join; the centroid table broadcasts back for assignment."""
+    plan = _plan(entrymod.q_d10(spark, SF))
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    spark.catalog.clearCache()

@@ -224,6 +224,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -261,14 +262,14 @@ def minhash_lsh_pairs(
 
     candidates = _pairs_from_groups(band_rows, ["band", "sig"], max_group=max_bucket)
     sh = sh_rows.select("doc_id", F.xxhash64("shingle").alias("sh"))
-    result = (
-        _jaccard_for_pairs(candidates, sh)
-        .where(F.col("jaccard") >= threshold)
+    result = _jaccard_for_pairs(candidates, sh).where(F.col("jaccard") >= threshold)
+    if checkpoint:
         # Pin the verified pairs, release the cached shingles (see
         # ngram_jaccard_pairs for the storage-hygiene rationale).
-        .localCheckpoint(eager=True)
-    )
-    sh_rows.unpersist()
+        # checkpoint=False -> live plan for plan-shape tests; caller owns
+        # the shingle cache cleanup.
+        result = result.localCheckpoint(eager=True)
+        sh_rows.unpersist()
     return result
 
 

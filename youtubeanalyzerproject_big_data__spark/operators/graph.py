@@ -25,6 +25,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_DISABLE_CHECKPOINTS = False
+"""Test hook (tests/test_plans.py): True disables every localCheckpoint in
+this module so plan-shape gates can see FULL loop lineage.  Production code
+never flips it -- checkpoints are what keep iterative plans bounded."""
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager) unless the plan-test hook disabled it."""
+    return df if _DISABLE_CHECKPOINTS else df.localCheckpoint(eager=True)
+
+
 def densify(df: DataFrame, related_col: str, min_related: int = 5) -> DataFrame:
     """F1: keep only rows whose related-array has >= min_related entries --
     the reference's graph-densification filter applied BEFORE the expensive
@@ -165,11 +176,11 @@ def pagerank(
         )
         absent_rank = reset_prob
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
-            ranks = ranks.localCheckpoint(eager=True)  # truncate lineage
+            ranks = ranks.transform(_ckpt)  # truncate lineage
 
     if ranks is None:  # max_iter == 0: everything at the initial rank
         vertices = weighted.select(F.col("src").alias("id")).union(weighted.select("dst")).distinct()
-        result = vertices.select("id", F.lit(1.0).alias("pagerank")).localCheckpoint(eager=True)
+        result = vertices.select("id", F.lit(1.0).alias("pagerank")).transform(_ckpt)
         if owns_weighted:
             weighted.unpersist()
         return result
@@ -184,7 +195,7 @@ def pagerank(
     result = (
         ranks.unionByName(src_only)
         .select("id", F.round("rank", 6).alias("pagerank"))
-        .localCheckpoint(eager=True)  # pin before releasing the edge cache
+        .transform(_ckpt)  # pin before releasing the edge cache
     )
     if owns_weighted:
         weighted.unpersist()
@@ -248,7 +259,7 @@ def personalized_pagerank(
             (reset_of_dst + F.lit(damp) * (F.col("ci") / scale)).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_ckpt)
     # seeds with no in-edges never appear as a dst; they still hold reset.
     seed_df = spark.createDataFrame([(s,) for s in sources], "id string")
     seed_only = seed_df.join(ranks.select("id"), "id", "left_anti").select("id", F.lit(reset_prob).alias("rank"))
@@ -256,7 +267,7 @@ def personalized_pagerank(
         ranks.where(F.col("rank") > 0.0)
         .unionByName(seed_only)
         .select("id", F.round("rank", 6).alias("pagerank"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     if owns_weighted:
         weighted.unpersist()
@@ -289,7 +300,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20, num_partitions: i
         .cache()
     )
     labels = sym.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(_ckpt)
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -300,7 +311,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20, num_partitions: i
         new_labels = (
             labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
             .select("id", F.least("component", F.coalesce("nbr", "component")).alias("component"))
-            .localCheckpoint(eager=True)  # flat lineage; also feeds the change count
+            .transform(_ckpt)  # flat lineage; also feeds the change count
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "id")
@@ -388,7 +399,7 @@ def connected_components_star(
         .where(F.col("src") != F.col("dst"))
         .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     if small_graph_threshold and e.count() <= small_graph_threshold:
         spark = edges.sparkSession
@@ -436,7 +447,7 @@ def connected_components_star(
             small.where(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # flat lineage; also feeds signature
+            .transform(_ckpt)  # flat lineage; also feeds signature
         )
         new_sig = signature(e)
         if new_sig == sig:
@@ -589,7 +600,7 @@ def k_hop_distances(edges: DataFrame, seeds: list, max_hops: int = 3) -> DataFra
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.repartition(n_part, "src").cache()
     seed_df = spark.createDataFrame([(s,) for s in seeds], "id string").distinct()
-    visited = seed_df.select("id", F.lit(0).cast("long").alias("hops")).localCheckpoint(eager=True)
+    visited = seed_df.select("id", F.lit(0).cast("long").alias("hops")).transform(_ckpt)
     frontier = visited.select("id")
     for h in range(1, max_hops + 1):
         reached = (
@@ -600,7 +611,7 @@ def k_hop_distances(edges: DataFrame, seeds: list, max_hops: int = 3) -> DataFra
         new = reached.join(visited.select("id"), "id", "left_anti").select(
             "id", F.lit(h).cast("long").alias("hops")
         )
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).transform(_ckpt)
         frontier = new.select("id")
     e.unpersist()
     return visited
@@ -627,7 +638,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 2) -> DataFrame:
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.repartition(n_part, "src").cache()
     vertices = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
-    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    labels = vertices.select("id", F.col("id").alias("label")).transform(_ckpt)
     for _ in range(max_iter):
         counted = (
             e.join(labels.withColumnRenamed("id", "src"), "src")
@@ -640,7 +651,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 2) -> DataFrame:
         labels = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
     e.unpersist()
     return labels
@@ -748,7 +759,7 @@ def adamic_adar(
     # caches (session cache hygiene).  checkpoint=False keeps the live
     # plan visible for plan-shape tests (caller owns cache cleanup).
     if checkpoint:
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(_ckpt)
         sadj.unpersist()
         adj.unpersist()
     return out
@@ -836,7 +847,7 @@ def clustering_coefficient_topk(
     # caches (session cache hygiene); checkpoint=False -> live plan for
     # plan tests, caller owns cleanup.
     if checkpoint:
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(_ckpt)
         for cached in (closures, adj, e):
             cached.unpersist()
     return out
