@@ -42,6 +42,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from youtubeanalyzerproject_big_data__spark.plans.inspect import stage_metrics
 from youtubeanalyzerproject_big_data__spark.session import get_spark
 
 # Headline set: the heavy/representative queries (joins, multi-agg, window,
@@ -126,9 +127,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
+    shuffle_write: dict[str, int] = {}
+    shuffle_read: dict[str, int] = {}
     for name in BENCH_QUERIES:
         samples = []
-        for _ in range(n_runs):
+        # Shuffle volume is the contention-immune cost signal (VERDICT r5
+        # item 7): snapshot the AppStatusStore around the FIRST sample only
+        # (bytes are deterministic per query; later samples may legally
+        # read session caches -- g4/g5/g7's shared edge handle).
+        metrics_before = stage_metrics(spark)
+        for i in range(n_runs):
             # No clearCache needed: every operator that caches an
             # intermediate (shingles, edges, ratings) releases it before
             # returning (pin-result-then-unpersist pattern), so runs are
@@ -140,6 +148,10 @@ def main() -> None:
             rows = qs[name](spark, sf_dir).collect()
             samples.append(time.time() - t0)
             assert rows is not None
+            if i == 0:
+                metrics_after = stage_metrics(spark)
+                shuffle_write[name] = max(0, metrics_after["shuffle_write_bytes"] - metrics_before["shuffle_write_bytes"])
+                shuffle_read[name] = max(0, metrics_after["shuffle_read_bytes"] - metrics_before["shuffle_read_bytes"])
         # Expensive queries get extra samples: they dominate the headline
         # total and are where contention noise fakes 2x regressions.
         while statistics.median(samples) >= 3.0 and len(samples) < slow_runs:
@@ -174,6 +186,15 @@ def main() -> None:
                 "samples": all_samples,
                 "contended": contended,
                 "contended_note": "median/min > 1.5: box contention suspected -- re-run in isolation before calling a regression",
+                "shuffle_write_bytes": shuffle_write,
+                "shuffle_read_bytes": shuffle_read,
+                "shuffle_note": (
+                    "per-query shuffle volume from the first sample's AppStatusStore delta -- "
+                    "the contention-immune cost signal: wall-clock noise cannot inflate it, and a "
+                    "scale-killer plan regression (edge table re-shuffled per iteration, lost "
+                    "broadcast) shows up here as a bytes jump long before sf0.1 timing moves; "
+                    "compare round over round alongside the medians"
+                ),
             },
             f,
             indent=1,

@@ -63,6 +63,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # The AppStatusStore backs stage_metrics() (bench shuffle-bytes
+        # accounting) even with the UI off; retain enough stages that a
+        # before/after snapshot never spans an eviction mid-measurement.
+        .config("spark.ui.retainedStages", "20000")
         # Console progress bars write \r-framed [Stage ...] lines to stdout;
         # harness channels that tail-capture stdout (bench.py's one-line JSON
         # contract) get their buffer eaten by them, so keep stdout clean.
