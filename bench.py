@@ -29,6 +29,14 @@ Known deliberate costs (do NOT chase as regressions):
   final rank) -- that stage is what keeps the plan reducer-safe at 1e9 rows.
 - Common-subset totals within +/-20% of the prior round are box noise
   (CLAUDE.md "Benchmarking"), not engine drift.
+- d3_minhash_lsh_pairs r5 drift ADJUDICATED (r6, VERDICT r5 item 3):
+  isolated re-runs at sf0.1 after the standard warmup gave
+  [7.44 cold, 2.95, 2.54, 2.35, 2.11, 2.29] -- steady state 2.1-2.5 s,
+  matching r4's 2.38 s.  The 2.94 s r5 median was session-neighbor noise
+  (13 new bench queries landed around it that round); no minhash-path
+  commit existed and none was needed.  The first post-warmup sample
+  carries ~0.5 s of codegen/broadcast warm-up, so single-sample d3
+  numbers overstate it.
 """
 
 from __future__ import annotations
