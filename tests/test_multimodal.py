@@ -181,29 +181,80 @@ def test_real_audio_decode_stdlib_wav(spark):
 
 
 def test_stdlib_decode_rejects_garbage_and_video(spark):
-    """The stdlib route must fail loudly on non-BMP/non-WAV bytes and on
-    video (ffmpeg-only) -- never silently emit fake features."""
+    """The stdlib route must fail loudly on bytes that aren't a BMP / PCM
+    WAV / raw-DIB AVI -- never silently emit fake features."""
     import pytest
 
     from youtubeanalyzerproject_big_data__spark.operators import multimodal
 
     df = spark.createDataFrame([(1, bytearray(b"not media at all"))], "doc_id long, blob binary")
-    for modality, msg in (("image", "BMP"), ("audio", "RIFF"), ("video", "stdlib")):
+    for modality, msg in (("image", "BMP"), ("audio", "RIFF"), ("video", "AVI")):
         media = multimodal.attach_media_metadata(df, "doc_id", "blob", modality)
         with pytest.raises(Exception, match=msg):
             multimodal.extract_features(media, decode_stub="stdlib").collect()
 
 
+def _make_avi(n_frames=15, width=4, height=2, rate=5):
+    """Deterministic raw-DIB AVI: frame k's BGR bytes count up from 10*k.
+    Width 4 x 24bpp = stride 12, no padding; height 2 exercises rows."""
+    from youtubeanalyzerproject_big_data__spark.operators.multimodal import pack_raw_avi
+
+    frames = [bytes((10 * k + j) % 256 for j in range(width * 3 * height)) for k in range(n_frames)]
+    return pack_raw_avi(frames, width=width, height=height, rate=rate, scale=1), frames
+
+
+def test_real_video_decode_stdlib_avi(spark):
+    """decode_stub='stdlib' REALLY walks the AVI container -- frame
+    payload hashes and the frame-rate subsampling (stream 5 fps sampled at
+    1 fps -> every 5th frame) must match a direct computation, and the
+    feature stats must equal the exact ITU-R 601-2 luma mean over all
+    frames.  No ffmpeg anywhere."""
+    import hashlib
+
+    from youtubeanalyzerproject_big_data__spark.operators import multimodal
+
+    blob, frames = _make_avi(n_frames=15, width=4, height=2, rate=5)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    media = multimodal.attach_media_metadata(df, "doc_id", "blob", "video")
+
+    out = sorted(multimodal.sample_video_frames(media, decode_stub="stdlib", fps=1.0).collect(),
+                 key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in out] == [0, 1, 2]
+    assert [r["frame_md5"] for r in out] == [hashlib.md5(frames[k]).hexdigest() for k in (0, 5, 10)]
+
+    feats = multimodal.extract_features(media, decode_stub="stdlib").collect()
+    lumas = [
+        (299 * f[o + 2] + 587 * f[o + 1] + 114 * f[o]) // 1000
+        for f in frames
+        for o in (3 * c + 12 * r for r in range(2) for c in range(4))
+    ]
+    assert feats[0]["feat_dim"] == 4 * 2 * 15
+    assert feats[0]["feat_mean"] == sum(lumas) / (255.0 * len(lumas))
+
+
 def test_auto_codec_samples_video_frames_via_ffmpeg(spark):
-    """decode_stub='auto' frame sampling: a 3-second synthetic clip
-    (generated by ffmpeg itself -- the test only runs when it ships) at
-    fps=1 must yield 3 real frames with distinct hashes."""
+    """Real video frame sampling in EVERY environment (r5 advice: no
+    environmental skip).  With ffmpeg: decode_stub='auto' on a 3-second
+    synthetic clip at fps=1 yields 3 real frames with distinct hashes.
+    Without it: the stdlib raw-AVI route proves the same contract (real
+    container parse, fps subsampling, distinct per-frame hashes) on a
+    15-frame 5 fps clip."""
     import pytest
 
     from youtubeanalyzerproject_big_data__spark.operators import multimodal
 
     if not multimodal.codec_available("video"):
-        pytest.skip("ffmpeg not available in this environment")
+        blob, frames = _make_avi(n_frames=15, width=4, height=2, rate=5)
+        df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+        media = multimodal.attach_media_metadata(df, "doc_id", "blob", "video")
+        out = multimodal.sample_video_frames(media, decode_stub="stdlib", fps=1.0).collect()
+        assert len(out) == 3
+        assert sorted(r["frame_no"] for r in out) == [0, 1, 2]
+        assert len({r["frame_md5"] for r in out}) == 3  # counting frames differ
+        vid_feats = multimodal.extract_features(media, decode_stub="stdlib").collect()
+        assert vid_feats[0]["feat_dim"] == 4 * 2 * 15  # w*h*frames, the ffmpeg convention
+        assert 0.0 < vid_feats[0]["feat_mean"] < 1.0
+        return
     import subprocess
     import tempfile
 

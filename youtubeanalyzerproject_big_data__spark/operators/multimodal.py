@@ -199,6 +199,117 @@ def _wav_decode_stats(blob: bytes) -> tuple[float, int]:
     return (sum(abs(s) for s in samples) / (32768.0 * max(n, 1)), n)
 
 
+def _avi_parse(blob: bytes) -> tuple[list[bytes], int, int, int, int, int]:
+    """Pure-stdlib AVI parse: the _wav_samples RIFF walk applied to the
+    two-level AVI LIST tree (hdrl -> strl stream headers; movi -> frame
+    chunks).  Supports what a codec-less environment can honestly decode:
+    uncompressed DIB video ('00db'/'00dc' chunks, strf biCompression == 0,
+    24/32 bpp).  Returns (frames, width, height, bpp, rate, scale) where
+    frames are the raw bottom-up BGR DIB payloads and rate/scale give the
+    stream frame rate (strh dwRate/dwScale)."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob (missing RIFF/AVI magic)")
+    meta = {"width": None, "height": None, "bpp": None, "compression": None,
+            "rate": None, "scale": None, "in_vids": False}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = blob[pos : pos + 4]
+            csz = struct.unpack_from("<I", blob, pos + 4)[0]
+            body, body_end = pos + 8, min(pos + 8 + csz, len(blob))
+            if cid == b"LIST":
+                walk(body + 4, body_end)  # skip the 4-byte list type
+            elif cid == b"strh":
+                meta["in_vids"] = blob[body : body + 4] == b"vids"
+                if meta["in_vids"]:
+                    meta["scale"] = struct.unpack_from("<I", blob, body + 20)[0]
+                    meta["rate"] = struct.unpack_from("<I", blob, body + 24)[0]
+            elif cid == b"strf" and meta["in_vids"] and meta["width"] is None:
+                _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", blob, body)
+                meta.update(width=w, height=h, bpp=bpp, compression=comp)
+            elif cid[2:4] in (b"db", b"dc"):
+                frames.append(blob[body:body_end])
+            pos = body + csz + (csz & 1)  # chunks are word-aligned
+
+    walk(12, len(blob))
+    if meta["width"] is None:
+        raise ValueError("AVI has no video ('vids') stream header")
+    if meta["compression"] != 0 or meta["bpp"] not in (24, 32):
+        raise ValueError(
+            f"unsupported AVI: compression={meta['compression']} bpp={meta['bpp']} "
+            "(stdlib decodes raw-DIB 24/32 bpp only)"
+        )
+    return frames, meta["width"], meta["height"], meta["bpp"], meta["rate"] or 1, max(meta["scale"] or 1, 1)
+
+
+def _dib_lumas(frame: bytes, width: int, height: int, bpp: int) -> list[int]:
+    """Luma pixels of one raw DIB frame: padded row strides and the same
+    ITU-R 601-2 integer luma as _bmp_pixels (the frame payload IS a
+    headerless BMP pixel array)."""
+    stride = (width * (bpp // 8) + 3) // 4 * 4
+    px = []
+    for r in range(abs(height)):
+        base = r * stride
+        for c in range(width):
+            o = base + c * (bpp // 8)
+            b8, g8, r8 = frame[o], frame[o + 1], frame[o + 2]
+            px.append((299 * r8 + 587 * g8 + 114 * b8) // 1000)
+    return px
+
+
+def _avi_decode_stats(blob: bytes) -> tuple[float, int]:
+    """(mean gray / 255, total pixel count across frames) via _avi_parse --
+    the same statistic family as the ffmpeg gray-rawvideo route."""
+    frames, w, h, bpp, _, _ = _avi_parse(blob)
+    px = [l for f in frames for l in _dib_lumas(f, w, h, bpp)]
+    return (sum(px) / (255.0 * max(len(px), 1)), len(px))
+
+
+def _avi_sample_frames(blob: bytes, fps: float) -> list[tuple[int, str]]:
+    """Stdlib twin of _ffmpeg_sample_frames: keep every round(stream_fps /
+    fps)-th stored frame (stream rate from strh dwRate/dwScale), renumber
+    the sampled frames 0..n-1, hash the raw DIB payload."""
+    import hashlib
+
+    frames, _, _, _, rate, scale = _avi_parse(blob)
+    stream_fps = rate / scale
+    step = max(1, round(stream_fps / max(fps, 1e-9)))
+    return [(i, hashlib.md5(f).hexdigest()) for i, f in enumerate(frames[::step])]
+
+
+def pack_raw_avi(frames: list[bytes], width: int, height: int, rate: int = 2, scale: int = 1) -> bytes:
+    """Minimal UNCOMPRESSED AVI writer: RIFF('AVI ') -> LIST hdrl (avih +
+    LIST strl (strh 'vids' + strf BITMAPINFOHEADER)) -> LIST movi with one
+    '00db' chunk per raw bottom-up BGR24 DIB frame.  Real container bytes
+    (word-aligned chunks, honest headers): _avi_parse round-trips it, and
+    tests/gate queries use it to exercise REAL video decode without
+    ffmpeg.  Frames must already be stride-padded DIB payloads."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(frames)
+    us_per_frame = int(1_000_000 * scale / max(rate, 1))
+    avih = chunk(b"avih", struct.pack("<14I", us_per_frame, 0, 0, 0, n, 0, 1, 0, width, height, 0, 0, 0, 0))
+    strh = chunk(
+        b"strh",
+        b"vids" + b"\x00" * 4  # fccType + fccHandler(raw)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, scale, rate, 0, n, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height),
+    )
+    strf = chunk(b"strf", struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, max(len(f) for f in frames) if frames else 0, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def attach_media_metadata(df: DataFrame, id_col: str, content_col: str, modality: str) -> DataFrame:
     """Wrap a raw binary column in the typed media schema (Catalyst-only:
     length + md5 are built-ins; no Python in this path)."""
@@ -246,10 +357,12 @@ def extract_features(
                         m, d = _bmp_decode_stats(blob)
                     elif modality == "audio":
                         m, d = _wav_decode_stats(blob)
+                    elif modality == "video":
+                        m, d = _avi_decode_stats(blob)
                     else:
                         raise NotImplementedError(
-                            "decode_stub='stdlib' covers BMP images and 16-bit PCM WAV audio; "
-                            f"no pure-stdlib decoder for {modality!r}"
+                            "decode_stub='stdlib' covers BMP images, 16-bit PCM WAV audio, "
+                            f"and raw-DIB AVI video; no pure-stdlib decoder for {modality!r}"
                         )
                     feats.append(m)
                     dims.append(d)
@@ -394,7 +507,7 @@ def transform_media(
 def sample_video_frames(
     media: DataFrame,
     every_n_bytes: int = 1024,
-    decode_stub: Literal["fail", "fake", "auto"] = "fail",
+    decode_stub: Literal["fail", "fake", "auto", "stdlib"] = "fail",
     fps: float = 1.0,
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled 'frame'.
@@ -404,8 +517,10 @@ def sample_video_frames(
     extraction (row explosion happens inside Arrow batches, not via
     Python-row UDFs).  'auto' extracts REAL frames at ``fps`` frames/sec
     via the ffmpeg CLI when the binary ships (one PNG per sampled frame,
-    md5-hashed) and raises otherwise; the fake kernel stays the oracle
-    path either way.
+    md5-hashed) and raises otherwise; 'stdlib' decodes REAL frames from
+    uncompressed-DIB AVI containers with the in-module RIFF walk
+    (_avi_sample_frames -- no external codec; driver query mm7 gates it);
+    the fake kernel stays the byte-chunk oracle path either way.
     """
     schema = T.StructType(
         [
@@ -426,6 +541,12 @@ def sample_video_frames(
                 for mid, modality, content in zip(pdf["media_id"], pdf["modality"], pdf["content"]):
                     _require_auto_codec(modality)
                     for frame_no, digest in _ffmpeg_sample_frames(bytes(content), fps):
+                        rows.append((mid, frame_no, digest))
+                yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_md5"])
+                continue
+            if decode_stub == "stdlib":
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    for frame_no, digest in _avi_sample_frames(bytes(content), fps):
                         rows.append((mid, frame_no, digest))
                 yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_md5"])
                 continue
