@@ -2663,6 +2663,83 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking, adapted to this schema's
+    dates): per priority, how many orders have AT LEAST ONE line shipped
+    more than 60 days after the order date -- the EXISTS/semi-join
+    workhorse.  A left-semi join never duplicates orders however many
+    lines qualify, and only (orderkey, shipdate) flows from the fact
+    table.  UTC-pinned: the +60d arithmetic is timestamp arithmetic."""
+    _utc(spark)
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers land in the c_count=0 bucket, then a second
+    aggregate histograms the counts.  Two shuffles total (per-customer
+    count keyed on custkey, then the model-sized histogram); order by
+    (custdist desc, c_count desc) -- the canonical Q13 sort."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_t21(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 most repetitive documents by Simpson bigram diversity
+    (textanalysis.repetition_scores): the log-free degenerate-text
+    detector -- exact int64 collision counts, engine-exact DIV
+    quantization, bigram text never shuffles (md5 keys)."""
+    return text.repetition_scores(load_table(spark, sf, "documents"), "doc_id", "text", k=20)
+
+
+def q_e14(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-order-arrival audit (the watermark-design diagnostic): per
+    event type, how many events arrive with a timestamp BEHIND the
+    running per-user max (arrival order = event_id), how far behind at
+    worst, and the total slippage.  Lateness is exact integer micros from
+    a user-partitioned running-max window (no global window, per-reducer
+    state = one user's history); the answer tells you what watermark
+    delay the streaming jobs (se1-se7) actually need."""
+    _utc(spark)
+    e = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    us = F.unix_micros("ts")
+    late_us = F.greatest(F.lit(0).cast("long"), (F.max(us).over(w) - us).cast("long"))
+    per_event = e.select("event_type", F.coalesce(late_us, F.lit(0).cast("long")).alias("late_us"))
+    return (
+        per_event.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("late_us") > 0).cast("long")).cast("long").alias("n_late"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.sum("late_us").cast("long").alias("total_late_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_se7(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming Misra-Gries heavy hitters (stream_heavy_hitters),
     gate-checked across 3 micro-batches: a deterministic skew fixture
@@ -2797,6 +2874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_topk_enriched_customers": q_j6,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q18_big_orders": q_q18,
+        "tpch_q4_late_orders": q_q4,
+        "tpch_q13_custdist": q_q13,
+        "t21_repetition_score": q_t21,
+        "e14_out_of_order_audit": q_e14,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4476,6 +4557,62 @@ def oracle_sql() -> dict[str, str]:
             FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
                        JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        "tpch_q4_late_orders": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q13_custdist": """
+            WITH pc AS (
+              SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        # t21: Simpson bigram diversity -- same lower(trim)+whitespace
+        # tokenization as t8, bigrams from adjacent positions, md5 group
+        # keys mirrored, ALL-integer quantization ((1e6*r) DIV (n*(n-1))).
+        "t21_repetition_score": r"""
+            WITH tk AS (SELECT doc_id,
+                               list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+                        FROM documents),
+            b AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(toks) - 1),
+                                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                  FROM tk WHERE len(toks) >= 2),
+            c AS (SELECT doc_id, md5(bg) AS bh, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                           CAST(SUM(c * (c - 1)) AS BIGINT) AS n_repeats
+                    FROM c GROUP BY doc_id),
+            s AS (SELECT doc_id, n_bigrams, n_repeats,
+                         CASE WHEN n_bigrams >= 2
+                              THEN (1000000 * n_repeats) // (n_bigrams * (n_bigrams - 1))
+                              ELSE 0 END AS rep_micro
+                  FROM agg)
+            SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
+                   ROUND(rep_micro / 1e6, 6) AS rep_score
+            FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        # e14: lateness vs the per-user running max over ARRIVAL order
+        # (event_id); exact integer micros, window frame excludes self.
+        "e14_out_of_order_audit": """
+            WITH l AS (
+              SELECT event_type,
+                     GREATEST(0, COALESCE(MAX(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), epoch_us(ts))
+                       - epoch_us(ts)) AS late_us
+              FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+                   CAST(SUM(late_us) AS BIGINT) AS total_late_us
+            FROM l GROUP BY event_type ORDER BY event_type
         """,
         "e13_traffic_matrix": """
             WITH c AS (

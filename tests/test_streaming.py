@@ -425,3 +425,43 @@ def test_mg_empty_reduction_emits_sentinel_row():
     # non-empty summaries emit one row per counter, no sentinel
     rows2 = _mg_rows(1, {9: 4}, 10)
     assert rows2["key"] == [9] and rows2["n_seen"] == [10]
+
+
+def test_out_of_order_audit_zero_on_sorted_stream(spark):
+    """e14: a per-user stream whose timestamps ascend in arrival order has
+    zero lateness everywhere; swapping two events makes exactly one event
+    late by exactly the gap."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (1, 100, "click", "2024-01-01 00:00:00"),
+        (2, 100, "click", "2024-01-01 00:00:10"),
+        (3, 100, "click", "2024-01-01 00:00:05"),  # arrives after but stamped 5s earlier
+        (4, 200, "view", "2024-01-01 00:00:00"),
+        (5, 200, "view", "2024-01-01 00:01:00"),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts_s string").select(
+        "event_id", "user_id", "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    import youtubeanalyzerproject_big_data__spark  # noqa: F401  (path sanity)
+
+    # drive the same window logic q_e14 uses, on the literal frame
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    us = F.unix_micros("ts")
+    late = F.greatest(F.lit(0).cast("long"), (F.max(us).over(w) - us).cast("long"))
+    out = {
+        r["event_type"]: r
+        for r in e.select("event_type", F.coalesce(late, F.lit(0).cast("long")).alias("late_us"))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .collect()
+    }
+    assert out["view"]["n_late"] == 0 and out["view"]["max_late_us"] == 0
+    assert out["click"]["n_late"] == 1 and out["click"]["max_late_us"] == 5_000_000

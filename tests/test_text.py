@@ -478,3 +478,29 @@ def test_round5_text_operators_handle_empty_corpus(spark):
     assert rake_keywords(empty, "doc_id", "text").count() == 0
     assert rule_filter_stats(empty, "text", "source").count() == 0
     assert readability(empty, "text", "source").count() == 0
+
+
+def test_repetition_scores_degenerate_vs_normal(spark):
+    """t21: a looping document (one bigram repeated) must score ~1.0 and
+    rank above varied prose (score 0: every bigram unique); docs with < 2
+    bigrams score 0 and singletons produce no bigrams at all."""
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),              # bigrams heavily repeated
+            (2, "the quick brown fox jumps over a lazy dog"),  # all unique
+            (3, "one"),                          # no bigram
+            (4, "two words"),                    # exactly 1 bigram -> score 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(docs, "doc_id", "text", k=10).collect()}
+    assert 3 not in out  # zero bigrams -> no row
+    assert out[4]["rep_micro"] == 0 and out[4]["n_bigrams"] == 1
+    assert out[2]["rep_micro"] == 0 and out[2]["n_repeats"] == 0
+    # doc 1: 99 bigrams, "spam ham" x50 + "ham spam" x49
+    n, r = out[1]["n_bigrams"], out[1]["n_repeats"]
+    assert n == 99 and r == 50 * 49 + 49 * 48
+    assert out[1]["rep_micro"] == (1_000_000 * r) // (n * (n - 1))
+    assert out[1]["rep_micro"] > 490_000  # near the two-bigram-loop limit of ~0.5

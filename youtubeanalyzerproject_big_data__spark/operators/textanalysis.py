@@ -1190,3 +1190,45 @@ def rake_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 20, max_ph
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(k)
     )
+
+
+def repetition_scores(docs: DataFrame, id_col: str, text_col: str, k: int = 20) -> DataFrame:
+    """Per-document repetitiveness by Simpson's index over word bigrams:
+    rep = sum_b c_b*(c_b-1) / (n*(n-1)) -- the probability two random
+    bigram OCCURRENCES are the same bigram.  The degenerate-generation
+    detector for LLM corpus curation (looping text scores near 1.0, normal
+    prose near 0) that, unlike entropy/perplexity, needs no log(): every
+    term is an exact int64 product, so the score quantizes engine-exactly
+    as (1e6 * repeats) DIV (n*(n-1)) with zero libm exposure.
+
+    Scale shape: one repartitioned scan (per-doc tokenize/zip_with CPU --
+    the dedup._shingles rule), one (doc, md5(bigram)) count aggregate (the
+    repo's narrow-shuffle-key invariant: bigram TEXT never shuffles), one
+    doc-level rollup, TakeOrdered top-k.  Tokens are lower(trim) split on
+    whitespace; bigrams via zip_with (adjacent_pairs -- never the
+    interpreted element_at(i) fold).  Returns the ``k`` most repetitive
+    docs: (doc_id, n_bigrams, n_repeats, rep_micro, rep_score), ties (rep
+    desc, doc_id); docs with < 2 bigrams score 0.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit(""))
+    bg = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(adjacent_pairs(toks)).alias("bigram"))
+        .select("doc_id", F.md5("bigram").alias("bh"))
+    )
+    per_bigram = bg.groupBy("doc_id", "bh").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("n_repeats"),
+    )
+    rep_micro = F.when(
+        F.col("n_bigrams") >= 2,
+        F.expr("(1000000 * n_repeats) DIV (n_bigrams * (n_bigrams - 1))"),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        per_doc.select("doc_id", "n_bigrams", "n_repeats", rep_micro.alias("rep_micro"))
+        .withColumn("rep_score", F.round(F.col("rep_micro") / 1e6, 6))
+        .orderBy(F.col("rep_micro").desc(), "doc_id")
+        .limit(k)
+    )
