@@ -61,7 +61,15 @@ def _dsum(col_expr: str) -> str:
 
 
 def _davg(col_expr: str, scale: int = 6) -> str:
-    return f"ROUND({_dsum(col_expr)} / COUNT({col_expr}), {scale})"
+    # ALL-INTEGER half-up average -- the exact twin of precision.dec_avg
+    # (see its docstring: the ROUND(double/count) form diverged on exact
+    # half cases, first caught by the sf1 replay on e1).  DuckDB's // and %
+    # are native int64 ops, so every step is exact.
+    p = 10**scale
+    s = f"CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) * {p} AS BIGINT)"
+    n = f"COUNT({col_expr})"
+    q = f"((ABS({s}) - ABS({s}) % {n}) // {n} + CASE WHEN 2 * (ABS({s}) % {n}) >= {n} THEN 1 ELSE 0 END)"
+    return f"(CAST(CASE WHEN {s} < 0 THEN -{q} ELSE {q} END AS DOUBLE) / {p}.0)"
 
 
 _REV = "l_extendedprice * (1 - l_discount)"

@@ -195,3 +195,34 @@ def test_hourly_anomaly_single_hour_scores_zero(spark):
     ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
     out = hourly_anomaly(df).collect()
     assert len(out) == 1 and out[0]["z"] == 0.0  # zero variance -> 0, no div-by-zero
+
+
+def test_dec_avg_exact_half_case_matches_oracle(spark):
+    """The avg that broke the first sf1 replay: sum/count landing exactly
+    on x.xxxxxx5 (13911.3/320 = 43.4728125) must round HALF-UP to the SAME
+    value in Spark and DuckDB.  Also pins negatives (away from zero) and a
+    plain non-half value."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from youtubeanalyzerproject_big_data__spark.functions.precision import dec_avg
+
+    cases = [
+        ("half", [13911.3] + [0.0] * 319, 43.472813),     # exact .5 -> up
+        ("neg", [-13911.3] + [0.0] * 319, -43.472813),    # away from zero
+        ("plain", [1.25, 2.5, 3.125], 2.291667),
+    ]
+    rows = [(name, v) for name, vals, _ in cases for v in vals]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r["g"]: r["avg_value"] for r in df.groupBy("g").agg(dec_avg("value", "avg_value")).collect()}
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        g: v
+        for g, v in con.execute(
+            f"SELECT g, {entrymod._davg('value')} AS a FROM t GROUP BY g"
+        ).fetchall()
+    }
+    for name, _, expected in cases:
+        assert got[name] == expected, (name, got[name])
+        assert oracle[name] == expected, (name, oracle[name])

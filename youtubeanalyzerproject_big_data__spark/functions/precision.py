@@ -36,12 +36,35 @@ def dec_sum(col: str | Column, alias: str) -> Column:
 
 
 def dec_avg(col: str | Column, alias: str, scale: int = 6) -> Column:
-    """Deterministic AVG: exact decimal sum divided by count, rounded.
+    """Deterministic AVG, HALF-UP at ``scale`` decimals via ALL-INTEGER
+    arithmetic -- no double division anywhere near the rounding decision.
 
-    SQL twin: ``ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x), scale)``.
+    The old form (round(double(dec_sum)/count, scale)) diverged from the
+    DuckDB oracle on exact half cases: sum/count = x.xxxxxx5 makes Spark
+    HALF_UP the double's full decimal expansion while DuckDB rounds the
+    10^scale-scaled double, and the two disagree by one last-digit ulp.
+    Invisible at sf0.1; the sf1 replay hit it on its first run
+    (e1 avg_value = 13911.3/320 = 43.4728125 exactly).
+
+    New recipe, exact at every step: s = the 10^scale-scaled decimal sum
+    as int64; r = |s| mod n (exact JVM long op); the integer quotient
+    (|s|-r)/n is recovered through one double division whose TRUE result
+    is an exact integer (error ~q*2^-53 << 0.5, so round() restores it
+    bit-exactly for |avg| < 4.5e15/10^scale -- ample); the half-up bump is
+    the integer test 2r >= n.  The final avg = q/10^scale is one exact
+    double op both engines perform identically.
+
+    SQL twin (oracle `_davg`): same integers with DuckDB's native ``//``
+    and ``%``.  Bounds: |scaled sum| must fit int64 (< 9.2e18).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale).alias(alias)
+    p = 10**scale
+    s = (F.sum(c.cast(DEC)) * p).cast("long")
+    n = F.count(c)
+    s_abs = F.abs(s)
+    r = F.pmod(s_abs, n)
+    q = F.round((s_abs - r) / n).cast("long") + (F.lit(2) * r >= n).cast("long")
+    return (F.when(s < 0, -q).otherwise(q).cast("double") / F.lit(float(p))).alias(alias)
 
 
 def r4(col: Column, alias: str) -> Column:
