@@ -107,6 +107,13 @@ BENCH_QUERIES = [
     "c10_rule_filter",
     "g10_clustering_coefficient",
     "tpch_q18_big_orders",
+    # round 6 additions
+    "tpch_q4_late_orders",
+    "tpch_q13_custdist",
+    "t21_repetition_score",
+    "e14_out_of_order_audit",
+    "mm7_avi_frame_samples",
+    "g5_pagerank_cyclic_top100",  # shares the prepared-edge handle with g7
 ]
 
 
