@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.functions.hashing import (
+    md5_int32,
     md5_int32_lane_sql,
     md5_int32_lanes as md5_int32_lanes_col,
     md5_int32_sql,
@@ -2671,6 +2672,30 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dq4(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot column-profile drift (quality.profile_drift): orders
+    minus the %10==0 keys (u1's CDC convention) vs the full table -- per
+    column, exact null/distinct/row counts with ppm null rates; the
+    pre-consumption audit for a refreshed partition.  One scan per
+    snapshot, all metrics integer-exact."""
+    o = load_table(spark, sf, "orders")
+    old = o.where(F.col("o_orderkey") % 10 != 0)
+    return quality_ops.profile_drift(
+        old, o, ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_em6(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 scalar-quantization calibration + reconstruction-error profile
+    (similarity.scalar_quantization_profile): per-dim integer-micro
+    min/max, all-integer code/midpoint-reconstruction, exact max/total
+    error, machine-checked error bound -- the 4x memory lever for
+    RAM-resident ANN, engine-exact with zero float division."""
+    return similarity.scalar_quantization_profile(
+        load_table(spark, sf, "embeddings"), "embedding", n_levels=256
+    )
+
+
 def q_q4(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking, adapted to this schema's
     dates): per priority, how many orders have AT LEAST ONE line shipped
@@ -2794,6 +2819,40 @@ def q_se7(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_se8(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming KMV distinct-users-per-hour sketch (ev.stream_kmv_distinct)
+    across 3 genuine micro-batches: bounded state (64 hashes per hour,
+    regardless of user cardinality), and -- because KMV's merge is
+    union+dedup+recut -- the final estimate is a pure function of the hash
+    SET, so the DuckDB oracle replays n_tracked, the k-th minimum, AND the
+    integer estimate bit-for-bit (a hash-exact oracle for a sketch).
+    Hashes are computed Catalyst-side with the oracle-portable md5_int32
+    family before the stream ever sees a row."""
+    _utc(spark)
+    k = 64
+    e = load_events(spark, sf).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        md5_int32(F.col("user_id").cast("string"), seed="kmv").alias("hv"),
+        "ts",
+    )
+    out = _drive_stream(
+        spark,
+        e,
+        lambda src: ev.stream_kmv_distinct(spark, src, "hour", "hv", k=k, max_files_per_trigger=1),
+        "update",
+        "se8_",
+        n_files=3,
+        order_col="ts",
+    )
+    w_last = Window.partitionBy("group")
+    return (
+        out.withColumn("_mx", F.max("n_seen").over(w_last))
+        .where(F.col("n_seen") == F.col("_mx"))
+        .select(F.col("group").alias("hour"), "n_tracked", "kth_min", "est_distinct")
+        .orderBy("hour")
+    )
+
+
 def q_c10(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher/C4 hard rule filter funnel (textanalysis.rule_filter_stats):
     five integer-comparison rules per doc, per-source rejection counts +
@@ -2886,6 +2945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_custdist": q_q13,
         "t21_repetition_score": q_t21,
         "e14_out_of_order_audit": q_e14,
+        "dq4_profile_drift": q_dq4,
+        "em6_scalar_quantization": q_em6,
+        "se8_stream_kmv_distinct": q_se8,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4605,6 +4667,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        # se8: KMV's final state is a pure function of the hash SET, so the
+        # sketch's estimate replays exactly: k-th smallest distinct hash per
+        # hour, integer (k-1)*2^32 DIV kth when full, exact count otherwise.
+        "se8_stream_kmv_distinct": f"""
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour,
+                     {md5_int32_sql("CAST(user_id AS VARCHAR)", "kmv")} AS hv
+              FROM events),
+            d AS (SELECT DISTINCT hour, hv FROM h),
+            r AS (SELECT hour, hv,
+                         row_number() OVER (PARTITION BY hour ORDER BY hv) AS rn,
+                         COUNT(*) OVER (PARTITION BY hour) AS nd
+                  FROM d)
+            SELECT hour,
+                   CAST(LEAST(nd, 64) AS BIGINT) AS n_tracked,
+                   CAST(MAX(CASE WHEN rn = LEAST(nd, 64) THEN hv END) AS BIGINT) AS kth_min,
+                   CAST(CASE WHEN nd >= 64 AND MAX(CASE WHEN rn = 64 THEN hv END) > 0
+                             THEN (63 * 4294967296) // MAX(CASE WHEN rn = 64 THEN hv END)
+                             ELSE LEAST(nd, 64) END AS BIGINT) AS est_distinct
+            FROM r GROUP BY hour, nd ORDER BY hour
+        """,
+        # dq4: per-column profile pairs; each snapshot is one aggregate.
+        "dq4_profile_drift": """
+            WITH o AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS old_rows,
+                     CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS on1,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS od1,
+                     CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS on2,
+                     CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS od2,
+                     CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS on3,
+                     CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS od3,
+                     CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS on4,
+                     CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS od4
+              FROM orders WHERE o_orderkey % 10 != 0),
+            n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS new_rows,
+                     CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS nn1,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd1,
+                     CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS nn2,
+                     CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd2,
+                     CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS nn3,
+                     CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+                     CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS nn4,
+                     CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd4
+              FROM orders),
+            m AS (
+              SELECT * FROM (VALUES
+                ('o_custkey', 1), ('o_totalprice', 2), ('o_orderstatus', 3), ('o_orderpriority', 4)
+              ) AS v(col, i))
+            SELECT m.col AS "column", o.old_rows, n.new_rows,
+                   CASE m.i WHEN 1 THEN o.on1 WHEN 2 THEN o.on2 WHEN 3 THEN o.on3 ELSE o.on4 END AS old_nulls,
+                   CASE m.i WHEN 1 THEN n.nn1 WHEN 2 THEN n.nn2 WHEN 3 THEN n.nn3 ELSE n.nn4 END AS new_nulls,
+                   (1000000 * CASE m.i WHEN 1 THEN o.on1 WHEN 2 THEN o.on2 WHEN 3 THEN o.on3 ELSE o.on4 END) // o.old_rows AS old_null_ppm,
+                   (1000000 * CASE m.i WHEN 1 THEN n.nn1 WHEN 2 THEN n.nn2 WHEN 3 THEN n.nn3 ELSE n.nn4 END) // n.new_rows AS new_null_ppm,
+                   CASE m.i WHEN 1 THEN o.od1 WHEN 2 THEN o.od2 WHEN 3 THEN o.od3 ELSE o.od4 END AS old_distinct,
+                   CASE m.i WHEN 1 THEN n.nd1 WHEN 2 THEN n.nd2 WHEN 3 THEN n.nd3 ELSE n.nd4 END AS new_distinct,
+                   CASE m.i WHEN 1 THEN n.nd1 - o.od1 WHEN 2 THEN n.nd2 - o.od2
+                            WHEN 3 THEN n.nd3 - o.od3 ELSE n.nd4 - o.od4 END AS distinct_delta
+            FROM m, o, n ORDER BY "column"
+        """,
+        # em6: the entire SQ8 pipeline is integer micros; DuckDB replays
+        # calibration, code, midpoint reconstruction, and error exactly.
+        "em6_scalar_quantization": """
+            WITH pos AS (
+              SELECT t.i - 1 AS dim,
+                     CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x_m
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+            calib AS (SELECT dim, MIN(x_m) AS min_m, MAX(x_m) AS max_m FROM pos GROUP BY dim),
+            s AS (
+              SELECT p.dim, p.x_m, c.min_m, c.max_m,
+                     ((p.x_m - c.min_m) * 256) // (c.max_m - c.min_m + 1) AS code
+              FROM pos p JOIN calib c USING (dim)),
+            e AS (
+              SELECT dim, min_m, max_m,
+                     ABS(x_m - (min_m + ((2 * code + 1) * (max_m - min_m + 1)) // 512)) AS err
+              FROM s)
+            SELECT dim, CAST(MIN(min_m) AS BIGINT) AS min_m, CAST(MAX(max_m) AS BIGINT) AS max_m,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   CAST(MAX(err) AS BIGINT) AS max_err_m,
+                   CAST(SUM(err) AS BIGINT) AS sum_err_m,
+                   CAST(MAX(err) <= (MAX(max_m) - MIN(min_m) + 1) // 512 + 1 AS BIGINT) AS within_bound
+            FROM e GROUP BY dim ORDER BY dim
         """,
         # e14: lateness vs the per-user running max over ARRIVAL order
         # (event_id); exact integer micros, window frame excludes self.

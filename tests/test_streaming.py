@@ -465,3 +465,30 @@ def test_out_of_order_audit_zero_on_sorted_stream(spark):
     }
     assert out["view"]["n_late"] == 0 and out["view"]["max_late_us"] == 0
     assert out["click"]["n_late"] == 1 and out["click"]["max_late_us"] == 5_000_000
+
+
+def test_kmv_merge_is_batch_boundary_invariant():
+    """se8's state merge (union + dedup + keep k smallest) must yield the
+    same summary however the input is split into batches -- that is the
+    property that makes the streaming sketch's estimate batch-replayable."""
+    import pandas as pd
+
+    hashes = [(h * 2654435761) % (2**32) for h in range(1, 301)]
+    k = 64
+
+    def fold(batches):
+        hs = []
+        for b in batches:
+            merged = set(hs)
+            merged.update(b)
+            hs = sorted(merged)[:k]
+        return hs
+
+    one = fold([hashes])
+    three = fold([hashes[:100], hashes[100:150], hashes[150:]])
+    shuffled = fold([hashes[::3], hashes[1::3], hashes[2::3]])
+    assert one == three == shuffled
+    assert len(one) == k
+    # the KMV estimate is within a reasonable band of the true count (300)
+    est = (k - 1) * 4294967296 // one[-1]
+    assert 150 <= est <= 600, est

@@ -212,3 +212,54 @@ def fact_reconciliation(
         F.sum(F.when(diff > tolerance_micros, 1).otherwise(0)).cast("long").alias("n_mismatched"),
         F.sum(diff).cast("long").alias("total_drift_micros"),
     )
+
+
+def profile_drift(old: DataFrame, new: DataFrame, cols: list[str]) -> DataFrame:
+    """Snapshot-over-snapshot column-profile drift: per column, row count,
+    null count + null-rate ppm, and exact distinct count for BOTH
+    snapshots, plus the distinct-count delta -- the "did yesterday's load
+    change the shape of this table" audit that runs before anything
+    consumes a new partition (psi_drift's structural sibling: PSI watches
+    one numeric distribution, this watches schema-wide cardinality/null
+    health).
+
+    All metrics are exact integers (counts, ppm by integer DIV), so the
+    report is engine-exact.  Scale shape: ONE pass per snapshot computing
+    every column's metrics in a single aggregate row (count + count(col)
+    + countDistinct(col) per column -- Spark plans one Expand for the
+    multi-distinct, still a single scan), then a model-sized (|cols|-row)
+    reshape driver-free via stack.  Returns one row per column:
+    (column, old_rows, new_rows, old_nulls, new_nulls, old_null_ppm,
+    new_null_ppm, old_distinct, new_distinct, distinct_delta).
+    """
+
+    def snapshot(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias(f"{tag}_rows")]
+        for c in cols:
+            aggs.append((F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{tag}_nulls__{c}"))
+            aggs.append(F.countDistinct(c).cast("long").alias(f"{tag}_distinct__{c}"))
+        return df.agg(*aggs)
+
+    o, n = snapshot(old, "old"), snapshot(new, "new")
+    wide = o.crossJoin(n)  # 1 row x 1 row: the only sanctioned crossJoin shape
+    stacked = []
+    for c in cols:
+        stacked.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("old_rows"),
+                F.col("new_rows"),
+                F.col(f"old_nulls__{c}").alias("old_nulls"),
+                F.col(f"new_nulls__{c}").alias("new_nulls"),
+                F.expr(f"(1000000 * old_nulls__{c}) DIV old_rows").alias("old_null_ppm"),
+                F.expr(f"(1000000 * new_nulls__{c}) DIV new_rows").alias("new_null_ppm"),
+                F.col(f"old_distinct__{c}").alias("old_distinct"),
+                F.col(f"new_distinct__{c}").alias("new_distinct"),
+                (F.col(f"new_distinct__{c}") - F.col(f"old_distinct__{c}")).alias("distinct_delta"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*stacked)).alias("m"))
+        .select("m.*")
+        .orderBy("column")
+    )

@@ -784,3 +784,59 @@ def filtered_topk(
         .drop("_qf", "_cf")
     )
     return _topk_per_query(scored, k)
+
+
+def scalar_quantization_profile(emb: DataFrame, vec_col: str, n_levels: int = 256) -> DataFrame:
+    """Int8-style scalar quantization (SQ8) calibration + reconstruction-
+    error profile, per dimension -- the memory lever that makes
+    billion-vector ANN serve from RAM (4 bytes -> 1 byte per dim; this is
+    what FAISS's SQ8 / IVF_SQ8 does before ADC scoring).
+
+    Engine-exact formulation: every value pre-quantizes to integer micros
+    via floor(double(x) * 1e6 + 0.5) -- pure IEEE double ops both engines
+    execute bit-identically (a decimal(18,6) CAST instead rounds float32
+    half-digits differently across engines: measured +/-1 micro on ~0.1%
+    of elements); calibration is a
+    per-dim integer (min_m, max_m) aggregate (model-sized: dim rows), and
+    the code/reconstruction are ALL-integer maps:
+        width = max_m - min_m + 1              (micro units)
+        code  = ((x_m - min_m) * n_levels) DIV width        in [0, n)
+        recon = min_m + ((2*code + 1) * width) DIV (2*n)    (cell midpoint)
+    so max/total absolute error per dim replay bit-for-bit on any engine
+    -- no float division anywhere (the dec_avg lesson).  The theoretical
+    bound err <= width DIV (2*n_levels) + 1 micro ships alongside as a
+    machine-checkable gate bit.
+
+    Scale shape: posexplode -> ONE (dim)-keyed calibration aggregate
+    (broadcast back: dim rows) -> map-side code/recon/error -> ONE
+    (dim)-keyed error aggregate.  Nothing data-sized ever sits on the
+    driver.  Returns per dim: (dim, min_m, max_m, n_vectors, max_err_m,
+    sum_err_m, within_bound).
+    """
+    pos = emb.select(F.posexplode(F.col(vec_col)).alias("dim", "v")).select(
+        "dim", F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5)).cast("long").alias("x_m")
+    )
+    calib = pos.groupBy("dim").agg(F.min("x_m").alias("min_m"), F.max("x_m").alias("max_m"))
+    j = pos.join(F.broadcast(calib), "dim")
+    code = F.expr(f"((x_m - min_m) * {n_levels}) DIV (max_m - min_m + 1)")
+    recon = F.col("min_m") + F.expr(f"((2 * __code + 1) * (max_m - min_m + 1)) DIV {2 * n_levels}")
+    scored = (
+        j.withColumn("__code", code)
+        .withColumn("__recon", recon)
+        .withColumn("__err", F.abs(F.col("x_m") - F.col("__recon")))
+    )
+    return (
+        scored.groupBy("dim")
+        .agg(
+            F.min("min_m").cast("long").alias("min_m"),
+            F.max("max_m").cast("long").alias("max_m"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.max("__err").cast("long").alias("max_err_m"),
+            F.sum("__err").cast("long").alias("sum_err_m"),
+        )
+        .withColumn(
+            "within_bound",
+            F.expr(f"CAST(max_err_m <= (max_m - min_m + 1) DIV {2 * n_levels} + 1 AS LONG)"),
+        )
+        .orderBy("dim")
+    )

@@ -676,3 +676,71 @@ def stream_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_kmv_distinct(
+    spark: SparkSession,
+    source_dir: str,
+    group_col: str = "hour",
+    hash_col: str = "hv",
+    k: int = 64,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming KMV (k-minimum-values) distinct-count sketch per group:
+    bounded-state cardinality estimation (Bar-Yossef et al. 2002) -- the
+    "distinct users per hour, but state must not grow with |users|"
+    primitive, the sketch twin of the batch a12 gate.
+
+    State per group is the ``k`` smallest DISTINCT hashes seen plus the
+    monotone n_seen row count -- merge is union+dedup+recut, so the final
+    state is a pure function of the SET of hashes, independent of
+    micro-batch boundaries.  That makes the ESTIMATE itself replayable
+    bit-for-bit by a batch engine (rare for a sketch): with the summary
+    full, est = (k-1)*2^32 DIV kth_min (integer), else the exact tracked
+    count.  The caller computes the hash Catalyst-side (md5_int32 family,
+    oracle-portable); this operator only merges integers.
+
+    Emits (group, n_tracked, kth_min, est_distinct, n_seen) per
+    micro-batch in update mode; the final summary per group is the rows
+    with that group's max n_seen.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import state as _state  # GroupStateTimeout
+
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            hs, n_seen = state.get
+            hs = list(hs)
+        else:
+            hs, n_seen = [], 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_seen += len(pdf)
+            merged = set(hs)
+            merged.update(int(v) for v in pdf[hash_col])
+            hs = sorted(merged)[:k]
+        state.update((hs, n_seen))
+        n_tracked = len(hs)
+        kth = hs[-1] if hs else 0
+        full = n_tracked >= k
+        est = ((k - 1) * 4294967296) // kth if full and kth > 0 else n_tracked
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "n_tracked": [n_tracked],
+                "kth_min": [kth],
+                "est_distinct": [est],
+                "n_seen": [n_seen],
+            }
+        )
+
+    return stream.withColumnRenamed(group_col, "group").groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType="group timestamp, n_tracked long, kth_min long, est_distinct long, n_seen long",
+        stateStructType="hs array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=_state.GroupStateTimeout.NoTimeout,
+    )
