@@ -2672,6 +2672,19 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_g12(spark: SparkSession, sf: str) -> DataFrame:
+    """Capped bipartite projection (graph.copurchase_edges): the part
+    co-purchase edge list built as one groupBy + in-array pair expansion
+    with max_group_size=8 -- the scale guard the naive self-join build
+    (g6/g9/g10's current inputs) lacks: one 10k-item group is a 5*10^7-
+    pair task at 100 TB.  Over-cap orders drop entirely; the oracle
+    mirrors the cap, so the trade-off is machine-checked, and the sf0.01
+    order-size distribution (up to ~13 parts) guarantees the cap path
+    actually fires."""
+    li = load_table(spark, sf, "lineitem")
+    return graph.copurchase_edges(li, "l_orderkey", "l_partkey", max_group_size=8).orderBy("src", "dst")
+
+
 def q_dq4(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot column-profile drift (quality.profile_drift): orders
     minus the %10==0 keys (u1's CDC convention) vs the full table -- per
@@ -2948,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq4_profile_drift": q_dq4,
         "em6_scalar_quantization": q_em6,
         "se8_stream_kmv_distinct": q_se8,
+        "g12_copurchase_capped": q_g12,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4667,6 +4681,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        # g12: capped bipartite projection -- list positions i < j expand
+        # each within-cap group's sorted distinct items to ordered pairs.
+        "g12_copurchase_capped": """
+            WITH g AS (
+              SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS items
+              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_orderkey),
+            f AS (SELECT items FROM g WHERE len(items) BETWEEN 2 AND 8)
+            SELECT DISTINCT items[i.i] AS src, items[j.j] AS dst
+            FROM f,
+                 unnest(generate_series(1, len(items))) AS i(i),
+                 unnest(generate_series(1, len(items))) AS j(j)
+            WHERE i.i < j.j
+            ORDER BY src, dst
         """,
         # se8: KMV's final state is a pure function of the hash SET, so the
         # sketch's estimate replays exactly: k-th smallest distinct hash per

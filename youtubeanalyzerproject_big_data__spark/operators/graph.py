@@ -902,3 +902,48 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
         "n_edges", "sum_jk", "sum_j_plus_k", "sum_j2_plus_k2", "assortativity_micro",
         F.round(F.col("assortativity_micro") / 1e6, 6).alias("assortativity"),
     )
+
+
+def copurchase_edges(
+    facts: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Bipartite-projection edge builder: one undirected (src < dst) edge
+    per pair of distinct items sharing a group (parts per order, videos
+    per session) -- the standard co-occurrence graph construction feeding
+    g6/g9/g10-class analytics.
+
+    Built as ONE groupBy(group) + in-array pair expansion (the dedup
+    _pairs_from_groups shape), never a self-join: a fact-fact self-join on
+    the group key shuffles the fact table twice and re-materializes every
+    group as a join product.  ``max_group_size`` is the scale guard the
+    naive build lacks: a single degenerate group of g items expands to
+    g*(g-1)/2 pairs INSIDE ONE TASK (a 10k-item order is a 5*10^7-pair
+    task; groups grow with corpus size at 100 TB), so a finite cap drops
+    over-cap groups entirely -- the documented trade-off, mirrored in the
+    gate oracle.  None = exact (the g6/g9/g10 inputs at current gate
+    scale).
+
+    Returns distinct (src, dst) with src < dst.
+    """
+    arr = (
+        facts.select(F.col(group_col).alias("g"), F.col(item_col).alias("i"))
+        .where(F.col("i").isNotNull() & F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("i")).alias("items"))
+        .where(F.size("items") >= 2)
+    )
+    if max_group_size is not None:
+        arr = arr.where(F.size("items") <= max_group_size)
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return arr.select(F.explode(pairs).alias("p")).select("p.src", "p.dst").distinct()
