@@ -32,6 +32,7 @@ from youtubeanalyzerproject_big_data__spark.functions.hashing import (
     md5_int32_sql,
 )
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize as textfns_normalize
+from youtubeanalyzerproject_big_data__spark.functions import zorder as zorder_fns
 from youtubeanalyzerproject_big_data__spark.functions.zorder import hilbert_sql_2d
 from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum
 from youtubeanalyzerproject_big_data__spark.io import load_events, load_table
@@ -2672,6 +2673,43 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t22(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source bigram novelty vs a reference corpus (textanalysis.
+    bigram_novelty): corpus = doc_id % 7 != 0 scored against the % 7 == 0
+    reference slice -- exact md5-keyed anti-join, integer ppm; the
+    freshness profile that weights sources against an already-trained
+    mix (c3's additive counterpart)."""
+    docs = load_table(spark, sf, "documents")
+    return text.bigram_novelty(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        "source",
+    )
+
+
+def q_l5(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map skip audit (zorder.zonemap_skip_report): the same orders
+    table cut into 200-row zones under TWO layouts -- clustered by the
+    probe column (o_custkey) vs sorted by time -- probed with
+    o_custkey IN [100, 200].  The report quantifies what a clustering
+    rewrite buys in skippable zones BEFORE paying for it at 100 TB; the
+    custkey layout must skip nearly everything, the time layout nearly
+    nothing, and both replay engine-exactly (zones are data-derived
+    positions, not physical files)."""
+    _utc(spark)
+    o = load_table(spark, sf, "orders")
+    by_key = zorder_fns.zonemap_skip_report(
+        o, F.col("o_custkey"), "o_custkey", 100, 200, rows_per_zone=200
+    ).select(F.lit("custkey_sorted").alias("layout"), "*")
+    by_time = zorder_fns.zonemap_skip_report(
+        # NTZ -> timestamp under the pinned UTC session == DuckDB's epoch_us
+        o, F.unix_micros(F.col("o_orderdate").cast("timestamp")), "o_custkey", 100, 200, rows_per_zone=200
+    ).select(F.lit("date_sorted").alias("layout"), "*")
+    return by_key.unionByName(by_time).orderBy("layout")
+
+
 def q_g12(spark: SparkSession, sf: str) -> DataFrame:
     """Capped bipartite projection (graph.copurchase_edges): the part
     co-purchase edge list built as one groupBy + in-array pair expansion
@@ -2962,6 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em6_scalar_quantization": q_em6,
         "se8_stream_kmv_distinct": q_se8,
         "g12_copurchase_capped": q_g12,
+        "t22_bigram_novelty": q_t22,
+        "l5_zonemap_skip_report": q_l5,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4681,6 +4721,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        # t22: same lower(trim)+whitespace tokenization and adjacent-pair
+        # bigrams as t21; novelty = anti-join on md5 keys, integer ppm.
+        "t22_bigram_novelty": r"""
+            WITH tk AS (SELECT doc_id, source,
+                               list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+                        FROM documents),
+            cb AS (SELECT doc_id, source,
+                          md5(unnest(list_transform(generate_series(1, len(toks) - 1),
+                                                    i -> toks[i] || ' ' || toks[i + 1]))) AS bh
+                   FROM tk WHERE doc_id % 7 != 0 AND len(toks) >= 2),
+            rf AS (SELECT DISTINCT md5(unnest(list_transform(generate_series(1, len(toks) - 1),
+                                                             i -> toks[i] || ' ' || toks[i + 1]))) AS bh
+                   FROM tk WHERE doc_id % 7 = 0 AND len(toks) >= 2),
+            nov AS (SELECT cb.source, COUNT(*) AS n_novel
+                    FROM cb LEFT JOIN rf ON cb.bh = rf.bh WHERE rf.bh IS NULL GROUP BY cb.source),
+            tot AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+                    FROM cb GROUP BY source)
+            SELECT tot.source AS "group", tot.n_docs, tot.n_bigrams,
+                   CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+                   (1000000 * CAST(COALESCE(nov.n_novel, 0) AS BIGINT)) // tot.n_bigrams AS novelty_ppm
+            FROM tot LEFT JOIN nov ON tot.source = nov.source
+            ORDER BY "group"
+        """,
+        # l5: zones are data-derived rank ranges, so plain row_number
+        # replays them; two layouts, one probe.
+        "l5_zonemap_skip_report": """
+            WITH r1 AS (SELECT o_custkey AS p,
+                               row_number() OVER (ORDER BY o_custkey, o_custkey) - 1 AS rn
+                        FROM orders),
+            z1 AS (SELECT rn // 200 AS z, MIN(p) AS zmin, MAX(p) AS zmax, COUNT(*) AS zn FROM r1 GROUP BY 1),
+            s1 AS (SELECT 'custkey_sorted' AS layout,
+                          CAST(SUM(zn) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_zones,
+                          CAST(SUM(CASE WHEN zmax >= 100 AND zmin <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_zones_hit,
+                          CAST(SUM(CASE WHEN NOT (zmax >= 100 AND zmin <= 200) THEN 1 ELSE 0 END) AS BIGINT) AS n_zones_skipped,
+                          (1000000 * SUM(CASE WHEN NOT (zmax >= 100 AND zmin <= 200) THEN 1 ELSE 0 END)) // COUNT(*) AS skip_ppm
+                   FROM z1),
+            r2 AS (SELECT o_custkey AS p,
+                          row_number() OVER (ORDER BY epoch_us(o_orderdate), o_custkey) - 1 AS rn
+                   FROM orders),
+            z2 AS (SELECT rn // 200 AS z, MIN(p) AS zmin, MAX(p) AS zmax, COUNT(*) AS zn FROM r2 GROUP BY 1),
+            s2 AS (SELECT 'date_sorted' AS layout,
+                          CAST(SUM(zn) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_zones,
+                          CAST(SUM(CASE WHEN zmax >= 100 AND zmin <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_zones_hit,
+                          CAST(SUM(CASE WHEN NOT (zmax >= 100 AND zmin <= 200) THEN 1 ELSE 0 END) AS BIGINT) AS n_zones_skipped,
+                          (1000000 * SUM(CASE WHEN NOT (zmax >= 100 AND zmin <= 200) THEN 1 ELSE 0 END)) // COUNT(*) AS skip_ppm
+                   FROM z2)
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY layout
         """,
         # g12: capped bipartite projection -- list positions i < j expand
         # each within-cap group's sorted distinct items to ordered pairs.

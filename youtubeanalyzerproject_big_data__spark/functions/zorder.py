@@ -14,7 +14,7 @@ you pay once so every later scan prunes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,3 +133,70 @@ def hilbert_sql_2d(base_sql: str, id_cols: str, bits: int = 8, out_name: str = "
             f"FROM ({sql})"
         )
     return f"SELECT {id_cols}, CAST(hd AS BIGINT) AS {out_name} FROM ({sql})"
+
+
+def zonemap_skip_report(
+    df: DataFrame,
+    sort_key: Column,
+    probe_col: str,
+    probe_lo: float,
+    probe_hi: float,
+    rows_per_zone: int = 1000,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Zone-map effectiveness audit: lay the table out in ``sort_key``
+    order, cut it into fixed-size zones (the logical stand-in for files /
+    row groups), record each zone's (min, max) of ``probe_col``, and count
+    how many zones a range predicate on probe_col could SKIP -- the number
+    that tells you whether a clustering key actually buys IO pruning
+    before you pay to rewrite 100 TB.  Compare the report for a z-order /
+    Hilbert key against a single-column or time sort to choose the layout.
+
+    Zones are DATA-derived (global position in (sort_key, probe) order),
+    not physical files, so the report is deterministic and engine-exact.
+    The global rank follows the c5/c7 distributed-prefix-sum discipline --
+    never a single-reducer window: rows bucket by an order-preserving
+    integer prefix of the sort key ((sk - min) DIV span over ``n_buckets``
+    spans, from one 2-scalar min/max collect), rank locally per bucket,
+    and offset by the model-sized exclusive prefix sum of bucket counts
+    (broadcast back).  Zone stats depend only on the sorted multiset of
+    (sort_key, probe) values, so ties across bucket boundaries cannot
+    change the report.  Returns one row:
+    (n_rows, n_zones, n_zones_hit, n_zones_skipped, skip_ppm).
+    """
+    keyed = df.select(sort_key.cast("long").alias("_sk"), F.col(probe_col).alias("_p"))
+    row = keyed.agg(F.min("_sk").alias("lo"), F.max("_sk").alias("hi")).collect()[0]
+    lo, hi = int(row["lo"]), int(row["hi"])
+    span = max(1, (hi - lo) // n_buckets + 1)
+    d = keyed.withColumn("_bucket", F.expr(f"(_sk - {lo}) DIV {span}"))
+    w_local = Window.partitionBy("_bucket").orderBy("_sk", "_p")
+    local = d.withColumn("_lr", F.row_number().over(w_local) - 1)
+    # exclusive prefix sum over <= n_buckets rows (model-sized); constant-
+    # valued pmod partition keeps WindowExec's warning out (sk3 rule)
+    w_buckets = (
+        Window.partitionBy(F.pmod(F.col("_bucket"), F.lit(1)))
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_buckets), F.lit(0)).cast("long"))
+        .select("_bucket", "_off")
+    )
+    zoned = local.join(F.broadcast(offsets), "_bucket").select(
+        "_p", F.expr(f"(_off + _lr) DIV {rows_per_zone}").alias("_zone")
+    )
+    zones = zoned.groupBy("_zone").agg(
+        F.min("_p").alias("zmin"), F.max("_p").alias("zmax"), F.count(F.lit(1)).alias("zn")
+    )
+    hit = (F.col("zmax") >= probe_lo) & (F.col("zmin") <= probe_hi)
+    return zones.agg(
+        F.sum("zn").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_zones"),
+        F.sum(hit.cast("long")).cast("long").alias("n_zones_hit"),
+        F.sum((~hit).cast("long")).cast("long").alias("n_zones_skipped"),
+        F.expr(
+            f"(1000000 * SUM(CASE WHEN NOT (zmax >= {probe_lo} AND zmin <= {probe_hi}) THEN 1 ELSE 0 END)) DIV COUNT(1)"
+        ).alias("skip_ppm"),
+    )

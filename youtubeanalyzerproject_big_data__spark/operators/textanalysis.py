@@ -1232,3 +1232,58 @@ def repetition_scores(docs: DataFrame, id_col: str, text_col: str, k: int = 20) 
         .orderBy(F.col("rep_micro").desc(), "doc_id")
         .limit(k)
     )
+
+
+def bigram_novelty(
+    corpus: DataFrame, reference: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group novelty profile: what fraction of each group's bigram
+    OCCURRENCES never appear in a reference corpus -- the freshness /
+    redundancy score used to weight sources against an already-trained
+    mix (the additive counterpart of c3's containment decontamination:
+    c3 flags overlap, this QUANTIFIES non-overlap).
+
+    Exact formulation: corpus bigrams left-anti-join the reference's
+    DISTINCT bigram set on md5 keys (bigram text never shuffles -- the
+    repo's narrow-key invariant), novelty_ppm = (1e6 * novel) DIV total
+    per group, all int64.  At 100 TB the reference set would sit behind a
+    Bloom filter (bf1's machinery) with a documented false-positive bite;
+    the exact join IS the oracle-clean baseline and stays shuffle-bounded
+    (hashes only, reference side deduped before the join).
+
+    Returns per group: (group, n_docs, n_bigrams, n_novel, novelty_ppm).
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit(""))
+
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    cb = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"), F.col(text_col))
+        .repartition(n_part)
+        .select("doc_id", "grp", F.explode(adjacent_pairs(toks)).alias("bigram"))
+        .select("doc_id", "grp", F.md5("bigram").alias("bh"))
+    )
+    ref = (
+        reference.select(F.col(text_col))
+        .repartition(n_part)
+        .select(F.explode(adjacent_pairs(toks)).alias("bigram"))
+        .select(F.md5("bigram").alias("bh"))
+        .distinct()
+    )
+    marked = cb.join(ref, "bh", "left_anti").groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    totals = cb.groupBy("grp").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+    return (
+        totals.join(marked, "grp", "left")
+        .select(
+            F.col("grp").alias("group"),
+            "n_docs",
+            "n_bigrams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr("(1000000 * COALESCE(n_novel, 0)) DIV n_bigrams").alias("novelty_ppm"),
+        )
+        .orderBy("group")
+    )
