@@ -2673,6 +2673,64 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations in either direction, by ship year -- supplier-side nation via
+    lineitem->supplier, customer-side via lineitem->orders->customer; both
+    dimension chains broadcast, the two fact-fact joins shuffle on their
+    keys.  Decimal-exact revenue; UTC year extraction."""
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1, n2 = ("NATION_1", "NATION_2")  # fixture nation names
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))), F.col("c_nationkey") == F.col("cnk"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        df.groupBy("supp_nation", "cust_nation", F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("l_year"))
+        .agg(dec_sum(rev, "revenue"), F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    (l_returnflag = 'R') per customer, top 20 -- fact-fact join shuffles
+    once, customer broadcast-enriches only the qualifying aggregate,
+    decimal-exact revenue, deterministic (revenue desc, custkey) cut."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(dec_sum(rev, "revenue"), F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "c_mktsegment", F.round("revenue", 4).alias("revenue"), "n_lines")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 def q_t22(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source bigram novelty vs a reference corpus (textanalysis.
     bigram_novelty): corpus = doc_id % 7 != 0 scored against the % 7 == 0
@@ -3002,6 +3060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_copurchase_capped": q_g12,
         "t22_bigram_novelty": q_t22,
         "l5_zonemap_skip_report": q_l5,
+        "tpch_q7_nation_volume": q_q7,
+        "tpch_q10_returned_items": q_q10,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4721,6 +4781,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        "tpch_q7_nation_volume": f"""
+            WITH j AS (
+              SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                     l.l_extendedprice, l.l_discount
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                 OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            SELECT supp_nation, cust_nation, l_year,
+                   {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM j GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10_returned_items": f"""
+            WITH pc AS (
+              SELECT o.o_custkey, {_dsum(_REV)} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R' GROUP BY o.o_custkey)
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+                   ROUND(pc.revenue, 4) AS revenue, pc.n_lines
+            FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+            ORDER BY ROUND(pc.revenue, 4) DESC, c.c_custkey LIMIT 20
         """,
         # t22: same lower(trim)+whitespace tokenization and adjacent-pair
         # bigrams as t21; novelty = anti-join on md5 keys, integer ppm.
