@@ -519,3 +519,58 @@ def test_semantic_dedup_pairs_are_cell_bounded(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") <= 1
     spark.catalog.clearCache()
+
+
+def test_copurchase_build_is_groupby_not_selfjoin(spark):
+    """g12: the capped projection must plan as groupBy + in-array pair
+    expansion -- NO join operator at all (the naive build self-joins the
+    fact table), and only the two hash shuffles (group collect, distinct)."""
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators.graph import copurchase_edges
+
+    li = load_table(spark, SF, "lineitem")
+    plan = _plan(copurchase_edges(li, "l_orderkey", "l_partkey", max_group_size=8))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_zonemap_report_has_no_global_data_window(spark):
+    """l5: the only unpartitioned-looking window runs over the model-sized
+    bucket totals; the data-level rank window must partition by _bucket,
+    and offsets return via broadcast (c5/c7 discipline)."""
+    import re
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.functions.zorder import zonemap_skip_report
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF, "orders")
+    plan = _plan(zonemap_skip_report(o, F.col("o_custkey"), "o_custkey", 100, 200, rows_per_zone=200))
+    specs = [s for s in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan) if True]
+    # every Window has a non-empty partition spec (bucket or pmod constant)
+    assert specs and all(s.strip() for s in specs), specs
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sq8_calibration_broadcasts(spark):
+    """em6: the dim-sized calibration table must broadcast back to the
+    posexploded elements -- the element stream is never shuffled twice."""
+    plan = _plan(entrymod.q_em6(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q7_dimension_chains_broadcast(spark):
+    """tpch_q7: supplier/customer/nation chains broadcast; at most the
+    fact-fact lineitem-orders join may sort-merge."""
+    plan = _plan(entrymod.q_q7(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q10_aggregates_before_broadcast_enrich(spark):
+    """tpch_q10: customer enrichment joins the AGGREGATE (broadcast), and
+    the top-20 compiles to TakeOrderedAndProject, not a full sort."""
+    plan = _plan(entrymod.q_q10(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
