@@ -2673,6 +2673,33 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_i3(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental distinct-count state maintenance (merge.kmv_state /
+    merge_kmv_state / kmv_estimate): per-hour KMV summaries for the
+    event_id % 10 != 0 history fold in the % 10 == 0 batch via the
+    2k-rows-per-group merge; the oracle recomputes the estimate from the
+    FULL table -- equality IS the mergeability proof (i1/i2's argument
+    applied to cardinality; se8 is the streaming twin, same integer
+    estimate formula)."""
+    from youtubeanalyzerproject_big_data__spark.operators.merge import (
+        kmv_estimate,
+        kmv_state,
+        merge_kmv_state,
+    )
+
+    _utc(spark)
+    k = 64
+    e = load_events(spark, sf).select(
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        md5_int32(F.col("user_id").cast("string"), seed="kmv").alias("hv"),
+    )
+    base = kmv_state(e.where(F.col("event_id") % 10 != 0), ["hour"], "hv", k=k)
+    batch = kmv_state(e.where(F.col("event_id") % 10 == 0), ["hour"], "hv", k=k)
+    merged = merge_kmv_state(base, batch, ["hour"], k=k)
+    return kmv_estimate(merged, ["hour"], k=k).orderBy("hour")
+
+
 def q_q7(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): revenue flowing between two
     nations in either direction, by ship year -- supplier-side nation via
@@ -3062,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l5_zonemap_skip_report": q_l5,
         "tpch_q7_nation_volume": q_q7,
         "tpch_q10_returned_items": q_q10,
+        "i3_incremental_kmv": q_i3,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4781,6 +4809,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        # i3: the full-table recompute -- equality with the merged
+        # incremental state IS the KMV mergeability proof (same body as
+        # se8's oracle minus the streaming drive).
+        "i3_incremental_kmv": f"""
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour,
+                     {md5_int32_sql("CAST(user_id AS VARCHAR)", "kmv")} AS hv
+              FROM events),
+            d AS (SELECT DISTINCT hour, hv FROM h),
+            r AS (SELECT hour, hv,
+                         row_number() OVER (PARTITION BY hour ORDER BY hv) AS rn,
+                         COUNT(*) OVER (PARTITION BY hour) AS nd
+                  FROM d)
+            SELECT hour,
+                   CAST(LEAST(nd, 64) AS BIGINT) AS n_tracked,
+                   CAST(MAX(CASE WHEN rn = LEAST(nd, 64) THEN hv END) AS BIGINT) AS kth_min,
+                   CAST(CASE WHEN nd >= 64 AND MAX(CASE WHEN rn = 64 THEN hv END) > 0
+                             THEN (63 * 4294967296) // MAX(CASE WHEN rn = 64 THEN hv END)
+                             ELSE LEAST(nd, 64) END AS BIGINT) AS est_distinct
+            FROM r GROUP BY hour, nd ORDER BY hour
         """,
         "tpch_q7_nation_volume": f"""
             WITH j AS (

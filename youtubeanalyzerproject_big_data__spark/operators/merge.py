@@ -239,3 +239,47 @@ def merge_topk_state(
         batch_state.select(*group_cols, id_col, order_col)
     )
     return topk_state(u, group_cols, order_col, id_col, k)
+
+
+def kmv_state(df: DataFrame, group_cols: list[str], hash_col: str, k: int = 64) -> DataFrame:
+    """Per-group KMV cardinality state as a mergeable summary table:
+    (group, rank, hv) -- the ``k`` smallest DISTINCT hashes, one row per
+    kept hash (i1/i2's state-table convention; se8 is the streaming twin).
+    KMV is exactly mergeable: the k smallest of A ∪ B equal the k smallest
+    of kmv(A) ∪ kmv(B), so maintenance never rescans history.
+
+    Built as distinct + a group-partitioned rank window (NOT collect_set:
+    per-group distinct cardinality is unbounded at 100 TB, and an array
+    aggregate would hold it in one buffer; the window streams it)."""
+    w = Window.partitionBy(*group_cols).orderBy(hash_col)
+    return (
+        df.select(*group_cols, F.col(hash_col).alias("hv"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def merge_kmv_state(state: DataFrame, batch_state: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Fold a batch's KMV state into the standing state: union the two
+    k-bounded hash lists, dedup, re-cut -- 2k rows per group shuffle,
+    history never rescanned."""
+    u = state.select(*group_cols, "hv").unionByName(batch_state.select(*group_cols, "hv"))
+    return kmv_state(u, group_cols, "hv", k)
+
+
+def kmv_estimate(state: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Collapse a KMV state table to per-group cardinality estimates:
+    (group, n_tracked, kth_min, est_distinct) with the same all-integer
+    formula as se8 -- (k-1)*2^32 DIV kth_min when full, exact tracked
+    count otherwise -- so batch and streaming sketches are comparable
+    row-for-row."""
+    agg = state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tracked"),
+        F.max("hv").cast("long").alias("kth_min"),
+    )
+    est = F.when(
+        (F.col("n_tracked") >= k) & (F.col("kth_min") > 0),
+        F.expr(f"({k - 1} * 4294967296) DIV kth_min"),
+    ).otherwise(F.col("n_tracked"))
+    return agg.select(*group_cols, "n_tracked", "kth_min", est.cast("long").alias("est_distinct"))
