@@ -110,10 +110,18 @@ BENCH_QUERIES = [
     # round 6 additions
     "tpch_q4_late_orders",
     "tpch_q13_custdist",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
     "t21_repetition_score",
+    "t22_bigram_novelty",
     "e14_out_of_order_audit",
     "mm7_avi_frame_samples",
     "g5_pagerank_cyclic_top100",  # shares the prepared-edge handle with g7
+    "g12_copurchase_capped",
+    "em6_scalar_quantization",
+    "dq4_profile_drift",
+    "l5_zonemap_skip_report",
+    "i3_incremental_kmv",
 ]
 
 
