@@ -333,3 +333,17 @@ def test_prepared_weighted_edges_shared_across_rank_variants(spark):
     reused = pagerank(None, reset_prob=0.15, max_iter=10, weighted=h1)
     assert sorted(tuple(r) for r in own.collect()) == sorted(tuple(r) for r in reused.collect())
     del expected
+
+
+def test_copurchase_cap_drops_degenerate_group(spark):
+    """g12: a group over max_group_size contributes NOTHING (the whole
+    point -- its g*(g-1)/2 pairs would run in one task); within-cap groups
+    expand exactly, duplicates and nulls ignored."""
+    from youtubeanalyzerproject_big_data__spark.operators.graph import copurchase_edges
+
+    rows = [("big", i) for i in range(10)] + [("ok", 100), ("ok", 101), ("ok", 102), ("ok", 101), ("nil", None)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    out = sorted(tuple(r) for r in copurchase_edges(df, "g", "i", max_group_size=8).collect())
+    assert out == [(100, 101), (100, 102), (101, 102)]
+    # uncapped: the big group contributes C(10,2) = 45 pairs
+    assert copurchase_edges(df, "g", "i").count() == 45 + 3

@@ -142,3 +142,18 @@ def test_fact_reconciliation_flags_drift(spark):
     assert out["n_matched"] == 1      # only order 1
     assert out["n_mismatched"] == 2   # order 2 drift + order 3 missing detail
     assert out["total_drift_micros"] == 799_000_000 + 50_000_000
+
+
+def test_profile_drift_counts_and_ppm(spark):
+    """dq4: exact null/distinct/row counts per column and integer DIV ppm
+    rates on a crafted old/new pair."""
+    from youtubeanalyzerproject_big_data__spark.operators.quality import profile_drift
+
+    old = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "k long, s string")
+    new = spark.createDataFrame([(1, "a"), (2, None), (3, "b"), (4, None), (4, "c")], "k long, s string")
+    out = {r["column"]: r for r in profile_drift(old, new, ["k", "s"]).collect()}
+    assert out["k"]["old_rows"] == 3 and out["k"]["new_rows"] == 5
+    assert out["s"]["old_nulls"] == 1 and out["s"]["new_nulls"] == 2
+    assert out["s"]["old_null_ppm"] == 1_000_000 // 3 and out["s"]["new_null_ppm"] == 400_000
+    assert out["k"]["old_distinct"] == 3 and out["k"]["new_distinct"] == 4
+    assert out["k"]["distinct_delta"] == 1
