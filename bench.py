@@ -29,6 +29,9 @@ Known deliberate costs (do NOT chase as regressions):
   final rank) -- that stage is what keeps the plan reducer-safe at 1e9 rows.
 - Common-subset totals within +/-20% of the prior round are box noise
   (CLAUDE.md "Benchmarking"), not engine drift.
+- tpch_q1 carries ~0.2-0.3 s from r6's integer-exact dec_avg (pmod +
+  exact-multiple division replacing the broken double ROUND on its three
+  averages) -- the price of the e1 half-case fix, applied engine-wide.
 - d3_minhash_lsh_pairs r5 drift ADJUDICATED (r6, VERDICT r5 item 3):
   isolated re-runs at sf0.1 after the standard warmup gave
   [7.44 cold, 2.95, 2.54, 2.35, 2.11, 2.29] -- steady state 2.1-2.5 s,
