@@ -166,6 +166,11 @@ def zonemap_skip_report(
     """
     keyed = df.select(sort_key.cast("long").alias("_sk"), F.col(probe_col).alias("_p"))
     row = keyed.agg(F.min("_sk").alias("lo"), F.max("_sk").alias("hi")).collect()[0]
+    if row["lo"] is None:  # empty input: an all-zero report, not a crash
+        return df.sparkSession.createDataFrame(
+            [(0, 0, 0, 0, 0)],
+            "n_rows long, n_zones long, n_zones_hit long, n_zones_skipped long, skip_ppm long",
+        )
     lo, hi = int(row["lo"]), int(row["hi"])
     span = max(1, (hi - lo) // n_buckets + 1)
     d = keyed.withColumn("_bucket", F.expr(f"(_sk - {lo}) DIV {span}"))

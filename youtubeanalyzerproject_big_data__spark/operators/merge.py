@@ -251,7 +251,7 @@ def kmv_state(df: DataFrame, group_cols: list[str], hash_col: str, k: int = 64) 
     Built as distinct + a group-partitioned rank window (NOT collect_set:
     per-group distinct cardinality is unbounded at 100 TB, and an array
     aggregate would hold it in one buffer; the window streams it)."""
-    w = Window.partitionBy(*group_cols).orderBy(hash_col)
+    w = Window.partitionBy(*group_cols).orderBy("hv")
     return (
         df.select(*group_cols, F.col(hash_col).alias("hv"))
         .distinct()
