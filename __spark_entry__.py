@@ -2673,6 +2673,28 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_w7(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-pinned value windows (first_value / last_value / nth_value):
+    per order, its priority class's cheapest, most expensive, and
+    second-cheapest order keys -- the leaderboard-context primitive
+    (show each row against its group's extremes).  The full-partition
+    frame (unbounded both ways) makes last/nth well-defined; deterministic
+    (price, orderkey) tiebreaks; key-partitioned windows only."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first_value("o_orderkey").over(w).cast("long").alias("cheapest_key"),
+        F.last_value("o_orderkey").over(w).cast("long").alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w).cast("long").alias("second_cheapest_key"),
+    ).orderBy("o_orderkey")
+
+
 def q_i3(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental distinct-count state maintenance (merge.kmv_state /
     merge_kmv_state / kmv_estimate): per-hour KMV summaries for the
@@ -3090,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": q_q7,
         "tpch_q10_returned_items": q_q10,
         "i3_incremental_kmv": q_i3,
+        "w7_value_windows": q_w7,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4809,6 +4832,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        "w7_value_windows": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_key,
+                   CAST(last_value(o_orderkey) OVER w AS BIGINT) AS priciest_key,
+                   CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_cheapest_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_orderkey
         """,
         # i3: the full-table recompute -- equality with the merged
         # incremental state IS the KMV mergeability proof (same body as
