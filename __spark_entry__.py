@@ -2388,7 +2388,17 @@ def _prepared_pagerank_edges(spark: SparkSession, sf: str, kind: str) -> DataFra
     key = (spark.sparkContext.applicationId, sf, kind)
     handle = _PAGERANK_EDGE_HANDLES.get(key)
     if handle is not None:
-        return handle
+        try:
+            lvl = handle.storageLevel
+            # is_cached stays True after spark.catalog.clearCache(), but the
+            # storage level collapses to NONE -- that is the honest signal
+            if lvl.useMemory or lvl.useDisk:
+                return handle
+        except Exception:
+            pass
+        # a clearCache() elsewhere dropped the cache behind the memo -- the
+        # handle would silently recompute per iteration; rebuild instead
+        _PAGERANK_EDGE_HANDLES.pop(key, None)
     for k in [k for k in _PAGERANK_EDGE_HANDLES if k[0] != key[0] or k[1] != key[1]]:
         stale = _PAGERANK_EDGE_HANDLES.pop(k)
         try:
