@@ -49,6 +49,7 @@ from youtubeanalyzerproject_big_data__spark.operators import (
     textanalysis as text,
     topk,
 )
+from youtubeanalyzerproject_big_data__spark.operators import classify as classify_ops
 from youtubeanalyzerproject_big_data__spark.operators import quality as quality_ops
 from youtubeanalyzerproject_big_data__spark.operators.merge import scd2_history as merge_scd2
 from youtubeanalyzerproject_big_data__spark import serve
@@ -2683,6 +2684,53 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_u6(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-incremental MV refresh (merge.refresh_partitions): a
+    daily event-stats view maintained by recomputing ONLY the days a
+    batch touches (broadcast semi-join prune -- partition pruning on a
+    partitioned table) while untouched days pass through from state via a
+    broadcast anti join.  The complement of i1's pure merge: this is the
+    REPLACE-a-partition pattern late/corrected data needs.  Oracle
+    recomputes from the full table -- equality is the refresh proof."""
+    from youtubeanalyzerproject_big_data__spark.operators.merge import agg_state, refresh_partitions
+
+    _utc(spark)
+    e = load_events(spark, sf).select(F.date_trunc("day", F.col("ts")).alias("day"), "event_id", "value")
+    old = e.where(F.col("event_id") % 10 != 0)
+    batch = e.where(F.col("event_id") % 10 == 0)
+    state = agg_state(old, ["day"], "value")
+    refreshed = refresh_partitions(state, e, batch, "day", lambda src: agg_state(src, ["day"], "value"))
+    return refreshed.orderBy("day")
+
+
+M5_PRICE_GRID = [float(t) for t in range(20_000, 520_000, 20_000)]
+M5_CUST_GRID = [float(t) for t in range(0, 16_000, 1_000)]
+
+
+def q_m5(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact decision-stump trainer (classify.decision_stump): label =
+    (o_totalprice > 150000) with a 5% md5-parity flip, candidate grid =
+    literal price/custkey thresholds.  The stump must pick a price split
+    adjacent to the rule boundary; misclassification counts, argmin, and
+    acc_ppm are pure int64, so the WHOLE training trajectory (one
+    map-side grid expansion + one aggregate) replays in the oracle --
+    the boosting weak learner with a hash-exact gate."""
+    o = load_table(spark, sf, "orders").select(
+        "o_totalprice",
+        F.col("o_custkey").cast("double").alias("o_custkey_d"),
+        (
+            (F.col("o_totalprice") > 150_000).cast("long")
+            != (md5_int32(F.col("o_orderkey").cast("string"), seed="m5") % 20 == 0).cast("long")
+        ).cast("long").alias("y"),
+    )
+    return classify_ops.decision_stump(
+        o,
+        ["o_totalprice", "o_custkey_d"],
+        "y",
+        {"o_totalprice": M5_PRICE_GRID, "o_custkey_d": M5_CUST_GRID},
+    )
+
+
 def q_w7(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-pinned value windows (first_value / last_value / nth_value):
     per order, its priority class's cheapest, most expensive, and
@@ -3123,6 +3171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": q_q10,
         "i3_incremental_kmv": q_i3,
         "w7_value_windows": q_w7,
+        "m5_decision_stump": q_m5,
+        "u6_partition_refresh": q_u6,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4842,6 +4892,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        # u6: full-table recompute; equality with the partition-selective
+        # refresh is the maintenance proof (i1's idiom for replacement).
+        "u6_partition_refresh": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+                   MIN(value) AS min_v,
+                   MAX(value) AS max_v
+            FROM events GROUP BY 1 ORDER BY day
+        """,
+        # m5: full stump-training replay -- literal grid, exact counts,
+        # min(pos,neg) leaf errors, deterministic argmin.
+        "m5_decision_stump": f"""
+            WITH lab AS (
+              SELECT o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey_d,
+                     CAST(CAST(o_totalprice > 150000 AS BIGINT)
+                          != CAST(({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "m5")}) % 20 = 0 AS BIGINT) AS BIGINT) AS y
+              FROM orders),
+            grid AS (SELECT 'o_totalprice' AS feature, unnest([{", ".join(str(t) for t in M5_PRICE_GRID)}]) AS threshold
+                     UNION ALL
+                     SELECT 'o_custkey_d', unnest([{", ".join(str(t) for t in M5_CUST_GRID)}])),
+            sc AS (SELECT g.feature, g.threshold, lab.y,
+                          (CASE WHEN g.feature = 'o_totalprice' THEN lab.o_totalprice
+                                ELSE lab.o_custkey_d END) >= g.threshold AS r
+                   FROM lab, grid g),
+            agg AS (SELECT feature, threshold, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN NOT r AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lpos,
+                           CAST(SUM(CASE WHEN NOT r AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lneg,
+                           CAST(SUM(CASE WHEN r AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rpos,
+                           CAST(SUM(CASE WHEN r AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rneg
+                    FROM sc GROUP BY 1, 2)
+            SELECT feature, threshold, n,
+                   CAST(LEAST(lpos, lneg) + LEAST(rpos, rneg) AS BIGINT) AS errors,
+                   CAST((1000000 * (n - (LEAST(lpos, lneg) + LEAST(rpos, rneg)))) // n AS BIGINT) AS acc_ppm
+            FROM agg ORDER BY errors, feature, threshold LIMIT 1
         """,
         "w7_value_windows": """
             SELECT o_orderkey, o_orderpriority,

@@ -66,3 +66,63 @@ def logreg_separability_gate(
         [(int(n_rows), int(n_pos), int(dim), 1 if auc1 >= min_auc else 0, 1 if d1 == d2 else 0)],
         "n_rows long, n_positive long, n_features long, auc_ok long, runs_identical long",
     )
+
+
+def decision_stump(
+    df,
+    feature_cols: list[str],
+    label_col: str,
+    thresholds: dict[str, list[float]],
+):
+    """Exact decision-stump training: scan a LITERAL candidate grid of
+    (feature, threshold) splits and pick the one minimizing total
+    misclassification -- the weak learner under every boosting ensemble,
+    and the simplest supervised trainer whose whole trajectory is
+    engine-exact (counts only, no floats until the final ppm).
+
+    Scale shape: the candidate grid is a model-sized literal DataFrame
+    (|features| x |thresholds| rows) BROADCAST against the facts, so the
+    scan is one map-side expansion + ONE hash aggregate keyed by the
+    candidate id -- a single pass over the data evaluates every split (the
+    histogram trick of real tree learners, with the grid playing the bin
+    boundaries).  Errors for a candidate = min(pos,neg) on each side
+    (majority-vote leaves), all int64; deterministic argmin tiebreak
+    (errors, feature, threshold).
+
+    Returns ONE row: (feature, threshold, n, errors, acc_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(f, float(t)) for f in feature_cols for t in thresholds[f]],
+        "feature string, threshold double",
+    )
+    # one row per (fact, candidate): feature value resolved by name
+    val = None
+    for f in feature_cols:
+        v = F.when(F.col("feature") == f, F.col(f).cast("double"))
+        val = v if val is None else val.when(F.col("feature") == f, F.col(f).cast("double"))
+    facts = df.select(*feature_cols, F.col(label_col).cast("long").alias("_y"))
+    scored = facts.join(F.broadcast(grid)).select(
+        "feature", "threshold", "_y", (val >= F.col("threshold")).alias("_right")
+    )
+    agg = scored.groupBy("feature", "threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((~F.col("_right")) & (F.col("_y") == 1)).cast("long")).cast("long").alias("lpos"),
+        F.sum(((~F.col("_right")) & (F.col("_y") == 0)).cast("long")).cast("long").alias("lneg"),
+        F.sum((F.col("_right") & (F.col("_y") == 1)).cast("long")).cast("long").alias("rpos"),
+        F.sum((F.col("_right") & (F.col("_y") == 0)).cast("long")).cast("long").alias("rneg"),
+    )
+    errors = F.least("lpos", "lneg") + F.least("rpos", "rneg")
+    return (
+        agg.select(
+            "feature",
+            "threshold",
+            "n",
+            errors.cast("long").alias("errors"),
+            F.expr("(1000000 * (n - (LEAST(lpos, lneg) + LEAST(rpos, rneg)))) DIV n").alias("acc_ppm"),
+        )
+        .orderBy("errors", "feature", "threshold")
+        .limit(1)
+    )

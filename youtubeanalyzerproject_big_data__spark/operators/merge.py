@@ -283,3 +283,24 @@ def kmv_estimate(state: DataFrame, group_cols: list[str], k: int = 64) -> DataFr
         F.expr(f"({k - 1} * 4294967296) DIV kth_min"),
     ).otherwise(F.col("n_tracked"))
     return agg.select(*group_cols, "n_tracked", "kth_min", est.cast("long").alias("est_distinct"))
+
+
+def refresh_partitions(state: DataFrame, recompute_src: DataFrame, batch: DataFrame, part_col: str, build_state) -> DataFrame:
+    """Partition-incremental materialized-view maintenance: recompute ONLY
+    the partitions a batch touches, pass every other state row through
+    untouched -- the standard incremental-MV pattern when the aggregate is
+    partition-local (daily rollups, per-tenant summaries) but not purely
+    mergeable row-by-row (or when late data must REPLACE a partition, not
+    fold into it).
+
+    ``build_state`` is the MV definition (DataFrame -> state rows).  The
+    affected-partition list is batch-bounded and broadcast to BOTH sides:
+    the state passthrough is a broadcast anti join, and the recompute
+    source is pruned with a broadcast semi join -- on a partitioned table
+    that predicate becomes partition pruning, so the refresh reads only
+    the touched partitions' data, never the history (i1/i3 are the
+    pure-merge alternatives when the aggregate is mergeable)."""
+    affected = batch.select(part_col).distinct()
+    kept = state.join(F.broadcast(affected), part_col, "left_anti")
+    rebuilt = build_state(recompute_src.join(F.broadcast(affected), part_col, "left_semi"))
+    return kept.unionByName(rebuilt)
