@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "dq4_profile_drift",
     "l5_zonemap_skip_report",
     "i3_incremental_kmv",
+    "w7_value_windows",
+    "m5_decision_stump",
+    "u6_partition_refresh",
 ]
 
 
