@@ -205,3 +205,37 @@ def test_topk_state_merge_equals_full_recompute(spark):
     ).collect()
     key = lambda r: (r["g"], r["rank"], r["id"], r["v"])  # noqa: E731
     assert sorted(map(key, merged)) == sorted(map(key, full))
+
+
+def test_refresh_partitions_replaces_only_touched(spark):
+    """u6: a batch touching one partition leaves other state rows
+    byte-identical (passthrough) and replaces the touched partition with
+    the full recompute -- equal to rebuilding the whole view."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.merge import agg_state, refresh_partitions
+
+    full = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0), ("b", 14, 4.0)],
+        "day string, event_id long, value double",
+    )
+    old = full.where(F.col("event_id") % 10 != 4)  # drops the late 'b' row
+    batch = full.where(F.col("event_id") % 10 == 4)
+    state = agg_state(old, ["day"], "value")
+    out = refresh_partitions(state, full, batch, "day", lambda src: agg_state(src, ["day"], "value"))
+    expect = agg_state(full, ["day"], "value")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_kmv_merge_equals_full_state(spark):
+    """i3: merging k-truncated states equals the state of the union --
+    KMV's exact-mergeability property on real DataFrames."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.merge import kmv_state, merge_kmv_state
+
+    df = spark.range(500).select((F.col("id") % 3).alias("g"), ((F.col("id") * 2654435761) % (2**32)).alias("h"))
+    a, b = df.where(F.col("id") % 2 == 0), df.where(F.col("id") % 2 == 1)
+    merged = merge_kmv_state(kmv_state(a, ["g"], "h", k=16), kmv_state(b, ["g"], "h", k=16), ["g"], k=16)
+    full = kmv_state(df, ["g"], "h", k=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))

@@ -157,3 +157,23 @@ def test_profile_drift_counts_and_ppm(spark):
     assert out["s"]["old_null_ppm"] == 1_000_000 // 3 and out["s"]["new_null_ppm"] == 400_000
     assert out["k"]["old_distinct"] == 3 and out["k"]["new_distinct"] == 4
     assert out["k"]["distinct_delta"] == 1
+
+
+def test_decision_stump_finds_planted_split(spark):
+    """m5: on a cleanly separable label the stump must recover the planted
+    feature and the grid threshold adjacent to the rule, with zero
+    errors."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators.classify import decision_stump
+
+    df = spark.range(1000).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("noise"),
+        (F.col("id") >= 600).cast("long").alias("y"),
+    )
+    out = decision_stump(df, ["x", "noise"], "y", {"x": [200.0, 400.0, 600.0, 800.0], "noise": [1.0, 3.0, 5.0]}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["feature"] == "x" and r["threshold"] == 600.0
+    assert r["errors"] == 0 and r["acc_ppm"] == 1_000_000
