@@ -2684,6 +2684,68 @@ def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_se9(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment (ev.stream_static_enrich) across 3 real
+    micro-batches: the event stream joins the static customer dimension
+    (user_id -> mktsegment, broadcast per trigger -- the stateless
+    streaming join shape, no watermark/state) and aggregates per segment
+    in complete mode.  Oracle = the batch join + aggregate; '__none__'
+    sentinel for unmatched users keeps NULLs out of outputs."""
+    _utc(spark)
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    out = _drive_stream(
+        spark,
+        load_events(spark, sf),
+        lambda src: ev.stream_static_enrich(
+            spark, src, c, "user_id", "c_custkey", "c_mktsegment", max_files_per_trigger=1
+        ),
+        "complete",
+        "se9_",
+        n_files=3,
+        order_col="ts",
+    )
+    return out.select("segment", "n_events", "sum_value").orderBy("segment")
+
+
+def q_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo revenue share per ship
+    month -- part type broadcast onto the fact, decimal-exact revenue
+    sums.  The ppm share needs 1e6 * micro-sum, which OVERFLOWS int64
+    already at sf0.1 (first caught by the scale replays), so the ratio is
+    computed over the month-cardinality aggregate DRIVER-SIDE in exact
+    Python big-ints (model-sized collect: months are calendar-bounded --
+    the cutpoints pattern); the oracle uses HUGEINT for the same exact
+    floor division."""
+    import decimal as _dec
+
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    g = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", F.col("l_shipdate").cast("timestamp")).alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))).alias("_p"),
+            F.sum(rev).alias("_t"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("ship_month")
+    )
+    rows = g.collect()  # month-cardinality, model-sized
+    data = []
+    for r in rows:
+        p_i = int(_dec.Decimal(r["_p"]).scaleb(6))  # exact micro integers
+        t_i = int(_dec.Decimal(r["_t"]).scaleb(6))
+        data.append(
+            (r["ship_month"], float(r["_p"]), float(r["_t"]), r["n_lines"], (1_000_000 * p_i) // t_i)
+        )
+    return spark.createDataFrame(
+        data,
+        "ship_month timestamp, promo_revenue double, total_revenue double, n_lines long, promo_ppm long",
+    )
+
+
 def q_u6(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-incremental MV refresh (merge.refresh_partitions): a
     daily event-stats view maintained by recomputing ONLY the days a
@@ -3173,6 +3235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_value_windows": q_w7,
         "m5_decision_stump": q_m5,
         "u6_partition_refresh": q_u6,
+        "se9_stream_static_enrich": q_se9,
+        "tpch_q14_promo_effect": q_q14,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4892,6 +4956,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        # se9: batch twin of the stream-static join + complete-mode agg.
+        "se9_stream_static_enrich": f"""
+            SELECT COALESCE(c.c_mktsegment, '__none__') AS segment,
+                   COUNT(*) AS n_events,
+                   {_dsum('e.value')} AS sum_value
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY segment
+        """,
+        # q14: decimal-exact sums; the ppm floor division runs in HUGEINT
+        # (1e6 * micro-sum overflows int64 at sf0.1 -- scale-replay catch).
+        "tpch_q14_promo_effect": """
+            SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+                   CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST((1000000 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                            THEN CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                                            ELSE CAST(0 AS HUGEINT) END))
+                        // SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS BIGINT) AS promo_ppm
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1 ORDER BY ship_month
         """,
         # u6: full-table recompute; equality with the partition-selective
         # refresh is the maintenance proof (i1's idiom for replacement).

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "w7_value_windows",
     "m5_decision_stump",
     "u6_partition_refresh",
+    "tpch_q14_promo_effect",
 ]
 
 

@@ -744,3 +744,38 @@ def stream_kmv_distinct(
         outputMode="update",
         timeoutConf=_state.GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    static_dim: DataFrame,
+    key_col: str,
+    dim_key: str,
+    dim_payload: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-static enrichment + aggregation: each micro-batch joins the
+    (unbounded) stream against a STATIC dimension and aggregates per
+    dimension attribute -- the third streaming join shape next to
+    stream-stream interval (se3) and stateful fold (se5): stateless per
+    batch on the join side, so no watermark and no join state; only the
+    downstream complete-mode aggregate carries state (attribute-
+    cardinality-sized).
+
+    The dimension is broadcast-hinted: at cluster scale the static side
+    re-broadcasts per micro-batch, which is exactly what you want for a
+    dimension (fresh snapshot isolation per trigger is the documented
+    Spark semantic for stream-static joins).  Unmatched stream keys keep a
+    '__none__' sentinel attribute (no NULL groups in outputs).
+    """
+    stream = _read_stream(spark, source_dir, max_files_per_trigger)
+    dim = static_dim.select(F.col(dim_key).alias("_dk"), F.col(dim_payload).alias("_attr"))
+    joined = stream.join(F.broadcast(dim), stream[key_col] == F.col("_dk"), "left")
+    return (
+        joined.groupBy(F.coalesce(F.col("_attr"), F.lit("__none__")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+    )
