@@ -2746,6 +2746,29 @@ def q_q14(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunction of conjunction
+    brackets): three (brand, size-range, quantity-range) OR-branches over
+    the lineitem-part join -- the classic test that a multi-bracket
+    predicate still evaluates as one broadcast join + one scan with the
+    part-side brackets PUSHED to the dimension (each branch's brand/size
+    terms prune parts before the join; residual quantity terms evaluate
+    on the joined row).  One row out: decimal-exact revenue + line count."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    br = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return j.where(br).agg(
+        dec_sum(rev, "revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
 def q_u6(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-incremental MV refresh (merge.refresh_partitions): a
     daily event-stats view maintained by recomputing ONLY the days a
@@ -3237,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_partition_refresh": q_u6,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
+        "tpch_q19_bracket_revenue": q_q19,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4956,6 +4980,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        "tpch_q19_bracket_revenue": f"""
+            SELECT {_dsum(_REV)} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
         """,
         # se9: batch twin of the stream-static join + complete-mode agg.
         "se9_stream_static_enrich": f"""
