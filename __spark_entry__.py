@@ -2746,6 +2746,113 @@ def q_q14(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one filtered scan,
+    one row -- shipdate year, discount band, quantity cap, revenue =
+    sum(extendedprice * discount) decimal-exact.  The pushdown sanity
+    query: every predicate must reach the parquet scan."""
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dec_sum((F.col("l_extendedprice") * F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def q_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one ship
+    year, keep the supplier(s) whose revenue EQUALS the max -- the
+    view-plus-max correlated pattern.  Revenue compares as exact integer
+    micros (decimal sums), so the equality join cannot miss a tie by a
+    ulp; the 1-row max broadcasts."""
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    per_supp = li.groupBy("l_suppkey").agg((F.sum(rev) * 1_000_000).cast("long").alias("rev_micro"))
+    mx = per_supp.agg(F.max("rev_micro").alias("mx"))
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(mx), per_supp["rev_micro"] == F.col("mx"))
+        .join(F.broadcast(s), per_supp["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", "rev_micro",
+            F.round(F.col("rev_micro") / 1e6, 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of Brand#1
+    parts whose quantity is below 20% of that part's average quantity --
+    the correlated-average pattern.  The threshold compares EXACTLY via
+    cross-multiplication (5 * qty * n_part < sum_qty in integer micros),
+    never a float 0.2*avg; per-part aggregates broadcast (part-dim-sized)."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    p = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    branded = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    per_part = branded.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(DEC)) * 1_000_000).cast("long").alias("sum_qty_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_part"),
+    )
+    qty_micro = (F.col("l_quantity").cast(DEC) * 1_000_000).cast("long")
+    small = (
+        branded.withColumn("qty_micro", qty_micro)
+        .join(F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")), F.col("l_partkey") == F.col("pk"))
+        .where(F.col("qty_micro") * 5 * F.col("n_part") < F.col("sum_qty_micro"))
+    )
+    return small.agg(
+        dec_sum("l_extendedprice", "small_qty_revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def q_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, adapted to this schema):
+    customers with NO RECENT order (nothing since 2000-01-01 -- every
+    synthetic customer has some order, so the classic no-order-ever form
+    is degenerate) and an account balance above the positive-balance
+    average, counted per nation.  The average threshold compares exactly
+    via cross-multiplication on integer micros (the q17 discipline); the
+    idle test is a broadcast-keys anti join."""
+    _utc(spark)
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    o = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+        .distinct()
+    )
+    pos = c.where(F.col("c_acctbal") > 0.0)
+    stats = pos.agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)) * 1_000_000).cast("long").alias("sum_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
+    bal_micro = (F.col("c_acctbal").cast(DEC) * 1_000_000).cast("long")
+    cand = (
+        c.join(F.broadcast(o), c["c_custkey"] == o["o_custkey"], "left_anti")
+        .crossJoin(F.broadcast(stats))  # 1-row totals: the sanctioned crossJoin shape
+        .where(bal_micro * F.col("n_pos") > F.col("sum_micro"))
+    )
+    return (
+        cand.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            dec_sum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_q19(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q19 shape (discounted revenue, disjunction of conjunction
     brackets): three (brand, size-range, quantity-range) OR-branches over
@@ -3261,6 +3368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
+        "tpch_q6_forecast_revenue": q_q6,
+        "tpch_q15_top_supplier": q_q15,
+        "tpch_q17_small_qty_revenue": q_q17,
+        "tpch_q22_idle_customers": q_q22,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -4980,6 +5091,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
                    ROUND(rep_micro / 1e6, 6) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        # q15: revenue ties compare as exact integer micros, so the
+        # equality against the max cannot miss by a ulp.
+        "tpch_q15_top_supplier": """
+            WITH pr AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey),
+            mx AS (SELECT MAX(rev_micro) AS mx FROM pr)
+            SELECT s.s_suppkey, s.s_name, pr.rev_micro,
+                   ROUND(pr.rev_micro / 1e6, 6) AS total_revenue
+            FROM pr, mx, supplier s
+            WHERE pr.rev_micro = mx.mx AND pr.l_suppkey = s.s_suppkey
+            ORDER BY s.s_suppkey
+        """,
+        # q17: threshold via cross-multiplied integer micros (5*qty*n < sum),
+        # never a float 0.2*avg.
+        "tpch_q17_small_qty_revenue": """
+            WITH b AS (
+              SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+                     CAST(CAST(l.l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty_micro
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#1'),
+            pp AS (
+              SELECT l_partkey AS pk,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
+                     CAST(COUNT(*) AS BIGINT) AS n_part
+              FROM b GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_qty_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM b JOIN pp ON b.l_partkey = pp.pk
+            WHERE b.qty_micro * 5 * pp.n_part < pp.sum_qty_micro
+        """,
+        # q22: above-positive-average balance via cross-multiplication;
+        # no-order customers via anti join.
+        "tpch_q22_idle_customers": """
+            WITH st AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_micro,
+                     CAST(COUNT(*) AS BIGINT) AS n_pos
+              FROM customer WHERE c_acctbal > 0.0),
+            idle AS (
+              SELECT c.c_nationkey, c.c_acctbal
+              FROM customer c, st
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+                AND CAST(CAST(c.c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) * st.n_pos > st.sum_micro)
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+            FROM idle GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "tpch_q19_bracket_revenue": f"""
             SELECT {_dsum(_REV)} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
