@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "m5_decision_stump",
     "u6_partition_refresh",
     "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_bracket_revenue",
 ]
 
 
