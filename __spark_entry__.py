@@ -2333,6 +2333,49 @@ def q_mm7(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mm8(spark: SparkSession, sf: str) -> DataFrame:
+    """In-gate REAL image resize with no codec (multimodal._bmp_downsample
+    via transform_media decode_stub='stdlib'): every event becomes a 4x2
+    BMP whose channels are pure functions of (event_id, pixel index),
+    box-downsampled 2x with EXACT integer channel means, then re-decoded
+    by the stdlib BMP parser.  The oracle recomputes the two output
+    pixels' luma straight from the generative formula -- one wrong byte
+    in the writer, the box filter, or the parser breaks the hash.  The
+    luma sum returns as an exact integer (round(feat_mean * 255 * n):
+    feat_mean = S/510 in doubles reconstructs S exactly for S <= 510).
+    Repartitions before the per-row pack kernel (dedup._shingles rule)."""
+    _utc(spark)
+    e = load_events(spark, sf).select("event_id").repartition(spark.sparkContext.defaultParallelism)
+
+    def pack(batches):
+        import pandas as pd
+
+        from youtubeanalyzerproject_big_data__spark.operators.multimodal import pack_bmp
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                px = [
+                    ((eid * 7 + i * 13) % 256, (eid * 11 + i * 17) % 256, (eid * 13 + i * 19) % 256)
+                    for i in range(8)
+                ]
+                ids.append(eid)
+                blobs.append(pack_bmp(4, 2, px))
+            yield pd.DataFrame({"event_id": ids, "blob": blobs})
+
+    packed = e.mapInPandas(pack, schema="event_id long, blob binary")
+    media = multimodal.attach_media_metadata(packed, "event_id", "blob", "image")
+    small = multimodal.transform_media(media, op="resize", factor=2, decode_stub="stdlib")
+    feats = multimodal.extract_features(small, decode_stub="stdlib")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("feat_dim").cast("long").alias("n_pixels"),
+        F.round(F.col("feat_mean") * 255 * F.col("feat_dim")).cast("long").alias("luma_sum"),
+    )
+
+
 def q_g8(spark: SparkSession, sf: str) -> DataFrame:
     """3-hop BFS reachability from seed parts {P1, P2} over the
     UNDIRECTED order<->part graph (graph.k_hop_distances): exact min-hop
@@ -3472,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm6_audio_features": q_mm6,
         "mm5_phash_near_dups": q_mm5,
         "mm7_avi_frame_samples": q_mm7,
+        "mm8_bmp_box_downsample": q_mm8,
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
         "g9_adamic_adar": q_g9,
@@ -6678,6 +6722,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  unnest(generate_series(0, CAST(least(floor(strlen(text) / 12), 3) AS BIGINT) - 1)) AS t(i)
             ORDER BY media_id, frame_no
+        """,
+        # mm8: the two downsampled pixels' luma recomputed from the
+        # generative channel formulas -- integer DIV box means and luma,
+        # so the whole pack -> box-filter -> re-encode -> parse chain is
+        # byte-sensitive.  n_bytes 62 = 54-byte headers + 2px*3B + 2B pad.
+        "mm8_bmp_box_downsample": """
+            WITH px AS (
+              SELECT event_id, t.i,
+                     (event_id * 7 + t.i * 13) % 256 AS r,
+                     (event_id * 11 + t.i * 17) % 256 AS g,
+                     (event_id * 13 + t.i * 19) % 256 AS b
+              FROM events, unnest(generate_series(0, 7)) AS t(i)),
+            blk AS (
+              SELECT event_id, (i % 4) // 2 AS ox,
+                     SUM(r) // 4 AS rr, SUM(g) // 4 AS gg, SUM(b) // 4 AS bb
+              FROM px GROUP BY 1, 2),
+            lum AS (SELECT event_id, (299 * rr + 587 * gg + 114 * bb) // 1000 AS l FROM blk)
+            SELECT CAST(event_id AS VARCHAR) AS media_id,
+                   CAST(62 AS BIGINT) AS n_bytes,
+                   CAST(2 AS BIGINT) AS n_pixels,
+                   CAST(SUM(l) AS BIGINT) AS luma_sum
+            FROM lum GROUP BY event_id
         """,
         "mm6_audio_features": """
             WITH s AS (

@@ -428,7 +428,7 @@ def transform_media(
     media: DataFrame,
     op: Literal["resize"] = "resize",
     factor: int = 4,
-    decode_stub: Literal["fail", "fake", "auto"] = "fail",
+    decode_stub: Literal["fail", "fake", "auto", "stdlib"] = "fail",
 ) -> DataFrame:
     """Decode -> transform -> re-encode stage (resize / transcode shape).
 
@@ -439,8 +439,12 @@ def transform_media(
     guiV5.py, which this engine reproduces compute-side).
 
     'fake' kernel: keeps every ``factor``-th byte -- a deterministic
-    stand-in for spatial downscaling with identical schema/batch shape; the
-    real kernel would decode, resize via PIL/ffmpeg, and re-encode.
+    stand-in for spatial downscaling with identical schema/batch shape.
+    'auto' decodes/resizes/re-encodes for real via PIL (image) or ffmpeg
+    (video).  'stdlib' is the REAL no-codec image route: uncompressed BMP
+    in, ``factor``x``factor`` box filter with exact integer channel means,
+    BMP out (_bmp_downsample -- bit-replayable on any engine; driver
+    query mm8 gates the round trip).
     """
     if op != "resize":
         raise ValueError(f"unsupported transform op: {op!r}")
@@ -455,6 +459,26 @@ def transform_media(
                     "use decode_stub='fake' for plumbing tests"
                 )
             contents, sizes, digests = [], [], []
+            if decode_stub == "stdlib":
+                for modality, content in zip(pdf["modality"], pdf["content"]):
+                    if modality != "image":
+                        raise NotImplementedError(
+                            "decode_stub='stdlib' resize covers uncompressed BMP images only"
+                        )
+                    small = _bmp_downsample(bytes(content), factor)
+                    contents.append(small)
+                    sizes.append(len(small))
+                    digests.append(hashlib.md5(small).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": pdf["modality"],
+                        "content": contents,
+                        "n_bytes": sizes,
+                        "content_md5": digests,
+                    }
+                )
+                continue
             if decode_stub == "auto":
                 import io as _io
 
@@ -773,3 +797,71 @@ def audio_features(media: DataFrame) -> DataFrame:
             F.sqrt(F.col("energy").cast("double") / F.col("n_samples")) / F.lit(32768.0), 6
         ).alias("rms_level"),
     )
+
+
+def _bmp_rgb(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """(width, height, pixels row-major top-down as (r, g, b)) from an
+    uncompressed 24/32-bpp BMP -- the channel-preserving sibling of
+    _bmp_pixels (which collapses to luma)."""
+    import struct
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob (missing BM magic / truncated header)")
+    pix_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP for RGB decode: bpp={bpp} compression={compression}")
+    stride = (width * (bpp // 8) + 3) // 4 * 4
+    rows: list[list[tuple[int, int, int]]] = []
+    for r in range(abs(height)):
+        base = pix_off + r * stride
+        row = []
+        for c in range(width):
+            o = base + c * (bpp // 8)
+            row.append((blob[o + 2], blob[o + 1], blob[o]))  # stored BGR
+        rows.append(row)
+    if height > 0:  # positive height = bottom-up storage; normalize top-down
+        rows.reverse()
+    return width, abs(height), [px for row in rows for px in row]
+
+
+def pack_bmp(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Minimal 24-bpp bottom-up BMP writer from top-down row-major (r,g,b)
+    pixels -- the test/gate fixture generator and the re-encode half of the
+    stdlib resize path (_bmp_downsample)."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    body = b""
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes((b, g, rr)) for (rr, g, b) in pixels[r * width : (r + 1) * width])
+        body += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def _bmp_downsample(blob: bytes, factor: int = 2) -> bytes:
+    """Real stdlib spatial downscale: ``factor``x``factor`` box filter with
+    EXACT integer channel means (sum DIV factor^2 -- no float anywhere, so
+    the result replays bit-for-bit on any engine), re-encoded as 24-bpp
+    BMP.  Output dims floor(w/f) x floor(h/f); trailing rows/cols that
+    don't fill a block are dropped (standard box-filter crop)."""
+    w, h, px = _bmp_rgb(blob)
+    ow, oh = w // factor, h // factor
+    if ow < 1 or oh < 1:
+        raise ValueError(f"image {w}x{h} too small for factor {factor}")
+    out = []
+    f2 = factor * factor
+    for oy in range(oh):
+        for ox in range(ow):
+            rs = gs = bs = 0
+            for dy in range(factor):
+                for dx in range(factor):
+                    r, g, b = px[(oy * factor + dy) * w + (ox * factor + dx)]
+                    rs += r; gs += g; bs += b
+            out.append((rs // f2, gs // f2, bs // f2))
+    return pack_bmp(ow, oh, out)
