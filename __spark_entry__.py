@@ -1535,6 +1535,18 @@ def q_a14(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.heavy_hitters_gate(load_events(spark, sf), "event_type", k=64)
 
 
+def q_a23(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min point queries over the sk1 skew fixture (sketches.
+    count_min_estimates): half of all events collapse onto key -1, probed
+    alongside ten normal users.  The md5 row hashes make the ENTIRE
+    sketch -- counters and estimates -- oracle-replayable, and the CM
+    no-underestimate guarantee ships as a checked column."""
+    e = load_events(spark, sf).select(
+        F.when(F.col("user_id") % 10 < 5, F.lit(-1)).otherwise(F.col("user_id")).alias("cm_key")
+    )
+    return sketches.count_min_estimates(e, "cm_key", [-1] + [2 * u + 1 for u in range(10)], depth=4, width=256)
+
+
 def q_bf1(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter membership gate (sketches.bloom_membership_gate): the
     filter is a DataFrame of set-bit positions (<= m rows, broadcast), 4
@@ -3516,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm5_phash_near_dups": q_mm5,
         "mm7_avi_frame_samples": q_mm7,
         "mm8_bmp_box_downsample": q_mm8,
+        "a23_count_min_gate": q_a23,
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
         "g9_adamic_adar": q_g9,
@@ -6722,6 +6735,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  unnest(generate_series(0, CAST(least(floor(strlen(text) / 12), 3) AS BIGINT) - 1)) AS t(i)
             ORDER BY media_id, frame_no
+        """,
+        # a23: the whole Count-Min sketch replays -- md5 row hashes are the
+        # engine's portable family, so counters AND estimates are exact.
+        "a23_count_min_gate": """
+            WITH e AS (SELECT CASE WHEN user_id % 10 < 5 THEN -1 ELSE user_id END AS k FROM events),
+            h AS (SELECT k, t.j,
+                         CAST(concat('0x', substring(md5(concat('cm', CAST(t.j AS VARCHAR), ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket
+                  FROM e, unnest(generate_series(0, 3)) AS t(j)),
+            c AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+            q AS (SELECT unnest([-1, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19]) AS qk),
+            p AS (SELECT q.qk, t.j,
+                         CAST(concat('0x', substring(md5(concat('cm', CAST(t.j AS VARCHAR), ':', CAST(q.qk AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket
+                  FROM q, unnest(generate_series(0, 3)) AS t(j)),
+            est AS (SELECT p.qk, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_n
+                    FROM p LEFT JOIN c ON p.j = c.j AND p.bucket = c.bucket GROUP BY p.qk),
+            tr AS (SELECT k AS qk, CAST(COUNT(*) AS BIGINT) AS true_n
+                   FROM e WHERE k IN (-1, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19) GROUP BY k)
+            SELECT CAST(est.qk AS VARCHAR) AS qkey,
+                   CAST(COALESCE(tr.true_n, 0) AS BIGINT) AS true_n,
+                   est.est_n,
+                   CAST(est.est_n - COALESCE(tr.true_n, 0) AS BIGINT) AS overestimate,
+                   CAST(est.est_n >= COALESCE(tr.true_n, 0) AS BIGINT) AS no_underestimate
+            FROM est LEFT JOIN tr ON est.qk = tr.qk
+            ORDER BY qkey
         """,
         # mm8: the two downsampled pixels' luma recomputed from the
         # generative channel formulas -- integer DIV box means and luma,

@@ -216,3 +216,83 @@ def bloom_membership_gate(
         (F.col("false_negatives") == 0).alias("zero_false_negatives"),
         (F.col("false_positives") <= F.col("fp_budget")).alias("fp_within_budget"),
     )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    query_keys: list,
+    depth: int = 4,
+    width: int = 256,
+    seed_prefix: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) with md5-derived
+    row hashes, point-queried for ``query_keys`` -- the frequency sketch
+    completing the family next to Misra-Gries (a14/se7), HLL (a12/a21),
+    GK (a13/a17), Bloom (bf1), and KMV (se8/i3).
+
+    Because the hashes are the engine's portable md5 family, the sketch
+    is NOT engine-specific: every counter is an exact count of a
+    deterministic bucket assignment, so an oracle replays the whole
+    table AND the estimates hash-exactly (rare for a sketch -- the
+    a12/a13 gates can only pin contracts).  The CM guarantees become
+    checkable columns: est >= true always (no underestimate), and
+    overestimate <= 2N/width with probability 1 - 2^-depth per key.
+
+    Scale shape: one map-side ``depth``x row expansion + ONE (row,
+    bucket)-keyed count aggregate -- the counter table is depth*width
+    rows (model-sized) and broadcasts to the literal query keys.
+    Returns per query key: (key, true_n, est_n, overestimate,
+    no_underestimate) ordered by key.
+    """
+    from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
+
+    k = F.col(key_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("row"), F.pmod(md5_int32(k, seed=f"{seed_prefix}{j}"), F.lit(width)).alias("bucket"))
+            for j in range(depth)
+        ]
+    )
+    counters = (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spark = df.sparkSession
+    qk = spark.createDataFrame([(str(q),) for q in query_keys], "qkey string")
+    probes = qk.select(
+        "qkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(md5_int32(F.col("qkey"), seed=f"{seed_prefix}{j}"), F.lit(width)).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("qkey", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(counters, ["row", "bucket"], "left")
+        .groupBy("qkey")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_n"))
+    )
+    true_n = (
+        df.where(k.isin([str(q) for q in query_keys]) | F.col(key_col).isin(list(query_keys)))
+        .groupBy(k.alias("qkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    )
+    return (
+        est.join(true_n, "qkey", "left")
+        .select(
+            "qkey",
+            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+            "est_n",
+            (F.col("est_n") - F.coalesce("true_n", F.lit(0))).cast("long").alias("overestimate"),
+            (F.col("est_n") >= F.coalesce("true_n", F.lit(0))).cast("long").alias("no_underestimate"),
+        )
+        .orderBy("qkey")
+    )
