@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
     "tpch_q19_bracket_revenue",
+    "mm8_bmp_box_downsample",
+    "a23_count_min_gate",
 ]
 
 
