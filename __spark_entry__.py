@@ -2931,6 +2931,275 @@ def q_q19(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each STANDARD mid-size part,
+    the ASIA supplier(s) achieving the minimum observed supply cost -- the
+    correlated-min decorrelation (aggregate once, equi-join back on the
+    min).  The schema has no partsupp table, so the supply relation is
+    DERIVED from lineitem as min(l_extendedprice) per (part, supplier) --
+    a pure MIN, no arithmetic, so the equality join-back compares doubles
+    exactly.  Part and supplier prunes broadcast; the per-part min is
+    part-dim-sized and broadcasts too.  Reference query semantics:
+    YoutubeNetworkAgg_Final.py's dim-enrichment joins, widened to the
+    classic decorrelated-subquery plan."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    asup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        load_table(spark, sf, "part")
+        .where((F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20))
+        .select("p_partkey")
+    )
+    supply = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(asup.select("s_suppkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = supply.groupBy("l_partkey").agg(F.min("cost").alias("best_cost")).withColumnRenamed("l_partkey", "bk")
+    return (
+        supply.join(F.broadcast(best), (supply["l_partkey"] == F.col("bk")) & (supply["cost"] == F.col("best_cost")))
+        .join(F.broadcast(asup), supply["l_suppkey"] == asup["s_suppkey"])
+        .select("s_acctbal", "s_name", "n_name", F.col("l_partkey").alias("p_partkey"), "cost", "s_suppkey")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey")
+        .limit(100)
+        .drop("s_suppkey")
+    )
+
+
+def q_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_6's share of PROMO
+    revenue sold to AMERICA-region customers, per order year.  Supplier
+    nation comes through l_suppkey; the share ratio is ppm computed
+    DRIVER-SIDE in exact Python big-ints over the year-cardinality
+    aggregate (the q14 pattern -- 1e6 * micro-sum overflows int64), the
+    oracle's HUGEINT floor division is its twin."""
+    import decimal as _dec
+
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    p = load_table(spark, sf, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "AMERICA").select("r_regionkey")
+    cust_am = (
+        load_table(spark, sf, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    g = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust_am), o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("s_nationkey") == 6, rev).otherwise(F.lit(0).cast(DEC))).alias("_n"),
+            F.sum(rev).alias("_t"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+    rows = g.collect()  # year-cardinality, model-sized
+    data = []
+    for row in rows:
+        n_i = int(_dec.Decimal(row["_n"]).scaleb(6))
+        t_i = int(_dec.Decimal(row["_t"]).scaleb(6))
+        data.append((row["o_year"], float(row["_n"]), float(row["_t"]), row["n_lines"], (1_000_000 * n_i) // t_i))
+    return spark.createDataFrame(
+        data,
+        "o_year long, nation_revenue double, total_revenue double, n_lines long, mkt_share_ppm long",
+    )
+
+
+def q_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation and
+    order year over 'red' parts, profit = disc revenue minus a retail-price
+    proxy cost (no partsupp table: cost = 0.5 * p_retailprice * l_quantity).
+    Both terms cast DECIMAL(18,6) BEFORE the subtraction so the sum is
+    exact; the double products underneath are single IEEE expressions both
+    engines evaluate bit-identically (left-assoc, same literal)."""
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf, "part").where(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC) - (
+        F.col("p_retailprice") * F.lit(0.5) * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dec_sum(amount, "sum_profit"), F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose total disc revenue
+    exceeds 1.5x the average per-part value -- the having-vs-global-scalar
+    pattern.  (The classic fixed 1/10000-of-total fraction is scale-DEPENDENT
+    -- it returned 0 rows already at sf0.1 -- so the threshold is relative
+    to the mean, which is scale-free.)  Both sides are exact integer
+    micros; the test is value_micro > (3*total_micro) DIV (2*n_parts), which
+    for non-negative int64 is EXACTLY equivalent to the cross-multiplied
+    2*value*n > 3*total (proof in oracle comment) without the 1e22 overflow
+    the multiplication would hit at sf1.  The 1-row total broadcasts
+    (sanctioned crossJoin)."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    per_part = li.groupBy("l_partkey").agg((F.sum(rev) * 1_000_000).cast("long").alias("value_micro"))
+    tot = per_part.agg(
+        F.sum("value_micro").alias("total_micro"), F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("value_micro") > F.expr("(3 * total_micro) DIV (2 * n_parts)"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "value_micro",
+            F.round(F.col("value_micro") / 1e6, 6).alias("value"),
+        )
+        .orderBy(F.desc("value_micro"), "p_partkey")
+        .limit(100)
+    )
+
+
+def q_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay priority census): lines bucketed by
+    ship latency (180-day buckets, clamped to [0, 4] -- the synthetic data
+    has negative latencies) counting critical (1-URGENT/2-HIGH) vs other
+    orders per bucket.  All-integer: datediff days, GREATEST/LEAST clamp,
+    DIV -- both engines truncate identically on non-negative ints."""
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = F.least(F.expr("GREATEST(_days, 0) DIV 180"), F.lit(4)).cast("long")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .withColumn("_days", days)
+        .groupBy(bucket.alias("latency_bucket"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("critical_lines"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("other_lines"),
+        )
+        .orderBy("latency_bucket")
+    )
+
+
+def q_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes): distinct
+    suppliers per (brand, type, size) over the DERIVED lineitem
+    part-supplier relation, excluding one brand and negative-balance
+    suppliers (the NOT IN -> broadcast anti join).  The distinct pair
+    projection is the only corpus-sized shuffle; part attrs broadcast."""
+    pairs = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = load_table(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = (
+        load_table(spark, sf, "part")
+        .where(F.col("p_brand") != "Brand#5")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+def q_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-share suppliers): EUROPE suppliers who in
+    1997 shipped MORE THAN HALF of some red part's total 1997 quantity --
+    nested semi-joins over per-(part,supplier) vs per-part aggregates (the
+    partsupp availqty>0.5*sum correlation, derived from lineitem).  The
+    half test cross-multiplies exact integer micros (2*supp > part); the
+    per-part totals are part-dim-sized and broadcast; the supplier keyset
+    semi-joins (never materializes a wide row)."""
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf, "part").where(F.col("p_name").like("red%")).select("p_partkey")
+    red = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select("l_partkey", "l_suppkey", "l_quantity")
+    qty_micro = (F.sum(F.col("l_quantity").cast(DEC)) * 1_000_000).cast("long")
+    per_ps = red.groupBy("l_partkey", "l_suppkey").agg(qty_micro.alias("supp_qty_micro"))
+    per_p = red.groupBy("l_partkey").agg(qty_micro.alias("part_qty_micro")).withColumnRenamed("l_partkey", "pk")
+    excess = (
+        per_ps.join(F.broadcast(per_p), F.col("l_partkey") == F.col("pk"))
+        .where(F.lit(2) * F.col("supp_qty_micro") > F.col("part_qty_micro"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(excess), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per order, at
+    least two distinct suppliers but EXACTLY ONE distinct late supplier
+    (ship > order date + 730 days; no commit/receipt dates in this schema)
+    -- the exists + not-exists double correlation collapsed into ONE
+    grouped pass over the fact (conditional countDistinct + conditional
+    max recovers the sole late supplier), instead of the classic l1/l2/l3
+    triple self-join.  One fact shuffle on l_orderkey, then an
+    order-cardinality regroup; supplier names broadcast."""
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    late = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 730
+    per_order = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name", "s_suppkey")
+        .limit(100)
+    )
+
+
 def q_u6(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-incremental MV refresh (merge.refresh_partitions): a
     daily event-stats view maintained by recomputing ONLY the days a
@@ -3427,6 +3696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_q15,
         "tpch_q17_small_qty_revenue": q_q17,
         "tpch_q22_idle_customers": q_q22,
+        "tpch_q2_min_cost_supplier": q_q2,
+        "tpch_q8_market_share": q_q8,
+        "tpch_q9_product_profit": q_q9,
+        "tpch_q11_important_parts": q_q11_important_parts,
+        "tpch_q12_latency_priority": q_q12,
+        "tpch_q16_supplier_count": q_q16,
+        "tpch_q20_excess_suppliers": q_q20,
+        "tpch_q21_waiting_suppliers": q_q21,
         "q3_revenue_by_customer": q_q3,
         "q5_revenue_by_nation": q_q5,
         "w1_top3_orders_per_priority": q_w1,
@@ -5214,6 +5491,151 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
                OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
                OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        # q2: derived supply relation (min extendedprice per part,supplier);
+        # pure MIN -> exact double equality on the join-back.
+        "tpch_q2_min_cost_supplier": """
+            WITH asup AS (
+              SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA'),
+            pp AS (SELECT p_partkey FROM part WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20),
+            supply AS (
+              SELECT l.l_partkey, l.l_suppkey, MIN(l.l_extendedprice) AS cost
+              FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+              JOIN asup ON l.l_suppkey = asup.s_suppkey
+              GROUP BY 1, 2),
+            best AS (SELECT l_partkey, MIN(cost) AS best_cost FROM supply GROUP BY 1)
+            SELECT a.s_acctbal, a.s_name, a.n_name, sp.l_partkey AS p_partkey, sp.cost
+            FROM supply sp JOIN best b ON sp.l_partkey = b.l_partkey AND sp.cost = b.best_cost
+            JOIN asup a ON sp.l_suppkey = a.s_suppkey
+            ORDER BY a.s_acctbal DESC, a.n_name, a.s_name, p_partkey, sp.l_suppkey
+            LIMIT 100
+        """,
+        # q8: year-grouped ppm share in HUGEINT floor division (the q14
+        # overflow discipline).
+        "tpch_q8_market_share": """
+            WITH am AS (
+              SELECT c.c_custkey FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'AMERICA')
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN s.s_nationkey = 6
+                                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_revenue,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST((1000000 * SUM(CASE WHEN s.s_nationkey = 6
+                                            THEN CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                                            ELSE CAST(0 AS HUGEINT) END))
+                        // SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS BIGINT) AS mkt_share_ppm
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN am ON o.o_custkey = am.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1 ORDER BY o_year
+        """,
+        # q9: profit terms cast DECIMAL(18,6) BEFORE subtraction; the double
+        # products are single left-assoc IEEE expressions on both engines.
+        "tpch_q9_product_profit": """
+            SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                                 - CAST(p.p_retailprice * 0.5 * l.l_quantity AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        # q11: v > (3t) // (2n) is exactly 2*v*n > 3t for non-negative
+        # int64 (3t = q*2n + r, 0<=r<2n: v>q <=> v>=q+1 <=> 2vn >= 2qn+2n
+        # > 3t; v<=q <=> 2vn <= 2qn <= 3t) -- without the 1e22 overflow of
+        # the literal cross-multiplication at sf1.
+        "tpch_q11_important_parts": """
+            WITH pv AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS value_micro
+              FROM lineitem GROUP BY 1),
+            t AS (SELECT SUM(value_micro) AS total_micro, CAST(COUNT(*) AS BIGINT) AS n_parts FROM pv)
+            SELECT pv.l_partkey AS p_partkey, pv.value_micro,
+                   ROUND(pv.value_micro / 1e6, 6) AS value
+            FROM pv, t WHERE pv.value_micro > (3 * t.total_micro) // (2 * t.n_parts)
+            ORDER BY pv.value_micro DESC, p_partkey
+            LIMIT 100
+        """,
+        # q12: all-integer latency bucketing (GREATEST clamp keeps // on
+        # non-negative ints, where both engines truncate identically).
+        "tpch_q12_latency_priority": """
+            SELECT CAST(LEAST(GREATEST(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)), 0) // 180, 4) AS BIGINT) AS latency_bucket,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY latency_bucket
+        """,
+        # q16: NOT IN -> anti join on the derived distinct pair relation.
+        "tpch_q16_supplier_count": """
+            WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            ok AS (
+              SELECT * FROM pairs
+              WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM ok JOIN part p ON ok.l_partkey = p.p_partkey
+            WHERE p.p_brand != 'Brand#5'
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+            LIMIT 100
+        """,
+        # q20: half-share test cross-multiplies exact integer micros.
+        "tpch_q20_excess_suppliers": """
+            WITH red AS (
+              SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'red%'
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'),
+            ps AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS supp_qty_micro
+              FROM red GROUP BY 1, 2),
+            pt AS (
+              SELECT l_partkey AS pk,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS part_qty_micro
+              FROM red GROUP BY 1),
+            ex AS (
+              SELECT DISTINCT ps.l_suppkey
+              FROM ps JOIN pt ON ps.l_partkey = pt.pk
+              WHERE 2 * ps.supp_qty_micro > pt.part_qty_micro)
+            SELECT s.s_suppkey, s.s_name, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+              AND s.s_suppkey IN (SELECT l_suppkey FROM ex)
+            ORDER BY s.s_suppkey
+        """,
+        # q21: the exists/not-exists double correlation as one grouped pass
+        # (conditional COUNT DISTINCT + conditional MAX).
+        "tpch_q21_waiting_suppliers": """
+            WITH po AS (
+              SELECT l.l_orderkey,
+                     COUNT(DISTINCT l.l_suppkey) AS n_supp,
+                     COUNT(DISTINCT CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 730
+                                         THEN l.l_suppkey END) AS n_late_supp,
+                     MAX(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 730
+                              THEN l.l_suppkey END) AS late_supp
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM po JOIN supplier s ON po.late_supp = s.s_suppkey
+            WHERE po.n_supp >= 2 AND po.n_late_supp = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s.s_name, s.s_suppkey
+            LIMIT 100
         """,
         # se9: batch twin of the stream-static join + complete-mode agg.
         "se9_stream_static_enrich": f"""
