@@ -2307,18 +2307,13 @@ def q_mm4(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_mm7(spark: SparkSession, sf: str) -> DataFrame:
-    """In-gate REAL video decode with NO external codec (VERDICT r5 item
-    5): each document's first <= 3 12-byte ASCII slices become 4x1 BGR24
-    DIB frames of an uncompressed RIFF/AVI (stride = width*3 = 12, so each
-    frame payload IS the text slice bytes), packed by
-    multimodal.pack_raw_avi in one Arrow kernel and decoded back by the
-    stdlib RIFF walk (sample_video_frames decode_stub='stdlib', fps =
-    stream rate -> every stored frame kept).  The oracle recomputes each
-    frame md5 from the SAME text slice directly -- one wrong byte in
-    EITHER the container writer or the parser breaks the hash.  Docs under
-    12 chars contribute no frames.  Repartitions before the per-row pack
-    kernel (dedup._shingles rule)."""
+def _docs_as_avi(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared mm7/mm9 corpus: each document's first <= 3 12-byte ASCII
+    slices become 4x1 BGR24 DIB frames of an uncompressed RIFF/AVI
+    (stride = width*3 = 12, so each frame payload IS the text slice
+    bytes), packed by multimodal.pack_raw_avi in one Arrow kernel.  Docs
+    under 12 chars contribute no video.  Repartitions before the per-row
+    pack kernel (dedup._shingles rule)."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
@@ -2339,9 +2334,43 @@ def q_mm7(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     packed = docs.mapInPandas(pack, schema="doc_id long, blob binary")
-    media = multimodal.attach_media_metadata(packed, "doc_id", "blob", "video")
+    return multimodal.attach_media_metadata(packed, "doc_id", "blob", "video")
+
+
+def q_mm7(spark: SparkSession, sf: str) -> DataFrame:
+    """In-gate REAL video decode with NO external codec (VERDICT r5 item
+    5): the _docs_as_avi corpus decoded back by the stdlib RIFF walk
+    (sample_video_frames decode_stub='stdlib', fps = stream rate -> every
+    stored frame kept).  The oracle recomputes each frame md5 from the
+    SAME text slice directly -- one wrong byte in EITHER the container
+    writer or the parser breaks the hash."""
+    media = _docs_as_avi(spark, sf)
     return multimodal.sample_video_frames(media, decode_stub="stdlib", fps=2.0).orderBy(
         "media_id", "frame_no"
+    )
+
+
+def q_mm9(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-video duplicate-frame detection -- the keyframe-dedup
+    pipeline composed end-to-end: pack (_docs_as_avi) -> REAL stdlib AVI
+    decode (multimodal.sample_video_frames) -> frame-content hash ->
+    distributed exact dedup (one hash groupBy, the d1 shape applied to
+    decoded media).  Keeps frame contents appearing in >= 2 DISTINCT
+    videos; the corpus's duplicate-document structure guarantees real
+    hits.  Scale: the only shuffle carries (frame_md5, media_id) -- never
+    pixels; counts/mins are order-free.  Oracle recomputes frame hashes
+    from the generative text slices."""
+    media = _docs_as_avi(spark, sf)
+    frames = multimodal.sample_video_frames(media, decode_stub="stdlib", fps=2.0)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.countDistinct("media_id").cast("long").alias("n_videos"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.min("media_id").alias("first_media"),
+        )
+        .where(F.col("n_videos") >= 2)
+        .orderBy("frame_md5")
     )
 
 
@@ -3219,6 +3248,97 @@ def q_u6(spark: SparkSession, sf: str) -> DataFrame:
     return refreshed.orderBy("day")
 
 
+def q_u7(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup (merge.pit_lookup): every order is
+    enriched with the customer's SCD2 event-type state (u3's history,
+    built from the event feed) valid AT THE ORDER DATE -- the leakage-free
+    feature join (an order must never see a state change from its future).
+    LEFT equi-join on the key with the interval test residual; validity
+    intervals partition each key's timeline, so no fact can match twice.
+    Orders before a user's first event (or for users with no events) get
+    the '__none__' / -1 sentinels.  Oracle replays the u3 history CTE plus
+    the same interval join."""
+    from youtubeanalyzerproject_big_data__spark.operators.merge import pit_lookup
+
+    _utc(spark)
+    hist = merge_scd2(load_events(spark, sf), "user_id", "event_type", "ts", "event_id")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    out = pit_lookup(
+        o, hist, "o_custkey", F.unix_micros(F.col("o_orderdate").cast("timestamp")), "user_id"
+    )
+    return out.select("o_orderkey", "state", "version").orderBy("o_orderkey")
+
+
+def q_e15(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap fill (timeseries.gap_fill): the hourly event series
+    of every 10th user densified to a regular grid -- missing hours
+    materialized from a per-key generated spine (never a global calendar
+    cross join), zero counts, and the last observed event type carried
+    forward (as-of state between observations).  One corpus shuffle (the
+    hourly pre-aggregate); spine + forward-fill run on bucket-cardinality
+    rows.  Oracle: generate_series spine + LAST_VALUE IGNORE NULLS."""
+    from youtubeanalyzerproject_big_data__spark.operators.timeseries import gap_fill
+
+    _utc(spark)
+    e = load_events(spark, sf).where(F.col("user_id") % 10 == 0)
+    out = gap_fill(e, "user_id", "ts", "event_type", unit="hour")
+    return out.select(
+        "user_id", F.col("bucket").alias("hour"), "n_events", "is_gap", "carried_type"
+    ).orderBy("user_id", "hour")
+
+
+G13_CORE_K = 80  # median co-purchase degree ~117; 80 peels 5 rounds with a large surviving core
+G13_CORE_ROUNDS = 10
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous-peeling twin of graph.kcore: round i keeps
+    vertices with degree >= k in e_{i-1} and the edges among them.  Extra
+    rounds after the fixpoint are no-ops, so a fixed unroll equals the
+    engine's early-exited loop whenever BOTH reach the fixpoint -- and
+    equals its max_rounds-step peel otherwise (same round semantics).
+
+    Every CTE is AS MATERIALIZED: round i references round i-1 THREE
+    times, so inlining (DuckDB's default for single-reference CTEs, and
+    the same failure mode as the Hilbert pure-Column fold) re-expands the
+    tree 3^rounds-fold -- the un-materialized form exhausted file handles
+    re-opening the lineitem scan before it could run."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+              SELECT DISTINCT x.l_partkey AS v, y.l_partkey AS u
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey != y.l_partkey)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"g{i} AS MATERIALIZED (SELECT v FROM e{i-1} GROUP BY v HAVING COUNT(*) >= {k})")
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.v, e.u FROM e{i-1} e JOIN g{i} a ON e.v = a.v JOIN g{i} b ON e.u = b.v)"
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT v AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+            FROM e{rounds} GROUP BY v ORDER BY core_degree DESC, part"""
+    )
+
+
+def q_g13(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph (graph.kcore):
+    synchronous peeling at k=80 -- each round drops ALL sub-k vertices at
+    once (unique fixpoint, so deletion order cannot matter).  Edge build
+    via graph.copurchase_edges (one groupBy + in-array pair expansion,
+    never a fact-fact self-join); survivor keysets semi-join WITHOUT a
+    forced broadcast (vertex-sized -- the r5 g10 lesson).  Converges in 5
+    rounds at both gate scales; the oracle unrolls 10 identical rounds."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.copurchase_edges(li, "l_orderkey", "l_partkey")
+    core = graph.kcore(edges, k=G13_CORE_K, max_rounds=G13_CORE_ROUNDS)
+    return core.select(F.col("src").alias("part"), "core_degree").orderBy(
+        F.desc("core_degree"), "part"
+    )
+
+
 M5_PRICE_GRID = [float(t) for t in range(20_000, 520_000, 20_000)]
 M5_CUST_GRID = [float(t) for t in range(0, 16_000, 1_000)]
 
@@ -3689,6 +3809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_value_windows": q_w7,
         "m5_decision_stump": q_m5,
         "u6_partition_refresh": q_u6,
+        "u7_pit_lookup": q_u7,
+        "e15_gap_fill": q_e15,
+        "g13_kcore": q_g13,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -3805,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm5_phash_near_dups": q_mm5,
         "mm7_avi_frame_samples": q_mm7,
         "mm8_bmp_box_downsample": q_mm8,
+        "mm9_frame_dedup": q_mm9,
         "a23_count_min_gate": q_a23,
         "g4_pagerank_top100": q_pagerank,
         "g8_khop_reachability": q_g8,
@@ -5663,6 +5787,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         # u6: full-table recompute; equality with the partition-selective
         # refresh is the maintenance proof (i1's idiom for replacement).
+        # mm9: frame hashes recomputed from the generative text slices
+        # (the mm7 oracle), then the d1 dedup shape on top.
+        "mm9_frame_dedup": """
+            WITH fr AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     md5(substring(text, CAST(12 * i + 1 AS BIGINT), 12)) AS frame_md5
+              FROM documents,
+                   unnest(generate_series(0, CAST(least(floor(strlen(text) / 12), 3) AS BIGINT) - 1)) AS t(i))
+            SELECT frame_md5,
+                   CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_videos,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   MIN(media_id) AS first_media
+            FROM fr GROUP BY 1 HAVING COUNT(DISTINCT media_id) >= 2
+            ORDER BY frame_md5
+        """,
+        # g13: generated unrolled peeling rounds (see _kcore_oracle_sql).
+        "g13_kcore": _kcore_oracle_sql(G13_CORE_K, G13_CORE_ROUNDS),
+        # e15: per-key generated spine (generate_series) + running
+        # last-non-null; leading buckets are active by construction, so
+        # carried_type is never NULL.
+        "e15_gap_fill": """
+            WITH h AS (
+              SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n, MAX(event_type) AS tt
+              FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+            s AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM h GROUP BY 1),
+            sp AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM s),
+            f AS (SELECT sp.user_id, sp.bucket, h.n, h.tt
+                  FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.bucket = h.bucket)
+            SELECT user_id, CAST(bucket AS TIMESTAMP) AS hour,
+                   CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+                   n IS NULL AS is_gap,
+                   LAST_VALUE(tt IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_type
+            FROM f ORDER BY user_id, hour
+        """,
+        # u7: the u3 history CTE + as-of interval join; intervals partition
+        # each key's timeline so the LEFT join cannot duplicate facts.
+        "u7_pit_lookup": """
+            WITH e AS (SELECT user_id, event_type AS state, epoch_ns(ts) // 1000 AS t_us, event_id
+                       FROM events),
+            l AS (SELECT *, LAG(state) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev FROM e),
+            k AS (SELECT * FROM l WHERE prev IS NULL OR state != prev),
+            v AS (SELECT user_id, state,
+                         CAST(t_us AS BIGINT) AS valid_from_us,
+                         CAST(COALESCE(LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id),
+                                       253402214400000000) AS BIGINT) AS valid_to_us,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS BIGINT) AS version
+                  FROM k)
+            SELECT o.o_orderkey,
+                   COALESCE(v.state, '__none__') AS state,
+                   CAST(COALESCE(v.version, -1) AS BIGINT) AS version
+            FROM orders o LEFT JOIN v
+              ON o.o_custkey = v.user_id
+             AND epoch_ns(o.o_orderdate) // 1000 >= v.valid_from_us
+             AND epoch_ns(o.o_orderdate) // 1000 < v.valid_to_us
+            ORDER BY o.o_orderkey
+        """,
         "u6_partition_refresh": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

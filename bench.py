@@ -134,6 +134,18 @@ BENCH_QUERIES = [
     "tpch_q19_bracket_revenue",
     "mm8_bmp_box_downsample",
     "a23_count_min_gate",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_latency_priority",
+    "tpch_q16_supplier_count",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "u7_pit_lookup",
+    "e15_gap_fill",
+    "g13_kcore",
+    "mm9_frame_dedup",
 ]
 
 

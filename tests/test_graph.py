@@ -347,3 +347,34 @@ def test_copurchase_cap_drops_degenerate_group(spark):
     assert out == [(100, 101), (100, 102), (101, 102)]
     # uncapped: the big group contributes C(10,2) = 45 pairs
     assert copurchase_edges(df, "g", "i").count() == 45 + 3
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    # 4-clique {1,2,3,4} + tail 4-5-6: k=3 must peel the tail over TWO
+    # cascading rounds (6 first, then 5) and keep exactly the clique.
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(clique + [(4, 5), (5, 6)], "src long, dst long")
+    out = graph.kcore(edges, k=3).orderBy("src").collect()
+    assert [(r["src"], r["core_degree"]) for r in out] == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+
+def test_kcore_empty_when_graph_unravels(spark):
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    # a path graph has max degree 2: the 3-core is empty
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "src long, dst long")
+    assert graph.kcore(edges, k=3).count() == 0
+
+
+def test_kcore_max_rounds_caps_the_peel(spark):
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    # chain 1-2-3-4-5 with k=2: each round peels only the current
+    # endpoints, so max_rounds=1 stops after one synchronous deletion --
+    # survivors are the inner path 2-3-4 (degree 2,1-ish recount):
+    # round 1 drops {1,5}; remaining edges 2-3,3-4.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    out = graph.kcore(edges, k=2, max_rounds=1)
+    assert sorted(r["src"] for r in out.collect()) == [2, 3, 4]

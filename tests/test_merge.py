@@ -239,3 +239,42 @@ def test_kmv_merge_equals_full_state(spark):
     merged = merge_kmv_state(kmv_state(a, ["g"], "h", k=16), kmv_state(b, ["g"], "h", k=16), ["g"], k=16)
     full = kmv_state(df, ["g"], "h", k=16)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_pit_lookup_matches_interval_and_sentinels(spark):
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.operators.merge import pit_lookup, scd2_history
+
+    feed = spark.createDataFrame(
+        [
+            (1, "bronze", dt.datetime(2024, 1, 1), 7),
+            (2, "silver", dt.datetime(2024, 2, 1), 7),
+            (3, "gold", dt.datetime(2024, 3, 1), 7),
+        ],
+        "event_id long, event_type string, ts timestamp, user_id long",
+    )
+    hist = scd2_history(feed, "user_id", "event_type", "ts", "event_id")
+    facts = spark.createDataFrame(
+        [
+            (10, 7, dt.datetime(2023, 12, 1)),  # before first version -> sentinel
+            (11, 7, dt.datetime(2024, 1, 15)),  # inside bronze
+            (12, 7, dt.datetime(2024, 2, 1)),   # exactly at silver's valid_from -> silver
+            (13, 7, dt.datetime(2024, 9, 9)),   # open interval -> gold
+            (14, 99, dt.datetime(2024, 1, 15)), # no history key -> sentinel
+        ],
+        "fid long, k long, fts timestamp",
+    )
+    from pyspark.sql import functions as F
+
+    out = pit_lookup(facts, hist, "k", F.unix_micros(F.col("fts")), "user_id").orderBy("fid")
+    rows = {r["fid"]: (r["state"], r["version"]) for r in out.collect()}
+    assert rows == {
+        10: ("__none__", -1),
+        11: ("bronze", 1),
+        12: ("silver", 2),
+        13: ("gold", 3),
+        14: ("__none__", -1),
+    }
+    # intervals partition the timeline: the lookup can never duplicate facts
+    assert out.count() == facts.count()

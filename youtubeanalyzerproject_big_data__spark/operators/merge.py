@@ -112,6 +112,53 @@ def scd2_history(
     return out.withColumn("is_current", F.col("valid_to_us") == F.lit(SCD2_OPEN_END_US))
 
 
+def pit_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    fact_key: str,
+    ts_us: "F.Column",
+    key_col: str,
+    state_sentinel: str = "__none__",
+) -> DataFrame:
+    """Point-in-time (as-of) dimension lookup: enrich each fact row with
+    the :func:`scd2_history` state valid at the fact's timestamp
+    (``valid_from_us <= ts_us < valid_to_us``) -- the feature-store /
+    warehouse primitive that makes training joins leakage-free (a fact
+    must never see dimension attributes from its future).
+
+    Plan shape: LEFT equi-join on the key with the interval test as a
+    residual predicate.  Because a key's validity intervals partition the
+    timeline (scd2_history construction), every fact matches AT MOST one
+    history row -- no row explosion, no dedup pass.  Both sides shuffle
+    once on the key; per-key history is version-count-sized, so the
+    sort-merge buffers stay small at any corpus size.  Facts before a
+    key's first version (or with no history key at all) surface the
+    ``state_sentinel`` / version -1, never NULL (repo invariant).
+
+    ``ts_us`` must be an integer-epoch-micros Column (match the history's
+    unix_micros convention; compute it with F.unix_micros under a pinned
+    UTC session).
+    """
+    h = history.select(
+        F.col(key_col).alias("_hk"),
+        F.col("state").alias("_hstate"),
+        "valid_from_us",
+        "valid_to_us",
+        F.col("version").alias("_hversion"),
+    )
+    f = facts.withColumn("_ts_us", ts_us)
+    joined = f.join(
+        h,
+        (f["_ts_us"] >= h["valid_from_us"]) & (f["_ts_us"] < h["valid_to_us"]) & (f[fact_key] == h["_hk"]),
+        "left",
+    )
+    return (
+        joined.withColumn("state", F.coalesce(F.col("_hstate"), F.lit(state_sentinel)))
+        .withColumn("version", F.coalesce(F.col("_hversion"), F.lit(-1)).cast("long"))
+        .drop("_hk", "_hstate", "_hversion", "_ts_us", "valid_from_us", "valid_to_us")
+    )
+
+
 AGG_STATE_COLS = ["n_rows", "sum_micro", "min_v", "max_v"]
 
 
