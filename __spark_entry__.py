@@ -3339,6 +3339,59 @@ def q_g13(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _g14_oracle_sql(seeds: list[str], hops: int) -> str:
+    """Unrolled (min,+) Bellman-Ford twin of graph.weighted_shortest_paths
+    over the quantity-weighted order<->part graph.  Every round CTE is AS
+    MATERIALIZED (each references the previous twice -- the g13 inlining
+    lesson)."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    ctes = [
+        """f AS MATERIALIZED (
+              SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS src,
+                     'P' || CAST(l_partkey AS VARCHAR) AS dst,
+                     CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w
+              FROM lineitem)""",
+        "e AS MATERIALIZED (SELECT src, dst, w FROM f UNION ALL SELECT dst, src, w FROM f)",
+        f"d0 AS (SELECT unnest([{seed_list}]) AS id, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT id, MIN(dist) AS dist FROM (
+                SELECT id, dist FROM d{i-1}
+                UNION ALL
+                SELECT e.dst AS id, d{i-1}.dist + e.w AS dist FROM e JOIN d{i-1} ON e.src = d{i-1}.id
+              ) GROUP BY id)"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT id, CAST(dist AS BIGINT) AS dist FROM d{hops} ORDER BY id"""
+    )
+
+
+G14_SEEDS = ["P1", "P2"]
+
+
+def q_g14(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (graph.weighted_shortest_paths):
+    min-plus Bellman-Ford from seed parts {P1, P2} over the order<->part
+    graph with integer-micro quantity edge costs -- the weighted twin of
+    g8's BFS (hops count there; cost accumulates here).  3 synchronous
+    relaxation rounds, exact integer arithmetic, edge table repartitioned
+    once.  Oracle: the identical recurrence unrolled (MATERIALIZED)."""
+    li = load_table(spark, sf, "lineitem")
+    w = (F.col("l_quantity").cast(DEC) * 1_000_000).cast("long").alias("w")
+    fwd = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        w,
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    return graph.weighted_shortest_paths(edges, G14_SEEDS, max_hops=3).orderBy("id")
+
+
 M5_PRICE_GRID = [float(t) for t in range(20_000, 520_000, 20_000)]
 M5_CUST_GRID = [float(t) for t in range(0, 16_000, 1_000)]
 
@@ -3812,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u7_pit_lookup": q_u7,
         "e15_gap_fill": q_e15,
         "g13_kcore": q_g13,
+        "g14_weighted_paths": q_g14,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -5804,6 +5858,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # g13: generated unrolled peeling rounds (see _kcore_oracle_sql).
         "g13_kcore": _kcore_oracle_sql(G13_CORE_K, G13_CORE_ROUNDS),
+        # g14: generated unrolled min-plus relaxation (see _g14_oracle_sql).
+        "g14_weighted_paths": _g14_oracle_sql(G14_SEEDS, 3),
         # e15: per-key generated spine (generate_series) + running
         # last-non-null; leading buckets are active by construction, so
         # carried_type is never NULL.

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "e15_gap_fill",
     "g13_kcore",
     "mm9_frame_dedup",
+    "g14_weighted_paths",
 ]
 
 

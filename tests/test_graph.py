@@ -378,3 +378,25 @@ def test_kcore_max_rounds_caps_the_peel(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
     out = graph.kcore(edges, k=2, max_rounds=1)
     assert sorted(r["src"] for r in out.collect()) == [2, 3, 4]
+
+
+def test_weighted_paths_prefer_cheap_multi_hop(spark):
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    # direct edge costs 100; the two-hop detour costs 20 -- min-plus must
+    # take the detour (the distinction from BFS hop counting)
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 10), ("a", "c", 100)], "src string, dst string, w long"
+    )
+    out = {r["id"]: r["dist"] for r in graph.weighted_shortest_paths(edges, ["a"], max_hops=3).collect()}
+    assert out == {"a": 0, "b": 10, "c": 20}
+
+
+def test_weighted_paths_hop_bound_limits_reach(spark):
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)], "src string, dst string, w long"
+    )
+    out = {r["id"]: r["dist"] for r in graph.weighted_shortest_paths(chain, ["a"], max_hops=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}  # d needs 3 hops -> absent

@@ -574,3 +574,83 @@ def test_q10_aggregates_before_broadcast_enrich(spark):
     plan = _plan(entrymod.q_q10(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q2_decorrelation_is_all_broadcast(spark):
+    """tpch_q2: the min-cost join-back runs entirely on broadcast joins --
+    the supply relation is the only fact-sized input; part/supplier prunes
+    and the part-dim-sized per-part min must never sort-merge."""
+    plan = _plan(entrymod.q_q2(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+
+
+def test_q21_is_one_grouped_pass_not_triple_selfjoin(spark):
+    """tpch_q21: the exists/not-exists correlation must collapse into ONE
+    grouped pass -- the classic l1/l2/l3 formulation scans lineitem three
+    times; this plan may scan it once."""
+    plan = _plan(entrymod.q_q21(spark, SF))
+    li_scans = [
+        ln for ln in plan.splitlines() if ("FileScan parquet" in ln or "Scan parquet" in ln) and "lineitem" in ln
+    ]
+    assert len(li_scans) == 1, li_scans
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """tpch_q16: the negative-balance supplier exclusion must plan as a
+    broadcast LEFT ANTI join (keys-only), never a shuffled NOT IN."""
+    plan = _plan(entrymod.q_q16(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_kcore_semijoins_are_not_broadcast_forced(spark):
+    """g13: the survivor keyset is vertex-sized, so kcore must NOT hint
+    broadcast (the r5 g10 lesson) -- with Spark's own broadcast thresholds
+    disabled, the peel round's semi-joins must degrade to shuffle joins
+    instead of aborting at scale."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.operators import graph as graphmod
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(clique + [(4, 5), (5, 6)], "src long, dst long")
+    thresholds = ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {c: spark.conf.get(c, None) for c in thresholds}
+    graphmod._DISABLE_CHECKPOINTS = True
+    try:
+        for c in thresholds:
+            spark.conf.set(c, "-1")
+        out = graphmod.kcore(edges, k=3, max_rounds=2)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" not in plan, "kcore must not force-broadcast vertex keysets"
+        assert "LeftSemi" in plan
+    finally:
+        graphmod._DISABLE_CHECKPOINTS = False
+        for c, v in saved.items():
+            spark.conf.unset(c) if v is None else spark.conf.set(c, v)
+
+
+def test_gap_fill_windows_and_spine_are_key_partitioned(spark):
+    """e15: the forward-fill window must partition by the series key
+    (per-reducer state = one key's spine), and the spine generation must
+    be sequence+explode -- no global calendar join, no unpartitioned
+    window."""
+    import re
+
+    plan = _plan(entrymod.q_e15(spark, SF))
+    specs = [s for s in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan) if s]
+    assert specs and all("user_id" in s for s in specs), specs
+    assert "Generate explode" in plan  # the per-key spine
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_lookup_is_single_interval_join(spark):
+    """u7: exactly ONE join operator (the as-of equi-join with interval
+    residual); the SCD2 build contributes windows, all key-partitioned."""
+    import re
+
+    plan = _plan(entrymod.q_u7(spark, SF))
+    n_joins = sum(plan.count(op) for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, n_joins
+    specs = [s for s in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan) if s]
+    assert specs and all("user_id" in s for s in specs), specs

@@ -617,6 +617,49 @@ def k_hop_distances(edges: DataFrame, seeds: list, max_hops: int = 3) -> DataFra
     return visited
 
 
+def weighted_shortest_paths(edges: DataFrame, seeds: list, max_hops: int = 3) -> DataFrame:
+    """Bounded-hop shortest paths from a seed set over INTEGER edge
+    weights: Bellman-Ford relaxation in the (min, +) tropical semiring,
+    ``dist_i(v) = min(dist_{i-1}(v), min over edges (u,v) of dist_{i-1}(u)
+    + w)`` -- the weighted complement of :func:`k_hop_distances` (BFS
+    counts hops; this accumulates cost).  max_hops rounds of synchronous
+    full relaxation: exact for paths of <= max_hops edges, deterministic
+    (integer min/+ has no ordering sensitivity), oracle-replayable as the
+    same unrolled recurrence.
+
+    Scale shape: the edge table repartitions by src ONCE and never moves
+    again; each round shuffles the vertex-sized dist table plus the
+    edge-sized relax output into a min aggregate (map-side partial min
+    first).  This is textbook distributed Bellman-Ford; a delta/frontier
+    variant only re-relaxes improved vertices and wins when few change per
+    round, but its trajectory is input-order-free too, so the simple
+    synchronous form is kept for oracle parity.  Lineage checkpoints per
+    round (graph._ckpt).
+
+    ``edges`` must carry (src, dst, w) with long weights (use integer
+    micros for fractional costs).  Returns (id, dist) for every vertex
+    reachable within ``max_hops`` hops; unreachable vertices are absent.
+    """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.repartition(n_part, "src").cache()
+    dist = (
+        spark.createDataFrame([(s,) for s in seeds], "id string")
+        .distinct()
+        .select("id", F.lit(0).cast("long").alias("dist"))
+        .transform(_ckpt)
+    )
+    for _ in range(max_hops):
+        relax = e.join(
+            dist.select(F.col("id").alias("src"), F.col("dist").alias("_d")), "src"
+        ).select(F.col("dst").alias("id"), (F.col("_d") + F.col("w")).cast("long").alias("dist"))
+        dist = (
+            dist.unionByName(relax).groupBy("id").agg(F.min("dist").alias("dist")).transform(_ckpt)
+        )
+    e.unpersist()
+    return dist
+
+
 def label_propagation(edges: DataFrame, max_iter: int = 2) -> DataFrame:
     """Synchronous label propagation (community detection, Raghavan et al.
     2007, the algorithm GraphFrames ships as ``labelPropagation``): every
