@@ -240,6 +240,26 @@ def q_a11(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_a24(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (agg.grouping_sets_stats): the hand-picked
+    set list ((priority,status),(status),()) -- a 'reverse rollup' neither
+    ROLLUP (which would drop status first) nor CUBE (which would add the
+    (priority) set) expresses.  One Expand + one hash aggregate, same as
+    a10/a11; '(all)' labels keep NULL group keys out of outputs."""
+    out = agg.grouping_sets_stats(
+        load_table(spark, sf, "orders"),
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice",
+    )
+    return out.select(
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+        "num_rows",
+        "sum_o_totalprice",
+    )
+
+
 def q_f4(spark: SparkSession, sf: str) -> DataFrame:
     """F4 conjunctive range predicate (QueryScripts_Final.py:15-18)."""
     li = load_table(spark, sf, "lineitem")
@@ -3866,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_gap_fill": q_e15,
         "g13_kcore": q_g13,
         "g14_weighted_paths": q_g14,
+        "a24_grouping_sets": q_a24,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -5123,6 +5144,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS num_rows,
                    {_dsum("o_totalprice")} AS sum_o_totalprice
             FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "a24_grouping_sets": f"""
+            SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+                   COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+                   COUNT(*) AS num_rows,
+                   {_dsum("o_totalprice")} AS sum_o_totalprice
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
         """,
         "f4_returned_mid_quantity": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag

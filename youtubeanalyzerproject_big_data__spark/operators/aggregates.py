@@ -202,6 +202,19 @@ def cube_stats(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     )
 
 
+def grouping_sets_stats(df: DataFrame, sets: list[list[str]], keys: list[str], value: str) -> DataFrame:
+    """ARBITRARY grouping sets -- the general form rollup/cube specialize
+    (a rollup is the suffix chain, a cube the powerset; report pipelines
+    routinely need a hand-picked set list neither expresses).  Same
+    physical shape as rollup_stats: ONE Expand multiplies each input row
+    per set, ONE hash aggregate -- never one pass per set."""
+    return (
+        df.groupingSets(sets, *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("num_rows"), dec_sum(value, f"sum_{value}"))
+        .orderBy(*[F.col(k).asc_nulls_first() for k in keys])
+    )
+
+
 def profile_columns(df: DataFrame, cols: list, decimal_cols: set | None = None) -> DataFrame:
     """Data-quality profile: one output row per column with
     (column, n_rows, n_nulls, n_distinct, min_str, max_str) -- the audit a
