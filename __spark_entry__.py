@@ -2811,6 +2811,48 @@ def q_se9(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("segment", "n_events", "sum_value").orderBy("segment")
 
 
+def q_se10(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark LATE-DROP semantics, machine-gated (the one streaming
+    behavior se1-se9 never pinned): the hourly aggregate runs in APPEND
+    mode with a 1-hour watermark over 3 explicitly-constructed arrival
+    batches (event_id % 3 -- each spans the full time range, so batches 1
+    and 2 genuinely arrive late vs the advanced watermark and lose rows).
+    Append mode emits ONLY windows the final watermark closed.
+
+    The oracle replays Spark's micro-batch watermark protocol in SQL,
+    calibrated EMPIRICALLY against the engine: the watermark filtering
+    batch i is the one computed from batches <= i-2 (a one-batch LAG --
+    the update from batch i-1 lands after batch i was planned in this
+    availableNow drain; hypothesis-tested against the kept-row count,
+    666 vs 335 under the no-lag reading).  A row is dropped when its
+    window END <= that watermark (state already evicted); a window is
+    emitted when its end <= the FINAL watermark (max ts - delay over all
+    batches).  Batch membership is exact (explicitly written files, one
+    per trigger, mtime-ordered) -- no range-partitioner sampling in the
+    arrival path."""
+    import glob
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    e = load_events(spark, sf).select("event_id", "event_type", "ts", "value")
+    base = tempfile.mkdtemp(prefix="se10_")
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    t0 = int(time.time()) - 3600
+    for i in range(3):
+        bdir = os.path.join(base, f"b{i}")
+        e.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(bdir)
+        part = glob.glob(os.path.join(bdir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"part-{i:05d}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+    stream = ev.stream_hourly_event_stats(spark, src, watermark="1 hour", max_files_per_trigger=1)
+    n_batches = ev.run_stream_to_parquet(stream, sink, ckpt, "append")
+    print(f"[stream se10] {n_batches} micro-batches", file=sys.stderr)
+    return spark.read.parquet(sink).orderBy("hour", "event_type")
+
+
 def q_q14(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): promo revenue share per ship
     month -- part type broadcast onto the fact, decimal-exact revenue
@@ -3887,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_kcore": q_g13,
         "g14_weighted_paths": q_g14,
         "a24_grouping_sets": q_a24,
+        "se10_stream_late_drop": q_se10,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -5843,6 +5886,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY numwait DESC, s.s_name, s.s_suppkey
             LIMIT 100
+        """,
+        # se10: Spark's micro-batch watermark protocol replayed in SQL --
+        # the watermark filtering batch i derives from batches <= i-2
+        # (one-batch lag, empirically calibrated -- see q_se10 docstring);
+        # drop when window end <= that; emit when end <= the final
+        # watermark.
+        "se10_stream_late_drop": f"""
+            WITH b AS (SELECT event_id % 3 AS batch, event_type,
+                              CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+            bm AS (SELECT batch, MAX(ts) AS mx FROM b GROUP BY batch),
+            wm AS (SELECT batch,
+                          MAX(mx) OVER (ORDER BY batch
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                          - INTERVAL 1 HOUR AS w
+                   FROM bm),
+            kept AS (
+              SELECT b.event_type, b.ts, b.value
+              FROM b JOIN wm ON b.batch = wm.batch
+              WHERE wm.w IS NULL OR date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.w),
+            fw AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM b)
+            SELECT date_trunc('hour', kept.ts) AS hour, kept.event_type,
+                   COUNT(*) AS num_events,
+                   {_dsum("value")} AS sum_value
+            FROM kept, fw
+            WHERE date_trunc('hour', kept.ts) + INTERVAL 1 HOUR <= fw.w
+            GROUP BY 1, 2 ORDER BY hour, event_type
         """,
         # se9: batch twin of the stream-static join + complete-mode agg.
         "se9_stream_static_enrich": f"""
