@@ -82,7 +82,7 @@ _REV = "l_extendedprice * (1 - l_discount)"
 # intersections count only shingles with document frequency <= max_df,
 # while Jaccard denominators (sizes) stay exact -- same semantics as
 # ngram_jaccard_pairs.  None = exact (the d3 verification twin).
-def _shingles_cte(max_df: int | None) -> str:
+def _shingles_cte(max_df: int | None, source: str = "documents") -> str:
     if max_df is None:
         shf = "shf AS (SELECT doc_id, shingle FROM sh),"
     else:
@@ -91,7 +91,7 @@ shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN shc USING (shingle)),"""
     return rf"""
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
-  FROM documents
+  FROM {source}
 ),
 idx AS (
   SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
@@ -2853,6 +2853,47 @@ def q_se10(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(sink).orderBy("hour", "event_type")
 
 
+def q_dr1(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-recall audit ('measure, don't guess' applied to the dedup
+    family itself): on a ~1-in-4 GROUP-stable doc sample, compute the TRUE
+    near-dup pair set (exact uncapped Jaccard >= 0.8 -- feasible BECAUSE
+    sampled: the uncapped inverted index is quadratic in hot-shingle df,
+    which the sample bounds) and the d3 MinHash+LSH pipeline's pairs on
+    the same sample; report n_true / n_found / recall_ppm (exact integer
+    floor division; -1 sentinel if the sample holds no true pair).
+
+    Sampling is by md5(first token) % 4 -- NOT by doc_id: a pair survives
+    sampling only if BOTH endpoints do, so id-sampling shears near-dup
+    pairs apart (measured: doc_id%20 kept ZERO of sf0.01's 25 true pairs;
+    every true pair at every SF shares its first token, so token-group
+    sampling keeps pairs intact -- the c11 leakage-safe-split lesson
+    applied to auditing).  This is how LSH parameter quality (16 hashes x
+    4 bands at t=0.8) is audited at 100 TB: a sampled recall gate, the
+    r1/r2 ANN pattern applied to text dedup.  Fully deterministic (md5
+    everywhere), so even the recall number is oracle-hash-exact."""
+    first_tok = F.element_at(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""), 1)
+    docs = load_table(spark, sf, "documents").where(
+        F.pmod(md5_int32(first_tok, "dr1"), F.lit(4)) == 0
+    )
+    true_pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_df=None).select(
+        "doc1", "doc2"
+    )
+    lsh_pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("doc1", "doc2")
+    found = true_pairs.join(lsh_pairs, ["doc1", "doc2"], "left_semi")
+    t = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    f_ = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return t.crossJoin(f_).select(  # two 1-row totals: the sanctioned crossJoin shape
+        "n_true",
+        "n_found",
+        F.when(F.col("n_true") == 0, F.lit(-1))
+        .otherwise(F.expr("(1000000 * n_found) DIV n_true"))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
 def q_q14(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): promo revenue share per ship
     month -- part type broadcast onto the fact, decimal-exact revenue
@@ -3930,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g14_weighted_paths": q_g14,
         "a24_grouping_sets": q_a24,
         "se10_stream_late_drop": q_se10,
+        "dr1_dedup_recall": q_dr1,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -4575,8 +4617,21 @@ FROM cell{last} c LEFT JOIN dropped d ON c.vec_id = d.id2
 """
 
 
+# dr1's group-stable sample: md5(first token) % 4 (see q_dr1 docstring).
+_DR1_SAMPLE_SQL = rf"""(
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+    FROM documents)
+  WHERE ({md5_int32_sql("w[1]", "dr1")}) % 4 = 0)"""
+
+
 def _minhash_lsh_oracle(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8, max_bucket: int | None = None
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+    source: str = "documents",
 ) -> str:
     rpb = num_hashes // bands
     # Hash j = lane j%4 of md5 digest seeded j//4 (four 32-bit lanes per
@@ -4591,7 +4646,7 @@ def _minhash_lsh_oracle(
     # jaccard stays EXACT (max_df=None), like _jaccard_for_pairs.
     bucket_cap = "" if max_bucket is None else f"HAVING COUNT(*) <= {max_bucket}"
     return f"""
-WITH {_shingles_cte(None)},
+WITH {_shingles_cte(None, source)},
 sig_t AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
 bok AS (SELECT band, sig FROM bands GROUP BY band, sig {bucket_cap}),
@@ -5886,6 +5941,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY numwait DESC, s.s_name, s.s_suppkey
             LIMIT 100
+        """,
+        # dr1: sampled dedup-recall audit -- nested-WITH subqueries reuse
+        # the d3 LSH replay and the exact-Jaccard CTE on the same
+        # group-stable (first-token-hash) sample.
+        "dr1_dedup_recall": f"""
+            WITH lsh AS ({_minhash_lsh_oracle(max_bucket=2000, source=_DR1_SAMPLE_SQL)}),
+            tru AS (
+              WITH {_shingles_cte(None, source=_DR1_SAMPLE_SQL)}
+              SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tru),
+            f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM tru
+                  WHERE EXISTS (SELECT 1 FROM lsh WHERE lsh.doc1 = tru.doc1 AND lsh.doc2 = tru.doc2))
+            SELECT t.n_true, f.n_found,
+                   CAST(CASE WHEN t.n_true = 0 THEN -1
+                             ELSE (1000000 * f.n_found) // t.n_true END AS BIGINT) AS recall_ppm
+            FROM t, f
         """,
         # se10: Spark's micro-batch watermark protocol replayed in SQL --
         # the watermark filtering batch i derives from batches <= i-2

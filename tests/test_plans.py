@@ -654,3 +654,43 @@ def test_pit_lookup_is_single_interval_join(spark):
     assert n_joins == 1, n_joins
     specs = [s for s in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan) if s]
     assert specs and all("user_id" in s for s in specs), specs
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The 100 TB skew story has two layers: explicit salting (sk1/sk2)
+    and AQE's runtime skew-join split.  This pins the second: a sort-merge
+    join with one hot key must show skew=true partition splitting in the
+    final adaptive plan once the skew thresholds are reachable at test
+    scale.  If a Spark upgrade silently changes the AQE skew knobs, this
+    fails loudly instead of regressing 100x at the cluster."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {c: spark.conf.get(c, None) for c in confs}
+    try:
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        # left: 200k rows, 90% on one hot key; right: 2k rows per key domain
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        j = left.join(right, "k")
+        # materialize THIS DataFrame's own QueryExecution so AQE finalizes
+        # it (a .count() plans a different query and leaves j un-finalized)
+        assert len(j.collect()) == 200_000
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, "AQE skew-join split did not engage"
+    finally:
+        for c, v in saved.items():
+            spark.conf.unset(c) if v is None else spark.conf.set(c, v)
