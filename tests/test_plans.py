@@ -694,3 +694,24 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for c, v in saved.items():
             spark.conf.unset(c) if v is None else spark.conf.set(c, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE's other runtime lever: a shuffle producing far less data than
+    shuffle.partitions x advisory size must COALESCE its reducer count
+    (AQEShuffleRead coalesced) -- at 100 TB the same mechanism right-sizes
+    every stage instead of running thousands of empty reducers."""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", None)
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        df = spark.range(10_000).groupBy((F.col("id") % 7).alias("k")).count()
+        assert len(df.collect()) == 7  # finalize THIS QueryExecution (AQE)
+        plan = _plan(df)
+        assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:400]
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
