@@ -3572,6 +3572,60 @@ def q_i3(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_estimate(merged, ["hour"], k=k).orderBy("hour")
 
 
+def q_a25(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set-operation estimates (the sketch family's SET ALGEBRA --
+    union by sketch merge, intersection by inclusion-exclusion): distinct
+    urgent-order customers (A) vs high-order customers (B).  The union
+    sketch is the two k-sets unioned and re-cut (exactly merge_kmv_state's
+    argument); |A n B|_est = max(0, est_A + est_B - est_U), all integer;
+    the exact intersection rides along as the reference column.  Every
+    hash is md5-derived, so sketch contents AND estimates replay
+    hash-exactly in the oracle.  Scale: per-set states are k-row; the only
+    corpus-sized work is the distinct + rank window kmv_state always pays;
+    the union re-cut runs on 2k rows."""
+    from youtubeanalyzerproject_big_data__spark.operators.merge import kmv_estimate, kmv_state
+
+    k = 64
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    hv = md5_int32(F.col("o_custkey").cast("string"), seed="kmvset")
+    ab = o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a").otherwise("b").alias("s"),
+        hv.alias("hv"),
+    )
+    st = kmv_state(ab, ["s"], "hv", k=k)
+    est = kmv_estimate(st, ["s"], k=k)
+    u_st = kmv_state(st.select(F.lit("u").alias("s"), "hv"), ["s"], "hv", k=k)
+    est_u = kmv_estimate(u_st, ["s"], k=k)
+    ea = est.where(F.col("s") == "a").select(F.col("est_distinct").alias("est_a"))
+    eb = est.where(F.col("s") == "b").select(F.col("est_distinct").alias("est_b"))
+    eu = est_u.select(F.col("est_distinct").alias("est_union"))
+    exact = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .join(
+            o.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct(),
+            "o_custkey",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return (
+        ea.crossJoin(eb)  # four 1-row totals: the sanctioned crossJoin shape
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_inter"),
+            "exact_inter",
+        )
+    )
+
+
 def q_q7(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): revenue flowing between two
     nations in either direction, by ship year -- supplier-side nation via
@@ -3972,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a24_grouping_sets": q_a24,
         "se10_stream_late_drop": q_se10,
         "dr1_dedup_recall": q_dr1,
+        "a25_kmv_set_ops": q_a25,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -5941,6 +5996,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY numwait DESC, s.s_name, s.s_suppkey
             LIMIT 100
+        """,
+        # a25: full sketch replay (md5 hashes) -- per-set KMV, union re-cut,
+        # inclusion-exclusion intersection, exact reference.
+        "a25_kmv_set_ops": f"""
+            WITH h AS (
+              SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS s,
+                     {md5_int32_sql("CAST(o_custkey AS VARCHAR)", "kmvset")} AS hv
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+            d AS (SELECT DISTINCT s, hv FROM h),
+            r AS (SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS rn,
+                         COUNT(*) OVER (PARTITION BY s) AS nd
+                  FROM d),
+            st AS (SELECT s, hv, rn, nd FROM r WHERE rn <= 64),
+            est AS (SELECT s,
+                           CAST(CASE WHEN nd >= 64 AND MAX(CASE WHEN rn = 64 THEN hv END) > 0
+                                     THEN (63 * 4294967296) // MAX(CASE WHEN rn = 64 THEN hv END)
+                                     ELSE LEAST(nd, 64) END AS BIGINT) AS e
+                    FROM st GROUP BY s, nd),
+            ud AS (SELECT DISTINCT hv FROM st),
+            ur AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, COUNT(*) OVER () AS nd FROM ud),
+            uest AS (SELECT CAST(CASE WHEN nd >= 64 AND MAX(CASE WHEN rn = 64 THEN hv END) > 0
+                                      THEN (63 * 4294967296) // MAX(CASE WHEN rn = 64 THEN hv END)
+                                      ELSE LEAST(nd, 64) END AS BIGINT) AS e
+                     FROM (SELECT hv, rn, nd FROM ur WHERE rn <= 64) GROUP BY nd),
+            ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+                     SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                     INTERSECT
+                     SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
+            SELECT a.e AS est_a, b.e AS est_b, u.e AS est_union,
+                   CAST(GREATEST(0, a.e + b.e - u.e) AS BIGINT) AS est_inter,
+                   ex.exact_inter
+            FROM (SELECT e FROM est WHERE s = 'a') a,
+                 (SELECT e FROM est WHERE s = 'b') b,
+                 uest u, ex
         """,
         # dr1: sampled dedup-recall audit -- nested-WITH subqueries reuse
         # the d3 LSH replay and the exact-Jaccard CTE on the same
