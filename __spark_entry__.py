@@ -1010,6 +1010,17 @@ def q_d13(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.edit_distance_pairs(docs, "doc_id", "text").orderBy("doc1", "doc2")
 
 
+def q_d14(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood near-dups (dedup.sorted_neighborhood_pairs,
+    Hernandez-Stolfo SNM): sort by 24-char normalized prefix, compare
+    each doc with its next 3 neighbors, Levenshtein <= 10 over 64-char
+    heads.  Complements d13's prefix blocking: pairs cross block
+    boundaries and candidate count is (w-1)*n regardless of key skew.
+    Global rank is the two-level distributed form, never one reducer."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.sorted_neighborhood_pairs(docs, "doc_id", "text").orderBy("doc1", "doc2")
+
+
 def q_dq3(spark: SparkSession, sf: str) -> DataFrame:
     """Header-vs-detail reconciliation (quality.fact_reconciliation):
     o_totalprice against the micro-quantized lineitem-implied total,
@@ -4087,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_segment_dedup": q_d11,
         "d12_containment_pairs": q_d12,
         "d13_edit_distance_pairs": q_d13,
+        "d14_sorted_neighborhood": q_d14,
         "c1_corpus_curation": q_c1,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
@@ -6571,6 +6583,27 @@ def oracle_sql() -> dict[str, str]:
                      CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
               FROM nrm a JOIN nrm b ON a.blk = b.blk AND a.doc_id < b.doc_id
               JOIN g ON g.blk = a.blk)
+            SELECT doc1, doc2, edit_distance FROM p WHERE edit_distance <= 10
+            ORDER BY doc1, doc2
+        """,
+        # d14: the oracle's global row_number IS the spec the engine's
+        # two-level bucketed rank must equal (bucket = key prefix, so
+        # (bucket, key, id) order == (key, id) order).
+        "d14_sorted_neighborhood": r"""
+            WITH k AS (
+              SELECT doc_id, substring(nt, 1, 24) AS sk, substring(nt, 1, 64) AS head
+              FROM (SELECT doc_id,
+                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+                    FROM documents)
+              WHERE length(nt) >= 24),
+            r AS (SELECT doc_id, head,
+                         row_number() OVER (ORDER BY sk, doc_id) AS rn
+                  FROM k),
+            p AS (
+              SELECT LEAST(a.doc_id, b.doc_id) AS doc1,
+                     GREATEST(a.doc_id, b.doc_id) AS doc2,
+                     CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
+              FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
             SELECT doc1, doc2, edit_distance FROM p WHERE edit_distance <= 10
             ORDER BY doc1, doc2
         """,

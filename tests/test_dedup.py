@@ -427,3 +427,39 @@ def test_contamination_report_counts_leaks_per_eval_doc(spark):
     assert out[1]["n_leaked_grams"] >= 1 and out[1]["n_corpus_docs_hit"] == 1
     assert out[2]["n_leaked_grams"] == 0 and out[2]["n_corpus_docs_hit"] == 0
     assert out[1]["n_grams"] == 4  # 8 tokens -> 4 distinct 5-grams
+
+
+def test_sorted_neighborhood_pairs_cross_block(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import sorted_neighborhood_pairs
+
+    # a/b share only a 6-char prefix (separate 16-char d13 blocks) but sort
+    # adjacent and have close heads -- SNM must pair them; c is far away in
+    # both sort order and distance from a, but adjacent+close to d.
+    rows = [
+        (1, "apple banana cherry pie recipe with extra sugar and cream on top"),
+        (2, "apple banapa cherry pie recipe with extra sugar and cream on top"),
+        (3, "zebra crossing guard on duty every weekday morning at the school"),
+        (4, "zebra crossing guards on duty every weekday morning at the school"),
+        (5, "middle of the alphabet text that is completely unlike the others ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc1"], r["doc2"]): r["edit_distance"]
+        for r in sorted_neighborhood_pairs(df, "doc_id", "text", window=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1  # 'banana'->'banapa', one substitution
+    # 'guard'->'guards' insertion shifts the 64-char head cut by one -> distance 2
+    assert (3, 4) in got and got[(3, 4)] == 2
+    assert all(p in {(1, 2), (3, 4)} for p in got)  # window=2: only adjacent, close pairs
+
+
+def test_sorted_neighborhood_candidate_count_is_skew_proof(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import sorted_neighborhood_pairs
+
+    # 40 docs sharing one 24-char prefix: prefix blocking would generate
+    # 40*39/2 = 780 candidates; SNM with window=3 compares each doc with
+    # at most 2 neighbors -> <= 2n pairs survive even before the distance cut.
+    rows = [(i, f"shared boilerplate opening line number {i:04d} end") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted_neighborhood_pairs(df, "doc_id", "text", window=3, max_distance=64).collect()
+    assert 0 < len(out) <= 2 * 40

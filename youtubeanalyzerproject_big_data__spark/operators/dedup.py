@@ -992,3 +992,76 @@ def contamination_report(
         )
         .orderBy("eval_id")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_len: int = 24,
+    compare_len: int = 64,
+    window: int = 4,
+    max_distance: int = 10,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernandez & Stolfo's SNM, the
+    classic alternative to hash blocking): sort the corpus by a sorting
+    key (the ``key_len``-char normalized-text prefix), then compare each
+    document ONLY with its next ``window - 1`` neighbors in that order.
+    Unlike prefix blocking (edit_distance_pairs), SNM pairs documents
+    ACROSS block boundaries (two docs adjacent in sort order but
+    differing inside the first ``key_len`` chars still meet) and has no
+    degenerate-block blowup: candidate count is exactly
+    (window - 1) * n no matter how skewed the key distribution is.
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY key)`` global
+    rank funnels the corpus through one reducer, so the rank is the
+    training_shuffle two-level form (functions/sampling.py): bucket =
+    first ``bucket_chars`` chars of the sort key (a PREFIX, so
+    (bucket, key) order == global key order), per-bucket parallel
+    row_number, bucket counts cumsum'd serially (bucket-count-sized),
+    offsets broadcast back.  Text-prefix buckets are skewed where md5
+    buckets are not -- production raises bucket granularity or range-
+    partitions on sampled cutpoints; the shape is unchanged.  Neighbor
+    pairing is an integer equi-join on rank (left side exploded to
+    rank + 1 .. rank + window - 1), shuffle-partitioned -- never a sort
+    and never a window over the full corpus.
+
+    Returns (doc1, doc2, edit_distance) with doc1 < doc2 and distance
+    (over ``compare_len``-char heads) <= ``max_distance``.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize(F.col(text_col))
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(norm, 1, key_len).alias("sk"),
+        F.substring(norm, 1, compare_len).alias("head"),
+    ).where(F.length("sk") >= key_len)
+    keyed = keyed.withColumn("_bucket", F.substring("sk", 1, bucket_chars))
+    w_local = Window.partitionBy("_bucket").orderBy("sk", "doc_id")
+    local = keyed.withColumn("_local", F.row_number().over(w_local))
+    w_buckets = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(w_buckets), F.lit(0)).cast("long"))
+        .select("_bucket", "_offset")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_bucket")
+        .withColumn("rn", (F.col("_offset") + F.col("_local")).cast("long"))
+        .select("rn", "doc_id", "head")
+    )
+    left = ranked.select(
+        F.col("rn").alias("rn_l"),
+        F.col("doc_id").alias("id_l"),
+        F.col("head").alias("head_l"),
+        F.explode(F.array(*[F.lit(o) for o in range(1, window)])).alias("_o"),
+    ).withColumn("rn_r", F.col("rn_l") + F.col("_o"))
+    pairs = left.join(ranked.withColumnRenamed("rn", "rn_r"), "rn_r").select(
+        F.least("id_l", "doc_id").alias("doc1"),
+        F.greatest("id_l", "doc_id").alias("doc2"),
+        F.levenshtein(F.col("head_l"), F.col("head")).alias("edit_distance"),
+    )
+    return pairs.where(F.col("edit_distance") <= max_distance)
