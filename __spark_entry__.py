@@ -2712,6 +2712,112 @@ def q_l4(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_l6(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed CO-LOCATED join end-to-end: orders and customer written as
+    16-bucket tables on the join key (bucketBy + sortBy + saveAsTable),
+    re-read and merge-joined -- Catalyst plans the join with ZERO
+    Exchanges because both sides' bucket layout already satisfies the
+    join's distribution requirement.  THE layout lever for repeated
+    100 TB fact-fact joins: the shuffle is paid once at write time and
+    amortized over every subsequent join on that key.  Gate bits: the
+    bucketed join's executed plan is SortMergeJoin with no Exchange
+    (shuffle-free), and the identical unbucketed join carries >= 2
+    (discriminating control).  Revenue-by-segment off the bucketed join
+    is value-matched by the oracle from the raw tables, proving the
+    bucketed write+read lost nothing."""
+    import shutil
+    import tempfile
+
+    from youtubeanalyzerproject_big_data__spark.plans.inspect import executed_plan
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="l6_bucketed_")
+    try:
+        spark.sql("DROP TABLE IF EXISTS l6_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS l6_customer_bkt")
+        o.write.mode("overwrite").option("path", f"{tmp}/o").bucketBy(16, "o_custkey").sortBy(
+            "o_custkey"
+        ).saveAsTable("l6_orders_bkt")
+        c.write.mode("overwrite").option("path", f"{tmp}/c").bucketBy(16, "c_custkey").sortBy(
+            "c_custkey"
+        ).saveAsTable("l6_customer_bkt")
+        ob, cb = spark.table("l6_orders_bkt"), spark.table("l6_customer_bkt")
+        joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+        plan_b = executed_plan(joined)
+        bucketed_free = 1 if ("SortMergeJoin" in plan_b and plan_b.count("Exchange") == 0) else 0
+        plan_u = executed_plan(o.hint("merge").join(c, o.o_custkey == c.c_custkey))
+        control = 1 if plan_u.count("Exchange") >= 2 else 0
+        agg = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dec_sum("o_totalprice", "sum_totalprice"),
+        )
+        rows = [
+            (r["c_mktsegment"], r["n_orders"], r["sum_totalprice"], bucketed_free, control)
+            for r in agg.collect()
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS l6_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS l6_customer_bkt")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "c_mktsegment string, n_orders long, sum_totalprice double, "
+        "bucketed_shuffle_free long, unbucketed_has_shuffle long",
+    ).orderBy("c_mktsegment")
+
+
+def q_l7(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-style partitioned layout + partition PRUNING gate: orders
+    written ``partitionBy(o_orderpriority)`` (directory-per-value), read
+    back with a single-partition predicate.  At 100 TB this is the
+    difference between scanning one directory and scanning the lake:
+    pruning happens at PLANNING time from directory names -- zero data
+    files of other partitions are even listed into the scan.  Gate bits
+    from the executed plan: (a) the scan carries a PartitionFilters
+    entry binding o_orderpriority (planner-level pruning engaged), and
+    (b) ReadSchema does NOT contain the partition column (it lives in
+    directory names, not in data files -- the layout actually moved it
+    out of the row payload).  The aggregate off the pruned read is
+    value-matched by the oracle from the raw table."""
+    import shutil
+    import tempfile
+
+    from youtubeanalyzerproject_big_data__spark.plans.inspect import executed_plan, scan_schemas
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="l7_partitioned_")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+        back = spark.read.parquet(tmp)
+        pruned = back.where(F.col("o_orderpriority") == "1-URGENT")
+        plan = executed_plan(pruned)
+        pf = [
+            ln.split("PartitionFilters:", 1)[1]
+            for ln in plan.splitlines()
+            if "PartitionFilters:" in ln
+        ]
+        pruned_gate = 1 if any("o_orderpriority" in f and "1-URGENT" in f for f in pf) else 0
+        schema_gate = 1 if all("o_orderpriority" not in s for s in scan_schemas(pruned)) else 0
+        agg = pruned.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dec_sum("o_totalprice", "sum_totalprice"),
+        )
+        rows = [
+            (r["o_orderstatus"], r["n_orders"], r["sum_totalprice"], pruned_gate, schema_gate)
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders long, sum_totalprice double, "
+        "partition_pruned long, partition_col_not_in_files long",
+    ).orderBy("o_orderstatus")
+
+
 def q_a21(spark: SparkSession, sf: str) -> DataFrame:
     """HLL sketch MERGEABILITY gate (Datasketches hll_sketch_agg /
     hll_union_agg): per-event-type user sketches merged via union must
@@ -4024,6 +4130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_copurchase_capped": q_g12,
         "t22_bigram_novelty": q_t22,
         "l5_zonemap_skip_report": q_l5,
+        "l6_bucketed_join": q_l6,
+        "l7_partition_pruning": q_l7,
         "tpch_q7_nation_volume": q_q7,
         "tpch_q10_returned_items": q_q10,
         "i3_incremental_kmv": q_i3,
@@ -6291,6 +6399,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # l5: zones are data-derived rank ranges, so plain row_number
         # replays them; two layouts, one probe.
+        # l6: values from the raw tables (bucketed write+read must lose
+        # nothing); the two plan-gate bits are literal 1s -- Spark computes
+        # them from the executed plans (shuffle-free bucketed join, >= 2
+        # Exchanges in the unbucketed control).
+        "l6_bucketed_join": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_totalprice,
+                   CAST(1 AS BIGINT) AS bucketed_shuffle_free,
+                   CAST(1 AS BIGINT) AS unbucketed_has_shuffle
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        # l7: values from the raw table; the two plan-gate bits are literal
+        # 1s -- Spark computes them from the pruned scan's executed plan.
+        "l7_partition_pruning": """
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_totalprice,
+                   CAST(1 AS BIGINT) AS partition_pruned,
+                   CAST(1 AS BIGINT) AS partition_col_not_in_files
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
         "l5_zonemap_skip_report": """
             WITH r1 AS (SELECT o_custkey AS p,
                                row_number() OVER (ORDER BY o_custkey, o_custkey) - 1 AS rn

@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "g13_kcore",
     "mm9_frame_dedup",
     "g14_weighted_paths",
+    "a25_kmv_set_ops",
+    "d14_sorted_neighborhood",
+    "l6_bucketed_join",
+    "l7_partition_pruning",
 ]
 
 
