@@ -2882,6 +2882,54 @@ def q_v2(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_v3(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema EVOLUTION read (mergeSchema): the lakehouse append pattern
+    where a later batch adds columns.  Even-doc_id documents written with
+    the original 3-column schema, odd with the evolved 5-column one;
+    ``mergeSchema=true`` reconciles footers at read time -- old rows
+    surface NULL for the added columns and no rewrite of historical data
+    ever happens (the 100 TB schema-change story: evolution is a metadata
+    act, not a backfill job).  Gates: the merged read carries all 5
+    columns; added-column values are non-null EXACTLY on the evolved
+    batch.  Per-lang aggregate off the merged read (sentinel-filled, per
+    repo invariant) is value-matched from the raw table."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="v3_evolve_")
+    try:
+        even, odd = F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+        docs.where(even).select("doc_id", "text", "lang").write.parquet(f"{tmp}/b1")
+        docs.where(odd).select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+            f"{tmp}/b2"
+        )
+        back = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/b1", f"{tmp}/b2")
+        has_all = 1 if set(back.columns) >= {"doc_id", "text", "lang", "source", "n_chars"} else 0
+        is_old = F.col("doc_id") % 2 == 0
+        mismatch = (is_old != F.col("source").isNull()) | (is_old != F.col("n_chars").isNull())
+        nulls_exact = back.agg(
+            F.sum(F.when(mismatch, 1).otherwise(0)).alias("bad")
+        ).collect()[0]["bad"]
+        null_gate = 1 if (nulls_exact or 0) == 0 else 0
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("source").cast("long").alias("n_evolved"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars_evolved"),
+        )
+        rows = [
+            (r["lang"], r["n_docs"], r["n_evolved"], r["sum_chars_evolved"], has_all, null_gate)
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_docs long, n_evolved long, sum_chars_evolved long, "
+        "merged_schema_complete long, nulls_exactly_on_old_batch long",
+    ).orderBy("lang")
+
+
 def q_q18(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): HAVING-filtered order
     quantities (decimal-exact) joined back through orders to customer,
@@ -3489,6 +3537,54 @@ def q_u7(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("o_orderkey", "state", "version").orderBy("o_orderkey")
 
 
+def q_u8(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-be-forgotten purge CASCADE + audit: a deterministic ~0.5%
+    of customers (md5 % 1000 < 5 -- the deletion-request queue) is purged
+    from customer, cascaded to their orders, and cascaded again to those
+    orders' lineitems.  Per table: before/purged/after counts and an
+    order-invariant XOR-md5 fingerprint of the SURVIVING keys, so the
+    oracle hash proves the purge removed exactly the cascade closure and
+    nothing else -- the audit artifact a deletion pipeline must produce.
+    Scale: the deletion keyset is request-queue-sized -> broadcast
+    anti/semi joins against customer and orders; the order-level cascade
+    set is fact-sized (0.5% of orders), so lineitem purges through a
+    SHUFFLE anti-join, never a broadcast."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    deleted = c.where(
+        md5_int32(F.col("c_custkey").cast("string"), seed="forget") % 1000 < 5
+    ).select("c_custkey")
+    surv_c = c.join(F.broadcast(deleted), "c_custkey", "left_anti")
+    surv_o = o.join(F.broadcast(deleted), o.o_custkey == deleted.c_custkey, "left_anti")
+    del_o = o.join(F.broadcast(deleted), o.o_custkey == deleted.c_custkey, "left_semi").select(
+        "o_orderkey"
+    )
+    surv_li = li.join(del_o, li.l_orderkey == del_o.o_orderkey, "left_anti")
+
+    def _row(base: DataFrame, surv: DataFrame, key, tbl: str) -> DataFrame:
+        b = base.agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+        s = surv.select(md5_int32(key, seed="u8fp").alias("h")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+            F.coalesce(F.bit_xor("h"), F.lit(0)).cast("long").alias("survivor_fp"),
+        )
+        return b.crossJoin(s).select(  # two 1-row totals: the sanctioned crossJoin shape
+            F.lit(tbl).alias("tbl"),
+            "n_before",
+            (F.col("n_before") - F.col("n_after")).cast("long").alias("n_purged"),
+            "n_after",
+            "survivor_fp",
+        )
+
+    li_key = F.concat_ws("#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    return (
+        _row(c, surv_c, F.col("c_custkey").cast("string"), "customer")
+        .unionByName(_row(o, surv_o, F.col("o_orderkey").cast("string"), "orders"))
+        .unionByName(_row(li, surv_li, li_key, "lineitem"))
+        .orderBy("tbl")
+    )
+
+
 def q_e15(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series gap fill (timeseries.gap_fill): the hourly event series
     of every 10th user densified to a regular grid -- missing hours
@@ -3741,6 +3837,20 @@ def q_a25(spark: SparkSession, sf: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+def q_a26(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile summaries gate (sketches.quantile_merge_estimates):
+    32 md5-sharded <= 65-row weighted samples of order totals merge into
+    global p50/p90/p99 estimates whose TRUE ranks land within the merge
+    theorem's bound (sum of per-shard steps) of their targets -- the
+    pre-aggregated-quantile-table validity proof, all integer micro
+    arithmetic, summaries AND estimates hash-replayed by the oracle."""
+    from youtubeanalyzerproject_big_data__spark.operators.sketches import quantile_merge_estimates
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    v = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+    return quantile_merge_estimates(o, "o_orderkey", v)
 
 
 def q_q7(spark: SparkSession, sf: str) -> DataFrame:
@@ -4139,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_decision_stump": q_m5,
         "u6_partition_refresh": q_u6,
         "u7_pit_lookup": q_u7,
+        "u8_forget_cascade": q_u8,
         "e15_gap_fill": q_e15,
         "g13_kcore": q_g13,
         "g14_weighted_paths": q_g14,
@@ -4146,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se10_stream_late_drop": q_se10,
         "dr1_dedup_recall": q_dr1,
         "a25_kmv_set_ops": q_a25,
+        "a26_quantile_merge_gate": q_a26,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -4181,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_table_fingerprint": q_l2,
         "l3_hilbert_keys": q_l3,
         "v2_jsonl_roundtrip": q_v2,
+        "v3_schema_evolution": q_v3,
         "l4_compaction": q_l4,
         "f11_funnel_counts": q_f11,
         "e10_conversion_latency": q_e10,
@@ -5503,6 +5616,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS compacted_balanced
             FROM c
         """,
+        # v3: values from the raw table (the evolved batch is the odd
+        # doc_ids); schema/null gates are literal 1s computed engine-side
+        # from the merged read.
+        "v3_schema_evolution": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+                   CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0) AS BIGINT)
+                       AS sum_chars_evolved,
+                   CAST(1 AS BIGINT) AS merged_schema_complete,
+                   CAST(1 AS BIGINT) AS nulls_exactly_on_old_batch
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
         "v2_jsonl_roundtrip": f"""
             WITH c AS (
               SELECT concat_ws('|', CAST(doc_id AS VARCHAR),
@@ -6117,6 +6245,43 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY numwait DESC, s.s_name, s.s_suppkey
             LIMIT 100
         """,
+        # a26: full mergeable-quantile replay -- md5 shards, per-shard
+        # step-sampled weighted summaries, merged cumulative weights,
+        # estimates, exact rank counts, and the merge-theorem bound check.
+        "a26_quantile_merge_gate": f"""
+            WITH t AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                     o_orderkey AS key,
+                     ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "qmerge")}) % 32 AS shard
+              FROM orders),
+            per AS (SELECT shard, COUNT(*) AS ns, (COUNT(*) + 63) // 64 AS step
+                    FROM t GROUP BY shard),
+            r AS (SELECT t.shard, v, key, step, ns,
+                         row_number() OVER (PARTITION BY t.shard ORDER BY v, key) AS rn
+                  FROM t JOIN per ON t.shard = per.shard),
+            smp AS (SELECT shard, v, rn, LEAST(step, ns - (rn - 1)) AS w
+                    FROM r WHERE (rn - 1) % step = 0),
+            cum AS (SELECT v, SUM(w) OVER (ORDER BY v, shard, rn) AS cw FROM smp),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+            bnd AS (SELECT CAST(SUM(step) AS BIGINT) AS rank_bound FROM per),
+            qq AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm
+                   FROM (VALUES (500000), (900000), (990000)) AS qv(q_ppm)),
+            tgt AS (SELECT q_ppm, (q_ppm * n + 999999) // 1000000 AS target_rank, rank_bound
+                    FROM qq, tot, bnd),
+            est AS (SELECT q_ppm, target_rank, rank_bound, MIN(v) AS est_micro
+                    FROM tgt JOIN cum ON cw >= target_rank
+                    GROUP BY q_ppm, target_rank, rank_bound),
+            rk AS (SELECT q_ppm, est_micro, target_rank, rank_bound,
+                          CAST(SUM(CASE WHEN t.v < est_micro THEN 1 ELSE 0 END) AS BIGINT) AS r_lo,
+                          CAST(SUM(CASE WHEN t.v <= est_micro THEN 1 ELSE 0 END) AS BIGINT) AS r_hi
+                   FROM est, t GROUP BY q_ppm, est_micro, target_rank, rank_bound)
+            SELECT q_ppm, est_micro, r_lo, r_hi,
+                   CAST(target_rank AS BIGINT) AS target_rank, rank_bound,
+                   CAST(CASE WHEN r_hi >= target_rank - rank_bound
+                              AND r_lo <= target_rank - 1 + rank_bound
+                             THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+            FROM rk ORDER BY q_ppm
+        """,
         # a25: full sketch replay (md5 hashes) -- per-set KMV, union re-cut,
         # inclusion-exclusion intersection, exact reference.
         "a25_kmv_set_ops": f"""
@@ -6260,6 +6425,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # u7: the u3 history CTE + as-of interval join; intervals partition
         # each key's timeline so the LEFT join cannot duplicate facts.
+        # u8: the survivor-fingerprint hash proves the purge removed exactly
+        # the cascade closure (deleted customers -> their orders -> those
+        # orders' lineitems) and nothing else.
+        "u8_forget_cascade": f"""
+            WITH del AS (
+              SELECT c_custkey FROM customer
+              WHERE ({md5_int32_sql("CAST(c_custkey AS VARCHAR)", "forget")}) % 1000 < 5),
+            del_o AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del)),
+            sc AS (SELECT {md5_int32_sql("CAST(c_custkey AS VARCHAR)", "u8fp")} AS h
+                   FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM del)),
+            so AS (SELECT {md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u8fp")} AS h
+                   FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM del)),
+            sl AS (SELECT {md5_int32_sql("concat(CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR))", "u8fp")} AS h
+                   FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o))
+            SELECT tbl, n_before, CAST(n_before - n_after AS BIGINT) AS n_purged, n_after, survivor_fp
+            FROM (
+              SELECT 'customer' AS tbl,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_before,
+                     CAST(COUNT(*) AS BIGINT) AS n_after,
+                     CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS survivor_fp FROM sc
+              UNION ALL
+              SELECT 'orders',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(COALESCE(bit_xor(h), 0) AS BIGINT) FROM so
+              UNION ALL
+              SELECT 'lineitem',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(COALESCE(bit_xor(h), 0) AS BIGINT) FROM sl)
+            ORDER BY tbl
+        """,
         "u7_pit_lookup": """
             WITH e AS (SELECT user_id, event_type AS state, epoch_ns(ts) // 1000 AS t_us, event_id
                        FROM events),

@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "d14_sorted_neighborhood",
     "l6_bucketed_join",
     "l7_partition_pruning",
+    "v3_schema_evolution",
+    "u8_forget_cascade",
+    "a26_quantile_merge_gate",
 ]
 
 

@@ -296,3 +296,101 @@ def count_min_estimates(
         )
         .orderBy("qkey")
     )
+
+
+def quantile_merge_estimates(
+    df: DataFrame,
+    key_col: str,
+    value_micro: "F.Column",
+    n_shards: int = 32,
+    k: int = 64,
+    qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """Mergeable QUANTILE summaries (the Agarwal et al. mergeable-summaries
+    shape Spark's GK aggregate hides): each shard reduces to a <= k+1-row
+    weighted sample (every step-th element in shard value order, weight =
+    block size -- a valid eps-summary with per-shard rank error <= step),
+    the samples merge by concatenation, and global quantile estimates read
+    off the merged cumulative weights.  The gate is the merge THEOREM:
+    the true rank of every estimate lands within sum_s(step_s) of its
+    target rank, checked against exact ranks counted over the full data.
+
+    Everything is integer arithmetic on md5 shards and micro-quantized
+    values, so summaries, estimates, and rank checks replay hash-exactly
+    in the oracle (unlike GK internals, which are engine state).
+
+    Scale: the only full-data work is one shuffle to shards (parallel
+    per-shard rank windows) and the two rank-count aggregates; merged
+    summaries are n_shards*(k+1) rows -- model-sized -- so the global
+    cumsum window over them is bounded regardless of corpus size.
+
+    Returns (q_ppm, est_micro, r_lo, r_hi, target_rank, rank_bound,
+    within_bound) per requested quantile.
+    """
+    from pyspark.sql import Window
+
+    from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
+
+    key = F.col(key_col)
+    t = df.select(
+        value_micro.alias("v"),
+        key.alias("key"),
+        (md5_int32(key.cast("string"), seed="qmerge") % n_shards).alias("shard"),
+    )
+    per = t.groupBy("shard").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    per = per.withColumn("step", F.expr(f"CAST((ns + {k - 1}) DIV {k} AS BIGINT)"))
+    w_shard = Window.partitionBy("shard").orderBy("v", "key")
+    ranked = (
+        t.join(F.broadcast(per), "shard")
+        .withColumn("rn", F.row_number().over(w_shard).cast("long"))
+        .where((F.col("rn") - 1) % F.col("step") == 0)
+        .select(
+            "shard",
+            "v",
+            "rn",
+            F.least(F.col("step"), F.col("ns") - (F.col("rn") - 1)).alias("w"),
+        )
+    )
+    # merged summary is n_shards*(k+1) rows: the global cumsum window is
+    # model-sized by construction (same shape as sampling.py's offsets).
+    w_cum = Window.orderBy("v", "shard", "rn").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.withColumn("cw", F.sum("w").over(w_cum).cast("long")).select("v", "cw")
+    tot = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bnd = per.agg(F.sum("step").cast("long").alias("rank_bound"))
+    qq = df.sparkSession.createDataFrame([(q,) for q in qs_ppm], "q_ppm long")
+    tgt = (
+        qq.crossJoin(tot)  # three 1-row totals: the sanctioned crossJoin shape
+        .crossJoin(bnd)
+        .withColumn("target_rank", F.expr("CAST((q_ppm * n + 999999) DIV 1000000 AS BIGINT)"))
+        .select("q_ppm", "target_rank", "rank_bound")
+    )
+    est = (
+        F.broadcast(tgt)
+        .join(cum, F.col("cw") >= F.col("target_rank"))
+        .groupBy("q_ppm", "target_rank", "rank_bound")
+        .agg(F.min("v").alias("est_micro"))
+    )
+    ranks = (
+        t.crossJoin(F.broadcast(est))  # est is 3 rows: per-quantile rank counts in one pass
+        .groupBy("q_ppm", "target_rank", "rank_bound", "est_micro")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("est_micro"), 1).otherwise(0)).cast("long").alias("r_lo"),
+            F.sum(F.when(F.col("v") <= F.col("est_micro"), 1).otherwise(0)).cast("long").alias("r_hi"),
+        )
+    )
+    return ranks.select(
+        "q_ppm",
+        "est_micro",
+        "r_lo",
+        "r_hi",
+        "target_rank",
+        "rank_bound",
+        F.when(
+            (F.col("r_hi") >= F.col("target_rank") - F.col("rank_bound"))
+            & (F.col("r_lo") <= F.col("target_rank") - 1 + F.col("rank_bound")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("within_bound"),
+    ).orderBy("q_ppm")
