@@ -1392,6 +1392,37 @@ def q_s3(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("nn_rank", F.col("nn_rank").cast("long"))
 
 
+def q_s8(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion: the BM25 lexical leg
+    (t11's scorer, terms {table, scan, merge}) and the exact-cosine
+    vector leg (s1's scorer, query vec 0) each produce a top-20 ranked
+    list over the shared doc/vec id space; RRF fuses them --
+    score = sum over legs of 1/(60 + rank), here integer
+    10^9 DIV (60 + rank) so fusion replays exactly cross-engine -- and
+    the fused top-10 is the answer.  The production RAG/retrieval
+    composition: each leg is independently index-accelerable (inverted
+    index / ANN), fusion touches only 2k candidate rows.  Missing-leg
+    ranks surface as -1 sentinels (repo invariant), contributing 0."""
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    vec = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("v_id"), F.col("nn_rank").cast("long").alias("rank_vec"))
+    txt = text.bm25_topk(docs, "doc_id", "text", ["table", "scan", "merge"], k=20)
+    w20 = Window.orderBy(F.desc("score_micro"), "doc_id")  # 20-row window: model-sized
+    txt = txt.select("doc_id", F.row_number().over(w20).cast("long").alias("rank_text"))
+    fused = txt.join(vec, txt.doc_id == vec.v_id, "full_outer").select(
+        F.coalesce(txt.doc_id, vec.v_id).alias("doc_id"),
+        F.coalesce("rank_text", F.lit(-1)).alias("rank_text"),
+        F.coalesce("rank_vec", F.lit(-1)).alias("rank_vec"),
+        (
+            F.coalesce(F.expr("CAST(1000000000 DIV (60 + rank_text) AS BIGINT)"), F.lit(0))
+            + F.coalesce(F.expr("CAST(1000000000 DIV (60 + rank_vec) AS BIGINT)"), F.lit(0))
+        ).alias("rrf_nano"),
+    )
+    return fused.orderBy(F.desc("rrf_nano"), "doc_id").limit(10)
+
+
 def q_t5(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary statistics: top-200 tokens by document frequency with
     smoothed IDF (the stop-word / TF-IDF prerequisite)."""
@@ -4328,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_ann_ivfpq_top5": q_s5,
         "s6_ann_refined_top5": q_s6,
         "s7_ann_filtered_top5": q_s7,
+        "s8_hybrid_rrf": q_s8,
         "t1_token_counts": q_t1,
         "t2_quality_scores": q_t2,
         "t3_language_id": q_t3,
@@ -7520,6 +7552,48 @@ def oracle_sql() -> dict[str, str]:
         # * 1e6 floored; avgdl as the same double division; literals 2.2 /
         # 0.25 / 0.75 / 1.2 round-trip exactly.  ln crosses libm (t8-class
         # documented ulp residual).
+        # s8: both retrieval legs replayed (t11's BM25 CTEs + s1's exact
+        # cosine), fused by integer reciprocal-rank 10^9 DIV (60 + rank).
+        "s8_hybrid_rrf": rf"""
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+              FROM documents),
+            l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM l),
+            h AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+                  WHERE token IN ('table', 'scan', 'merge') GROUP BY 1, 2),
+            d AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfq FROM h GROUP BY token),
+            s AS (SELECT h.doc_id,
+                         CAST(floor(
+                           ln(1.0 + (g.n - d.dfq + 0.5) / (d.dfq + 0.5))
+                           * (CAST(tf AS DOUBLE) * 2.2)
+                           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                                                          / (CAST(g.sdl AS DOUBLE) / CAST(g.n AS DOUBLE))))
+                           * 1e6) AS BIGINT) AS c
+                  FROM h JOIN d USING (token) JOIN l ON h.doc_id = l.doc_id, g),
+            topt AS (
+              SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank_text
+              FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+                    FROM s GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20)),
+            vleg AS (
+              SELECT neighbor_id AS v_id, CAST(rk AS BIGINT) AS rank_vec
+              FROM (SELECT c.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (ORDER BY {_cos_sql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+                    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                    WHERE q.vec_id = 0)
+              WHERE rk <= 20),
+            f AS (
+              SELECT COALESCE(t.doc_id, v.v_id) AS doc_id,
+                     COALESCE(t.rank_text, -1) AS rank_text,
+                     COALESCE(v.rank_vec, -1) AS rank_vec,
+                     COALESCE(1000000000 // (60 + t.rank_text), 0)
+                       + COALESCE(1000000000 // (60 + v.rank_vec), 0) AS rrf_nano
+              FROM topt t FULL OUTER JOIN vleg v ON t.doc_id = v.v_id)
+            SELECT doc_id, CAST(rank_text AS BIGINT) AS rank_text,
+                   CAST(rank_vec AS BIGINT) AS rank_vec, CAST(rrf_nano AS BIGINT) AS rrf_nano
+            FROM f ORDER BY rrf_nano DESC, doc_id LIMIT 10
+        """,
         "t11_bm25_topk": r"""
             WITH tk AS (
               SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks

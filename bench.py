@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "v3_schema_evolution",
     "u8_forget_cascade",
     "a26_quantile_merge_gate",
+    "s8_hybrid_rrf",
 ]
 
 
