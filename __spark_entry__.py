@@ -1021,6 +1021,45 @@ def q_d14(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(docs, "doc_id", "text").orderBy("doc1", "doc2")
 
 
+def q_d15(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup KEEP-BEST pipeline end-to-end: d3's MinHash-LSH pairs ->
+    large-star/small-star connected components -> per-cluster CANONICAL
+    selection (longest text wins, doc_id tiebreak -- the keep-longest
+    heuristic near-dup pipelines actually ship).  One row per real cluster:
+    (cluster_id, n_members, canonical_id, canonical_chars, n_removed).
+    Scale: pairs/components are near-dup-sized, never corpus-sized; the
+    canonical pick is a key-partitioned window over cluster members."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    comp = graph.connected_components_star(
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+    members = (
+        comp.select(
+            F.col("id").alias("doc_id"),
+            F.least("id", "component").alias("cluster_id"),
+        )
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    canon = members.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (
+        sizes.where(F.col("n_members") >= 2)
+        .join(canon.select("cluster_id", F.col("doc_id").alias("canonical_id"), "n_chars"), "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "canonical_id",
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+            (F.col("n_members") - 1).cast("long").alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_dq3(spark: SparkSession, sf: str) -> DataFrame:
     """Header-vs-detail reconciliation (quality.fact_reconciliation):
     o_totalprice against the micro-quantized lineitem-implied total,
@@ -4351,6 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_containment_pairs": q_d12,
         "d13_edit_distance_pairs": q_d13,
         "d14_sorted_neighborhood": q_d14,
+        "d15_dedup_keep_best": q_d15,
         "c1_corpus_curation": q_c1,
         "s1_ann_bruteforce_top5": q_s1,
         "s2_ann_lsh_top5": q_s2,
@@ -6983,6 +7023,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY contained_id, container_id
         """,
         "d3_minhash_lsh_pairs": _minhash_lsh_oracle(16, 4, 0.8, max_bucket=dedup.DEFAULT_MAX_BUCKET),
+        # d15: d3's pair replay -> recursive closure (d7's idiom) ->
+        # keep-longest canonical per cluster.
+        "d15_dedup_keep_best": f"""
+            WITH RECURSIVE
+            p AS (SELECT doc1, doc2 FROM ({_minhash_lsh_oracle(16, 4, 0.8, max_bucket=dedup.DEFAULT_MAX_BUCKET)})),
+            e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+            ),
+            m AS (
+              SELECT c.doc_id, c.cluster_id, d.n_chars
+              FROM (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a) c
+              JOIN documents d USING (doc_id)),
+            rk AS (SELECT cluster_id, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY n_chars DESC, doc_id) AS rn
+                   FROM m),
+            sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+                   FROM m GROUP BY cluster_id)
+            SELECT sz.cluster_id, sz.n_members,
+                   rk.doc_id AS canonical_id,
+                   CAST(rk.n_chars AS BIGINT) AS canonical_chars,
+                   CAST(sz.n_members - 1 AS BIGINT) AS n_removed
+            FROM sz JOIN rk ON sz.cluster_id = rk.cluster_id AND rk.rn = 1
+            WHERE sz.n_members >= 2
+            ORDER BY sz.cluster_id
+        """,
         # Components via recursive transitive closure (pair graphs from
         # dedup are tiny relative to the corpus, so closure is affordable
         # oracle-side; the engine itself uses iterative min-label
