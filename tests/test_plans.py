@@ -715,3 +715,63 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
             spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
         else:
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+
+
+def test_d14_rank_windows_are_bucket_partitioned(spark):
+    """d14: the corpus-level rank window must partition by the key-prefix
+    bucket (two-level rank discipline); offsets come back by broadcast;
+    neighbor pairing shuffles by integer rank, never a corpus sort."""
+    import re
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(sorted_neighborhood_pairs(docs, "doc_id", "text"))
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    data_windows = [s for s in specs if "_bucket" in s]
+    global_windows = [s for s in specs if not s.strip()]
+    assert data_windows, specs  # the per-bucket row_number engaged
+    # the only permissible empty partition spec is the bucket-count cumsum
+    assert len(global_windows) <= 1, specs
+    assert "BroadcastHashJoin" in plan  # offsets return map-side
+
+
+def test_a26_summary_joins_broadcast(spark):
+    """a26: per-shard sizes, targets, and the 3-row estimates all return
+    by broadcast; the corpus is shuffled ONLY once, to shards."""
+    plan = _plan(entrymod.q_a26(spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_u8_cascade_join_strategies(spark):
+    """u8: the deletion queue is EXPLICITLY broadcast (request-queue-sized,
+    survives threshold-off), but the fact-sized order-cascade set must not
+    be force-broadcast -- with Spark's thresholds disabled the lineitem
+    anti-join degrades to a shuffle join instead of aborting at scale.
+    (At bench scale AQE legitimately broadcasts it; the gate is that WE
+    never pinned that choice.)"""
+    thresholds = ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {c: spark.conf.get(c, None) for c in thresholds}
+    try:
+        for c in thresholds:
+            spark.conf.set(c, "-1")
+        plan = _plan(entrymod.q_u8(spark, SF))
+        assert "BroadcastHashJoin" in plan  # the hinted queue joins
+        assert any(
+            ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and "LeftAnti" in ln
+            for ln in plan.splitlines()
+        ), "lineitem cascade anti-join must degrade to a shuffle join"
+    finally:
+        for c, v in saved.items():
+            spark.conf.unset(c) if v is None else spark.conf.set(c, v)
+
+
+def test_s8_fusion_is_candidate_sized(spark):
+    """s8: both legs cut to top-20 BEFORE fusion -- the fused plan carries
+    TakeOrdered/Limit on each leg, and the full-outer fusion join runs on
+    candidate lists, not the corpus."""
+    plan = _plan(entrymod.q_s8(spark, SF))
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert "FullOuter" in plan
