@@ -1245,6 +1245,26 @@ def q_e2(spark: SparkSession, sf: str) -> DataFrame:
     return ev.sessionize(load_events(spark, sf), gap_seconds=1800)
 
 
+def q_e16(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users per hour -- COUNT(DISTINCT) OVER, which
+    Spark windows cannot express, rewritten as the FIRST-OCCURRENCE trick
+    that scales: min(ts) per user (one user-keyed shuffle), new-user
+    counts per hour, then a cumulative sum over the hour-count-sized
+    series (the only unpartitioned window runs on model-sized rows).  The
+    growth-dashboard primitive; a naive per-hour distinct-over-history
+    recount is quadratic in history length."""
+    _utc(spark)
+    e = load_events(spark, sf).select("user_id", "ts")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    per_hour = first.groupBy(F.date_trunc("hour", F.col("first_ts")).alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return per_hour.withColumn("cum_users", F.sum("new_users").over(w).cast("long")).orderBy(
+        "hour"
+    )
+
+
 def q_e3(spark: SparkSession, sf: str) -> DataFrame:
     """As-of backward join (attribution): each purchase matched to the same
     user's most recent at-or-before view.  Merge-union + running last
@@ -4031,6 +4051,26 @@ def q_g12(spark: SparkSession, sf: str) -> DataFrame:
     return graph.copurchase_edges(li, "l_orderkey", "l_partkey", max_group_size=8).orderBy("src", "dst")
 
 
+def q_dq5(spark: SparkSession, sf: str) -> DataFrame:
+    """Dead-letter quarantine split (quality.quarantine_split): documents
+    routed by the FIRST violated expectation (suite order: too_short ->
+    too_long -> bad_lang), quarantined rows emitted with their reason --
+    the Deequ-style split where bad rows are ROUTED, not just counted.
+    Map-side conditional chain, no shuffle before the output sort."""
+    docs = load_table(spark, sf, "documents")
+    rules = [
+        ("too_short", F.col("n_chars") < 80),
+        ("too_long", F.col("n_chars") > 500),
+        ("bad_lang", ~F.col("lang").isin("en", "de", "fr", "es") | F.col("lang").isNull()),
+    ]
+    out = quality_ops.quarantine_split(docs, rules)
+    return (
+        out.where(F.col("quarantine_reason") != "ok")
+        .select("doc_id", "quarantine_reason", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 def q_dq4(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot column-profile drift (quality.profile_drift): orders
     minus the %10==0 keys (u1's CDC convention) vs the full table -- per
@@ -4305,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t21_repetition_score": q_t21,
         "e14_out_of_order_audit": q_e14,
         "dq4_profile_drift": q_dq4,
+        "dq5_quarantine": q_dq5,
         "em6_scalar_quantization": q_em6,
         "se8_stream_kmv_distinct": q_se8,
         "g12_copurchase_capped": q_g12,
@@ -4321,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u7_pit_lookup": q_u7,
         "u8_forget_cascade": q_u8,
         "e15_gap_fill": q_e15,
+        "e16_cumulative_uniques": q_e16,
         "g13_kcore": q_g13,
         "g14_weighted_paths": q_g14,
         "a24_grouping_sets": q_a24,
@@ -6753,6 +6795,19 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY hour, nd ORDER BY hour
         """,
         # dq4: per-column profile pairs; each snapshot is one aggregate.
+        # dq5: first-violated-rule routing, same suite order as the engine.
+        "dq5_quarantine": """
+            SELECT doc_id,
+                   CASE WHEN n_chars < 80 THEN 'too_short'
+                        WHEN n_chars > 500 THEN 'too_long'
+                        WHEN lang IS NULL OR lang NOT IN ('en','de','fr','es') THEN 'bad_lang'
+                        ELSE 'ok' END AS quarantine_reason,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE n_chars < 80 OR n_chars > 500
+               OR lang IS NULL OR lang NOT IN ('en','de','fr','es')
+            ORDER BY doc_id
+        """,
         "dq4_profile_drift": """
             WITH o AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS old_rows,
@@ -6908,6 +6963,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pct_rank,
                    ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS cume
             FROM orders ORDER BY o_orderkey
+        """,
+        # e16: COUNT(DISTINCT) OVER via the first-occurrence rewrite.
+        "e16_cumulative_uniques": """
+            WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+            p AS (SELECT date_trunc('hour', first_ts) AS hour,
+                         CAST(COUNT(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY 1)
+            SELECT hour, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+            FROM p ORDER BY hour
         """,
         "e1_events_hourly": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS num_events,

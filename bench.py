@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "u8_forget_cascade",
     "a26_quantile_merge_gate",
     "s8_hybrid_rrf",
+    "d15_dedup_keep_best",
+    "e16_cumulative_uniques",
+    "dq5_quarantine",
 ]
 
 

@@ -263,3 +263,22 @@ def profile_drift(old: DataFrame, new: DataFrame, cols: list[str]) -> DataFrame:
         .select("m.*")
         .orderBy("column")
     )
+
+
+def quarantine_split(df: DataFrame, rules: list[tuple[str, "F.Column"]], reason_col: str = "quarantine_reason") -> DataFrame:
+    """Row-level expectation suite with a DEAD-LETTER label: each row gets
+    the name of the FIRST rule (suite order) it violates, or 'ok'.  The
+    split-with-reason form of check_constraints: valid rows flow on,
+    quarantined rows ship to the dead-letter sink with an actionable
+    reason -- the operational pattern (Deequ/Great-Expectations style)
+    where counting violations is not enough because the bad rows must be
+    routed, not just reported.
+
+    Pure map-side: one conditional chain, no shuffle, no UDF; the caller
+    filters ``reason_col != 'ok'`` for the quarantine leg and '== ok' for
+    the clean leg (both legs prune from the same scan).
+    """
+    reason = F.lit("ok")
+    for name, cond in reversed(rules):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return df.withColumn(reason_col, reason)
