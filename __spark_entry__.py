@@ -2246,6 +2246,22 @@ def q_r2(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.topk_recall(q_s1(spark, sf), q_s6(spark, sf), k=5)
 
 
+def q_em7(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated-dimension retrieval audit (the Matryoshka-embedding
+    question): recall@5 of brute-force search over the FIRST 16 of 64
+    dims against full-dim search -- measures what a 4x cheaper index
+    (shorter vectors: 4x less memory bandwidth, 4x more vectors per
+    broadcast) actually costs in retrieval quality, per query, as a
+    machine-checked number.  Reuses the exact s1 kernel on sliced
+    vectors, so both legs AND the recall metric replay in the oracle."""
+    emb = load_table(spark, sf, "embeddings")
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = similarity.brute_force_topk(
+        emb16, emb16.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+    return similarity.topk_recall(q_s1(spark, sf), trunc, k=5).orderBy("query_id")
+
+
 def q_c2(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget corpus mixing (functions/sampling.token_budget_sample):
     each source/domain is deterministically thinned to a ~800-token
@@ -4347,6 +4363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq4_profile_drift": q_dq4,
         "dq5_quarantine": q_dq5,
         "em6_scalar_quantization": q_em6,
+        "em7_truncated_dim_recall": q_em7,
         "se8_stream_kmv_distinct": q_se8,
         "g12_copurchase_capped": q_g12,
         "t22_bigram_novelty": q_t22,
@@ -7292,6 +7309,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Recall is a JOIN of two already-replayable indexes: both CTEs are
         # the bit-exact s1/s2 oracles, so the metric itself is gate-checked.
+        # em7: full-dim exact vs first-16-dim exact, recall join replayed.
+        "em7_truncated_dim_recall": f"""
+            WITH exact AS (SELECT query_id, neighbor_id FROM ({_bruteforce_ann_oracle(k=5)})),
+            ts AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_cos_sql("q.embedding[1:16]", "c.embedding[1:16]")} AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10),
+            approx AS (
+              SELECT query_id, neighbor_id
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id) AS rk FROM ts)
+              WHERE rk <= 5)
+            SELECT e.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+                   ROUND(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_5
+            FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+            GROUP BY e.query_id
+            ORDER BY e.query_id
+        """,
         "r1_ann_lsh_recall": f"""
             WITH exact AS (SELECT query_id, neighbor_id FROM ({_bruteforce_ann_oracle(k=5)})),
             approx AS (SELECT query_id, neighbor_id FROM ({_lsh_ann_oracle()}))
