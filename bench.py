@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "d15_dedup_keep_best",
     "e16_cumulative_uniques",
     "dq5_quarantine",
+    "em7_truncated_dim_recall",
 ]
 
 
