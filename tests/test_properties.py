@@ -84,3 +84,56 @@ def test_survey_header_matches_contract():
     assert int(m.group(2)) == len(entrymod.oracle_sql()), (
         f"SURVEY.md header says {m.group(2)} oracle twins but oracle_sql() has {len(entrymod.oracle_sql())}"
     )
+
+
+@given(texts=doc_strategy)
+@SLOW
+def test_snm_matches_global_sort_reference(spark, texts):
+    """d14's two-level distributed rank must equal the TRUE global sorted
+    order: SNM pairs computed by Spark == pairs from a plain Python sort
+    of (key, doc_id) with the same window -- for ANY corpus shape."""
+    import re
+
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import sorted_neighborhood_pairs
+
+    key_len, compare_len, window = 4, 16, 3
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        (r["doc1"], r["doc2"]): r["edit_distance"]
+        for r in sorted_neighborhood_pairs(
+            docs, "doc_id", "text", key_len=key_len, compare_len=compare_len,
+            window=window, max_distance=10_000, bucket_chars=2,
+        ).collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    keyed = sorted(
+        (norm(t)[:key_len], i, norm(t)[:compare_len])
+        for i, t in enumerate(texts)
+        if len(norm(t)[:key_len]) >= key_len
+    )
+    want = set()
+    for a in range(len(keyed)):
+        for b in range(a + 1, min(a + window, len(keyed))):
+            want.add((min(keyed[a][1], keyed[b][1]), max(keyed[a][1], keyed[b][1])))
+    assert set(got) == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=4, max_size=60),
+    n_shards=st.sampled_from([2, 4, 8]),
+    k=st.sampled_from([2, 4, 16]),
+)
+@SLOW
+def test_quantile_merge_bound_universal(spark, vals, n_shards, k):
+    """a26's merge-theorem gate must hold for ANY value multiset (heavy
+    ties included) and ANY shard/sample-budget combination."""
+    from youtubeanalyzerproject_big_data__spark.operators.sketches import quantile_merge_estimates
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "key long, v long")
+    out = quantile_merge_estimates(df, "key", F.col("v"), n_shards=n_shards, k=k).collect()
+    assert len(out) == 3 and all(r["within_bound"] == 1 for r in out)
+    # estimates are real data values
+    assert all(r["est_micro"] in set(vals) for r in out)
