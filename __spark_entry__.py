@@ -34,7 +34,7 @@ from youtubeanalyzerproject_big_data__spark.functions.hashing import (
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize as textfns_normalize
 from youtubeanalyzerproject_big_data__spark.functions import zorder as zorder_fns
 from youtubeanalyzerproject_big_data__spark.functions.zorder import hilbert_sql_2d
-from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum
+from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum, dec_sum_col
 from youtubeanalyzerproject_big_data__spark.io import load_events, load_table
 from youtubeanalyzerproject_big_data__spark.operators import (
     aggregates as agg,
@@ -60,7 +60,14 @@ from youtubeanalyzerproject_big_data__spark.streaming import events as ev
 # ---------------------------------------------------------------------------
 
 def _dsum(col_expr: str) -> str:
-    return f"CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) AS DOUBLE)"
+    # Twin of precision.dec_sum_col: the double materializes via int64
+    # micros (int->double and /1e6 are IEEE-correctly-rounded in both
+    # engines at any magnitude); a direct decimal->double cast diverged by
+    # 1 ulp at 18 significant digits (tpch_q1, sf10 replay).
+    return (
+        f"(CAST(CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        f" AS DOUBLE) / 1000000)"
+    )
 
 
 def _davg(col_expr: str, scale: int = 6) -> str:
@@ -325,7 +332,7 @@ def q_q3(spark: SparkSession, sf: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(rev.cast(DEC)).cast("double"), 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(F.round(dec_sum_col(rev), 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
     return df.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
 
@@ -345,7 +352,7 @@ def q_q5(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(rev.cast(DEC)).cast("double"), 4).alias("revenue"),
+            F.round(dec_sum_col(rev), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
             F.countDistinct("c_custkey").alias("n_customers"),
         )
@@ -1598,7 +1605,11 @@ def q_sk1(spark: SparkSession, sf: str) -> DataFrame:
         ev,
         "event_type",
         [F.count(F.lit(1)).alias("_c"), F.sum(F.col("value").cast(DEC)).alias("_s")],
-        [F.sum("_c").cast("long").alias("n"), F.round(F.sum("_s").cast("double"), 6).alias("sum_value")],
+        [
+            F.sum("_c").cast("long").alias("n"),
+            # micro-materialized double (dec_sum_col recipe) before the round
+            F.round((F.sum("_s") * 1_000_000).cast("long").cast("double") / F.lit(1_000_000.0), 6).alias("sum_value"),
+        ],
         num_salts=16,
     )
 
@@ -3195,8 +3206,11 @@ def q_q14(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows:
         p_i = int(_dec.Decimal(r["_p"]).scaleb(6))  # exact micro integers
         t_i = int(_dec.Decimal(r["_t"]).scaleb(6))
+        # doubles via int-micros / 1e6 (the dec_sum_col recipe): Python's
+        # int->float is correctly rounded, so this matches the oracle's
+        # CAST(BIGINT AS DOUBLE)/1e6 bit-for-bit at any magnitude
         data.append(
-            (r["ship_month"], float(r["_p"]), float(r["_t"]), r["n_lines"], (1_000_000 * p_i) // t_i)
+            (r["ship_month"], p_i / 1e6, t_i / 1e6, r["n_lines"], (1_000_000 * p_i) // t_i)
         )
     return spark.createDataFrame(
         data,
@@ -3420,7 +3434,7 @@ def q_q8(spark: SparkSession, sf: str) -> DataFrame:
     for row in rows:
         n_i = int(_dec.Decimal(row["_n"]).scaleb(6))
         t_i = int(_dec.Decimal(row["_t"]).scaleb(6))
-        data.append((row["o_year"], float(row["_n"]), float(row["_t"]), row["n_lines"], (1_000_000 * n_i) // t_i))
+        data.append((row["o_year"], n_i / 1e6, t_i / 1e6, row["n_lines"], (1_000_000 * n_i) // t_i))
     return spark.createDataFrame(
         data,
         "o_year long, nation_revenue double, total_revenue double, n_lines long, mkt_share_ppm long",
@@ -6117,9 +6131,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q18_big_orders": """
             WITH big AS (
-              SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+              SELECT l_orderkey, (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS sum_qty
               FROM lineitem GROUP BY l_orderkey
-              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250.0)
+              HAVING (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) > 250.0)
             SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice, b.sum_qty
             FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
                        JOIN customer c ON o.o_custkey = c.c_custkey
@@ -6166,7 +6180,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
         """,
         "tpch_q6_forecast_revenue": """
-            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+            SELECT (CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS revenue,
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -6201,7 +6215,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
                      CAST(COUNT(*) AS BIGINT) AS n_part
               FROM b GROUP BY l_partkey)
-            SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_qty_revenue,
+            SELECT (CAST(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS small_qty_revenue,
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM b JOIN pp ON b.l_partkey = pp.pk
             WHERE b.qty_micro * 5 * pp.n_part < pp.sum_qty_micro
@@ -6221,7 +6235,7 @@ def oracle_sql() -> dict[str, str]:
                                   AND o.o_orderdate >= TIMESTAMP '2000-01-01')
                 AND CAST(CAST(c.c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) * st.n_pos > st.sum_micro)
             SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+                   (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS total_acctbal
             FROM idle GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "tpch_q19_bracket_revenue": f"""
@@ -6261,10 +6275,10 @@ def oracle_sql() -> dict[str, str]:
               JOIN region r ON n.n_regionkey = r.r_regionkey
               WHERE r.r_name = 'AMERICA')
             SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-                   CAST(SUM(CASE WHEN s.s_nationkey = 6
+                   (CAST(CAST(SUM(CASE WHEN s.s_nationkey = 6
                                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
-                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_revenue,
-                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS nation_revenue,
+                   (CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS total_revenue,
                    CAST(COUNT(*) AS BIGINT) AS n_lines,
                    CAST((1000000 * SUM(CASE WHEN s.s_nationkey = 6
                                             THEN CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
@@ -6281,8 +6295,8 @@ def oracle_sql() -> dict[str, str]:
         # products are single left-assoc IEEE expressions on both engines.
         "tpch_q9_product_profit": """
             SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-                   CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
-                                 - CAST(p.p_retailprice * 0.5 * l.l_quantity AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+                   (CAST(CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                                 - CAST(p.p_retailprice * 0.5 * l.l_quantity AS DECIMAL(18,6)) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS sum_profit,
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
@@ -6501,10 +6515,10 @@ def oracle_sql() -> dict[str, str]:
         # (1e6 * micro-sum overflows int64 at sf0.1 -- scale-replay catch).
         "tpch_q14_promo_effect": """
             SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
-                   CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   (CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
-                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
-                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS promo_revenue,
+                   (CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS total_revenue,
                    CAST(COUNT(*) AS BIGINT) AS n_lines,
                    CAST((1000000 * SUM(CASE WHEN p.p_type = 'PROMO'
                                             THEN CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
@@ -6734,7 +6748,7 @@ def oracle_sql() -> dict[str, str]:
         "l6_bucketed_join": """
             SELECT c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_totalprice,
+                   (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS sum_totalprice,
                    CAST(1 AS BIGINT) AS bucketed_shuffle_free,
                    CAST(1 AS BIGINT) AS unbucketed_has_shuffle
             FROM orders JOIN customer ON o_custkey = c_custkey
@@ -6746,7 +6760,7 @@ def oracle_sql() -> dict[str, str]:
         "l7_partition_pruning": """
             SELECT o_orderstatus,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_totalprice,
+                   (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000) AS sum_totalprice,
                    CAST(1 AS BIGINT) AS partition_pruned,
                    CAST(1 AS BIGINT) AS partition_col_not_in_files
             FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -26,13 +26,32 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,6)"
 
 
-def dec_sum(col: str | Column, alias: str) -> Column:
-    """Exact SUM of a double column, returned as double.
+def dec_sum_col(col: str | Column) -> Column:
+    """Exact SUM of a double column as an UNALIASED double Column.
 
-    SQL twin: ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)``.
+    The double materializes through int64 micros -- ``double(micros) / 1e6``
+    -- NOT through a direct decimal->double cast.  Why: int64->double
+    conversion and division by the exactly-representable 1e6 are both
+    IEEE-correctly-rounded primitives, identical on the JVM and DuckDB at
+    ANY magnitude; a decimal->double cast of an 18-significant-digit sum
+    is NOT (BigDecimal.doubleValue converts once, DuckDB scales an int128
+    by 1e-6 -- they landed 1 ulp apart on tpch_q1's sf10 replay, the
+    round-6 sf10 catch).  The decimal sum itself stays the exact,
+    partial-aggregation-safe accumulator; only the final double
+    materialization changes.  Exact until |sum| micros overflows int64
+    (|sum| ~ 9.2e12 in one group -- beyond any gate or tiled replay).
+
+    SQL twin: ``CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000
+    AS BIGINT) AS DOUBLE) / 1000000`` (`__spark_entry__._dsum`).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+    micros = (F.sum(c.cast(DEC)) * 1_000_000).cast("long")
+    return micros.cast("double") / F.lit(1_000_000.0)
+
+
+def dec_sum(col: str | Column, alias: str) -> Column:
+    """Exact SUM of a double column, returned as double (see dec_sum_col)."""
+    return dec_sum_col(col).alias(alias)
 
 
 def dec_avg(col: str | Column, alias: str, scale: int = 6) -> Column:
