@@ -3828,6 +3828,78 @@ def q_g14(spark: SparkSession, sf: str) -> DataFrame:
     return graph.weighted_shortest_paths(edges, G14_SEEDS, max_hops=3).orderBy("id")
 
 
+def _hits_oracle(edges_sql: str, rounds: int = 3, quantum: int = 1_000_000, k: int = 20) -> str:
+    """Unrolled DuckDB twin of graph.hits: EXACT-INTEGER mutual
+    reinforcement with max-renormalization by integer floor division
+    (``//`` == Spark ``div`` on non-negative int64), so every round is
+    bit-identical across engines -- no float normalization anywhere.
+    Round CTEs are AS MATERIALIZED: each renorm references its raw table
+    twice (value + scalar max), the g13 inlining lesson."""
+    q = int(quantum)
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        # round 1: every hub score is the constant quantum -> a_raw = indeg * quantum
+        f"a1r AS MATERIALIZED (SELECT dst AS id, COUNT(*) * {q} AS raw FROM edges GROUP BY dst)",
+        f"a1 AS MATERIALIZED (SELECT id, (raw * {q}) // (SELECT MAX(raw) FROM a1r) AS s FROM a1r)",
+        f"h1r AS MATERIALIZED (SELECT e.src AS id, SUM(a1.s) AS raw FROM edges e JOIN a1 ON e.dst = a1.id GROUP BY e.src)",
+        f"h1 AS MATERIALIZED (SELECT id, (raw * {q}) // (SELECT MAX(raw) FROM h1r) AS s FROM h1r)",
+    ]
+    for i in range(2, rounds + 1):
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT e.dst AS id, SUM(h{i-1}.s) AS raw "
+            f"FROM edges e JOIN h{i-1} ON e.src = h{i-1}.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id, (raw * {q}) // (SELECT MAX(raw) FROM a{i}r) AS s FROM a{i}r)"
+        )
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT e.src AS id, SUM(a{i}.s) AS raw "
+            f"FROM edges e JOIN a{i} ON e.dst = a{i}.id GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT id, (raw * {q}) // (SELECT MAX(raw) FROM h{i}r) AS s FROM h{i}r)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT role, rank, id, score_ppm FROM (
+  SELECT 'authority' AS role, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rank, id, s AS score_ppm FROM a{rounds}
+  UNION ALL
+  SELECT 'hub' AS role, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rank, id, s AS score_ppm FROM h{rounds}
+) WHERE rank <= {k} ORDER BY role, rank
+"""
+
+
+def q_g15(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities over the directed order->part graph
+    (graph.hits): 3 exact-integer mutual-reinforcement rounds with
+    max-renormalization by int64 floor division -- hub-heavy orders vs
+    authority-heavy parts, the link-analysis complement of g4's PageRank
+    (which ranks by in-link mass only).  No float normalization, so both
+    engines replay the scores bit-exactly; each renormalized table is
+    localCheckpoint-pinned (it's referenced twice -- value + max -- and an
+    expression fold would double the plan per half-round, the Hilbert
+    lesson).  Top-20 per role with (score desc, id) deterministic ranks."""
+    li = load_table(spark, sf, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    )
+    return graph.hits(edges, rounds=3, quantum=1_000_000, k=20)
+
+
+def q_t23(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level duplicate trigram mass per source
+    (textanalysis.dup_ngram_fraction): fraction of each source's trigram
+    OCCURRENCES that repeat an already-seen trigram -- the cross-document
+    redundancy diagnostic (t7/t21 are within-document).  Occurrence-
+    preserving trigrams by iterated zip_with against the shifted token
+    array; md5(gram) is the only shuffled key; dup_ppm is exact int64
+    floor division."""
+    return text.dup_ngram_fraction(load_table(spark, sf, "documents"), "text", "source", n=3)
+
+
 M5_PRICE_GRID = [float(t) for t in range(20_000, 520_000, 20_000)]
 M5_CUST_GRID = [float(t) for t in range(0, 16_000, 1_000)]
 
@@ -4401,6 +4473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dr1_dedup_recall": q_dr1,
         "a25_kmv_set_ops": q_a25,
         "a26_quantile_merge_gate": q_a26,
+        "g15_hits_top20": q_g15,
+        "t23_dup_ngram_fraction": q_t23,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -6548,6 +6622,24 @@ def oracle_sql() -> dict[str, str]:
         "g13_kcore": _kcore_oracle_sql(G13_CORE_K, G13_CORE_ROUNDS),
         # g14: generated unrolled min-plus relaxation (see _g14_oracle_sql).
         "g14_weighted_paths": _g14_oracle_sql(G14_SEEDS, 3),
+        # g15: generated unrolled exact-integer HITS rounds (see _hits_oracle).
+        "g15_hits_top20": _hits_oracle(_PAGERANK_EDGES_SQL, rounds=3, quantum=1_000_000, k=20),
+        "t23_dup_ngram_fraction": r"""
+            WITH tk AS (SELECT source,
+                               list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+                        FROM documents),
+            g AS (SELECT source,
+                         md5(unnest(list_transform(generate_series(1, len(toks) - 2),
+                                                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gh
+                  FROM tk WHERE len(toks) >= 3),
+            c AS (SELECT source, gh, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+            s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+                         CAST(COUNT(*) AS BIGINT) AS n_distinct
+                  FROM c GROUP BY source)
+            SELECT source AS "group", n_occurrences, n_distinct,
+                   (1000000 * (n_occurrences - n_distinct)) // n_occurrences AS dup_ppm
+            FROM s ORDER BY "group"
+        """,
         # e15: per-key generated spine (generate_series) + running
         # last-non-null; leading buckets are active by construction, so
         # carried_type is never NULL.

@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "e16_cumulative_uniques",
     "dq5_quarantine",
     "em7_truncated_dim_recall",
+    "g15_hits_top20",
+    "t23_dup_ngram_fraction",
 ]
 
 

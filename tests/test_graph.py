@@ -400,3 +400,74 @@ def test_weighted_paths_hop_bound_limits_reach(spark):
     )
     out = {r["id"]: r["dist"] for r in graph.weighted_shortest_paths(chain, ["a"], max_hops=2).collect()}
     assert out == {"a": 0, "b": 1, "c": 2}  # d needs 3 hops -> absent
+
+
+def _ref_hits(edges, rounds=3, quantum=1_000_000):
+    """Driver-side integer replay of graph.hits' recurrence (exact int64
+    arithmetic, so dict iteration order cannot matter)."""
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    a, h = {}, None
+    for r in range(rounds):
+        ar = {}
+        for s, d in edges:
+            ar[d] = ar.get(d, 0) + (quantum if h is None else h[s])
+        m = max(ar.values())
+        a = {v: (x * quantum) // m for v, x in ar.items()}
+        hr = {}
+        for s, d in edges:
+            hr[s] = hr.get(s, 0) + a[d]
+        m = max(hr.values())
+        h = {u: (x * quantum) // m for u, x in hr.items()}
+    return a, h
+
+
+def test_hits_matches_integer_reference(spark):
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    # two authorities with different in-degree, hubs with different reach;
+    # a duplicate edge and a self-loop exercise the distinct/self-loop prep
+    raw = [
+        ("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("d", "y"),
+        ("a", "y"),  # duplicate
+        ("x", "x"),  # self-loop
+    ]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    out = graph.hits(edges, rounds=3, quantum=1_000_000, k=10).collect()
+    ref_a, ref_h = _ref_hits(raw)
+    got_a = {r["id"]: r["score_ppm"] for r in out if r["role"] == "authority"}
+    got_h = {r["id"]: r["score_ppm"] for r in out if r["role"] == "hub"}
+    assert got_a == ref_a
+    assert got_h == ref_h
+    # max-renormalization: the top score on each side is exactly quantum
+    assert max(got_a.values()) == 1_000_000 and max(got_h.values()) == 1_000_000
+    # ranks are (score desc, id asc) dense 1..n per role
+    for role in ("authority", "hub"):
+        rows = sorted((r for r in out if r["role"] == role), key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r["score_ppm"], r["id"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_hits_star_graph_extremes(spark):
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    # pure star: every u_i -> v.  v is the sole authority at quantum; all
+    # hubs tie at quantum (each points at the single max authority).
+    edges = spark.createDataFrame([(f"u{i}", "v") for i in range(4)], "src string, dst string")
+    out = graph.hits(edges, rounds=2, k=10).collect()
+    auth = [(r["id"], r["score_ppm"]) for r in out if r["role"] == "authority"]
+    hubs = {r["id"]: r["score_ppm"] for r in out if r["role"] == "hub"}
+    assert auth == [("v", 1_000_000)]
+    assert hubs == {f"u{i}": 1_000_000 for i in range(4)}
+
+
+def test_hits_releases_edge_cache(spark):
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    graph.hits(edges, rounds=2, k=5).collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leaked = [
+        rid for rid in jmap.keySet().toArray() if not jmap.get(rid).rdd().isLocallyCheckpointed()
+    ]
+    assert leaked == [], f"lingering cached (non-checkpoint) RDD ids: {leaked}"

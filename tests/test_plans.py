@@ -775,3 +775,42 @@ def test_s8_fusion_is_candidate_sized(spark):
     plan = _plan(entrymod.q_s8(spark, SF))
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
     assert "FullOuter" in plan
+
+
+def test_dup_ngram_single_scan_hash_only_shuffle(spark):
+    """t23: one documents scan; the corpus-sized shuffles key on
+    (grp, md5-hash) / (grp) only -- gram TEXT must never reach an
+    Exchange (the narrow-shuffle-key invariant)."""
+    plan = _plan(entrymod.q_t23(spark, SF))
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln or "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggregates
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "gram" not in ln, ln  # only grp/gh hash keys shuffle
+
+
+def test_hits_loop_shape(spark):
+    """g15: with full loop lineage visible, every renorm must be the
+    broadcast-1-row-max pattern (BroadcastNestedLoopJoin, never a real
+    CartesianProduct), rank-side joins stay hash joins (no sort-merge of
+    the edge table), and both top-k cuts compile to TakeOrdered -- plus
+    the reason _ckpt exists: the unpinned tree RE-INLINES (4 pinned
+    nodes would be 4 BNLJs; full lineage shows the blow-up)."""
+    import youtubeanalyzerproject_big_data__spark.operators.graph as graphmod
+    from pyspark.sql import functions as F
+
+    graphmod._DISABLE_CHECKPOINTS = True
+    try:
+        li = entrymod.load_table(spark, SF, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        plan = _plan(graphmod.hits(edges, rounds=2, k=10))
+    finally:
+        graphmod._DISABLE_CHECKPOINTS = False
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") >= 4  # one per renorm, re-inlined
+    assert plan.count("TakeOrderedAndProject") == 2  # never a global sort

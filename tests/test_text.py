@@ -504,3 +504,32 @@ def test_repetition_scores_degenerate_vs_normal(spark):
     assert n == 99 and r == 50 * 49 + 49 * 48
     assert out[1]["rep_micro"] == (1_000_000 * r) // (n * (n - 1))
     assert out[1]["rep_micro"] > 490_000  # near the two-bigram-loop limit of ~0.5
+
+
+def test_dup_ngram_fraction_hand_counts(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c", "s1"),   # trigrams: abc, bca, cab, abc -> 4 occ, 3 distinct
+            (2, "x y", "s2"),            # shorter than n -> no row for s2
+            (3, "p q r", "s3"),          # 1 occ, 1 distinct, 0 dup
+            (4, "a b c", "s1"),          # s1 gains one more "a b c" occurrence
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["group"]: r for r in dup_ngram_fraction(docs, "text", "source", n=3).collect()}
+    assert set(out) == {"s1", "s3"}
+    assert (out["s1"]["n_occurrences"], out["s1"]["n_distinct"]) == (5, 3)
+    assert out["s1"]["dup_ppm"] == (1_000_000 * 2) // 5
+    assert (out["s3"]["n_occurrences"], out["s3"]["n_distinct"], out["s3"]["dup_ppm"]) == (1, 1, 0)
+
+
+def test_dup_ngram_fraction_bigrams(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "w w w", "s")], "doc_id long, text string, source string"
+    )  # bigrams: "w w" x2
+    row = dup_ngram_fraction(docs, "text", "source", n=2).collect()[0]
+    assert (row["n_occurrences"], row["n_distinct"], row["dup_ppm"]) == (2, 1, 500_000)

@@ -984,6 +984,111 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10) -> DataFrame:
     return e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
 
 
+def hits(
+    edges: DataFrame,
+    rounds: int = 3,
+    quantum: int = 1_000_000,
+    k: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """G15: HITS hubs & authorities (Kleinberg 1999) with EXACT-INTEGER
+    iterations, so the scores are bit-identical across partition counts
+    and engines (the DuckDB oracle unrolls the same arithmetic).
+
+    Per round (classic mutual reinforcement, max-renormalized):
+        a_raw(v) = sum_{u->v} h(u)            -- integer sum
+        a(v)     = (a_raw(v) * quantum) div max_v(a_raw)
+        h_raw(u) = sum_{u->v} a(v)
+        h(u)     = (h_raw(u) * quantum) div max_u(h_raw)
+    h starts at the constant ``quantum``, so round 1's a_raw is just
+    in-degree * quantum.  Renormalizing by the MAX with integer floor
+    division (both engines truncate non-negative div identically) keeps
+    every score in [0, quantum] forever -- no float normalization (whose
+    summation order would diverge across engines) and no magnitude blow-up
+    at any round count.  Overflow bound: a_raw <= max_indegree * quantum,
+    so the renorm product needs max_degree * quantum^2 < 2^63 -- fine to
+    ~9.2M degree at the default quantum; drop quantum to 1e4 for extreme
+    fan-in graphs.
+
+    Scale discipline:
+      * Self-loops dropped, edges DISTINCT, cached once; each round is two
+        (join + hash-aggregate) passes over the edge table -- the rank
+        tables are vertex-sized and they alone re-shuffle.
+      * The per-round max is a 1-row aggregate crossJoin-broadcast back
+        (the quality.py totals pattern) -- no driver collect in the loop.
+      * Each renormalized table is pinned through graph._ckpt: the renorm
+        references its input twice (value + max), so an unpinned
+        expression fold would re-inline and DOUBLE the plan tree per
+        half-round (the Hilbert exponential-lineage lesson, CLAUDE.md).
+      * Internal edge cache released before returning (result pinned
+        eagerly first -- the dedup release discipline).
+
+    Returns the top-``k`` per role: (role 'authority'|'hub', rank, id,
+    score_ppm) with deterministic (score desc, id asc) ranking, ordered by
+    (role, rank).
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .repartition(n_part, "src")
+        .cache()
+    )
+    q = F.lit(int(quantum)).cast("long")
+
+    def renorm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("_mx"))
+        out = raw.crossJoin(F.broadcast(mx)).select(
+            "id", F.expr(f"({col} * {int(quantum)}L) div _mx").alias(col[:-4])
+        )
+        return _ckpt(out)
+
+    h = None  # None => every hub score still at the initial constant `quantum`
+    a = None
+    for _ in range(rounds):
+        if h is None:
+            a_raw = e.groupBy(F.col("dst").alias("id")).agg(
+                (F.count(F.lit(1)) * q).alias("a_raw")
+            )
+        else:
+            a_raw = (
+                e.join(h.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("h").alias("a_raw"))
+            )
+        a = renorm(a_raw, "a_raw")
+        h_raw = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h = renorm(h_raw, "h_raw")
+
+    def topk(scores: DataFrame, col: str, role: str) -> DataFrame:
+        cut = scores.orderBy(F.desc(col), "id").limit(k)  # TakeOrdered -- never a global sort
+        # The rank window runs over the PRE-LIMITED k rows, so one partition
+        # is the design; pmod(col,1) (constant 0, not foldable) keeps
+        # WindowExec from logging its move-all-data warning (sk3 recipe).
+        w = Window.partitionBy(F.pmod(F.col(col), F.lit(1))).orderBy(F.desc(col), "id")
+        return cut.select(
+            F.lit(role).alias("role"),
+            F.row_number().over(w).cast("long").alias("rank"),
+            "id",
+            F.col(col).cast("long").alias("score_ppm"),
+        )
+
+    result = (
+        topk(a, "a", "authority")
+        .unionByName(topk(h, "h", "hub"))
+        .orderBy("role", "rank")
+    )
+    result = _ckpt(result)  # pin the 2k-row output before releasing the edge cache
+    e.unpersist()
+    return result
+
+
 def copurchase_edges(
     facts: DataFrame,
     group_col: str,

@@ -1287,3 +1287,61 @@ def bigram_novelty(
         )
         .orderBy("group")
     )
+
+
+def dup_ngram_fraction(df: DataFrame, text_col: str, group_col: str, n: int = 3) -> DataFrame:
+    """Corpus-level duplicate n-gram mass per group: what fraction of a
+    source's n-gram OCCURRENCES are repeats of an n-gram already seen in
+    the same source (the Gopher-style corpus redundancy diagnostic --
+    t7/t21 score repetition WITHIN a document; this measures it ACROSS
+    the corpus, where boilerplate and template spam live).
+
+        dup_ppm = 1e6 * (occurrences - distinct) DIV occurrences
+
+    all int64, per group.  n-grams are built occurrence-preserving by an
+    iterated zip_with against the j-shifted token array (the
+    adjacent_pairs recipe generalized to any small n -- NEVER the
+    transform+element_at(i+j) fold, which runs interpreted per element;
+    CLAUDE.md invariant).  The shuffle key is md5(gram), never gram text,
+    and the only corpus-sized shuffle is the (group, hash) count -- the
+    same aggregate a 100 TB run needs; everything upstream is map-side
+    behind the repartition-first rule.
+
+    Returns per group: (group, n_occurrences, n_distinct, dup_ppm),
+    ordered by group.  Groups whose documents are all shorter than ``n``
+    tokens produce no n-grams and no row (mirrored in the oracle).
+    """
+    toks = F.col("toks")
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        grams = F.zip_with(
+            grams,
+            shifted,
+            lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.concat_ws(" ", a, b)),
+        )
+    grams = F.filter(grams, lambda x: x.isNotNull())
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    counts = (
+        df.select(F.col(group_col).alias("grp"), tokens(F.col(text_col)).alias("toks"))
+        .repartition(n_part)  # repartition-first rule (dedup._shingles)
+        .select("grp", F.explode(grams).alias("gram"))
+        .select("grp", F.md5("gram").alias("gh"))
+        .groupBy("grp", "gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias("group"),
+            "n_occurrences",
+            "n_distinct",
+            F.expr("(1000000 * (n_occurrences - n_distinct)) DIV n_occurrences").alias("dup_ppm"),
+        )
+        .orderBy("group")
+    )
