@@ -103,7 +103,13 @@ def decision_stump(
     for f in feature_cols:
         v = F.when(F.col("feature") == f, F.col(f).cast("double"))
         val = v if val is None else val.when(F.col("feature") == f, F.col(f).cast("double"))
-    facts = df.select(*feature_cols, F.col(label_col).cast("long").alias("_y"))
+    # Repartition-first rule (CLAUDE.md; dedup._shingles): a small parquet
+    # scan arrives in one partition, and the |grid|x row expansion below
+    # inherits it -- the whole candidate evaluation would run in ONE task
+    # (measured 6.1s -> ~1s at bench scale for a 41-candidate grid).
+    facts = df.select(*feature_cols, F.col(label_col).cast("long").alias("_y")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     scored = facts.join(F.broadcast(grid)).select(
         "feature", "threshold", "_y", (val >= F.col("threshold")).alias("_right")
     )
