@@ -3928,6 +3928,24 @@ def q_m5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_m6(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC-AUC gate (classify.auc_exact): tie-corrected Mann-Whitney
+    over o_totalprice as the score for m5's flipped rule label -- pure
+    int64 pair counting via a distributed two-level prefix sum (never a
+    global window), final ppm division driver-side in Python big-ints
+    (the tpch_q14 overflow recipe; oracle uses HUGEINT).  The standard
+    ranking-quality metric for any scoring model, hash-exactly
+    replayable."""
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (
+            (F.col("o_totalprice") > 150_000).cast("long")
+            != (md5_int32(F.col("o_orderkey").cast("string"), seed="m5") % 20 == 0).cast("long")
+        ).cast("long").alias("y"),
+    )
+    return classify_ops.auc_exact(o, "score", "y", bucket_span=1000.0)
+
+
 def q_w7(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-pinned value windows (first_value / last_value / nth_value):
     per order, its priority class's cheapest, most expensive, and
@@ -4475,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a26_quantile_merge_gate": q_a26,
         "g15_hits_top20": q_g15,
         "t23_dup_ngram_fraction": q_t23,
+        "m6_auc_gate": q_m6,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -6747,6 +6766,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(lpos, lneg) + LEAST(rpos, rneg) AS BIGINT) AS errors,
                    CAST((1000000 * (n - (LEAST(lpos, lneg) + LEAST(rpos, rneg)))) // n AS BIGINT) AS acc_ppm
             FROM agg ORDER BY errors, feature, threshold LIMIT 1
+        """,
+        # m6: tie-corrected Mann-Whitney AUC -- the oracle may use a global
+        # window (it's DuckDB); the ENGINE side is the distributed prefix
+        # sum.  HUGEINT for the ppm step (the q14 recipe).
+        "m6_auc_gate": f"""
+            WITH f AS (
+              SELECT o_totalprice AS s,
+                     CAST(CAST(o_totalprice > 150000 AS BIGINT)
+                          != CAST(({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "m5")}) % 20 = 0 AS BIGINT) AS BIGINT) AS y
+              FROM orders),
+            ps AS (SELECT s, CAST(SUM(y) AS BIGINT) AS npos,
+                          CAST(COUNT(*) - SUM(y) AS BIGINT) AS nneg
+                   FROM f GROUP BY s),
+            c AS (SELECT npos, nneg,
+                         CAST(COALESCE(SUM(nneg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+                  FROM ps),
+            t AS (SELECT CAST(SUM(npos * (2 * cnb + nneg)) AS BIGINT) AS num2,
+                         CAST(SUM(npos) AS BIGINT) AS n_pos,
+                         CAST(SUM(nneg) AS BIGINT) AS n_neg
+                  FROM c)
+            SELECT CAST(n_pos + n_neg AS BIGINT) AS n, n_pos, n_neg, num2,
+                   CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
+                        ELSE CAST((CAST(1000000 AS HUGEINT) * num2) // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS auc_ppm
+            FROM t
         """,
         "w7_value_windows": """
             SELECT o_orderkey, o_orderpriority,

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "em7_truncated_dim_recall",
     "g15_hits_top20",
     "t23_dup_ngram_fraction",
+    "m6_auc_gate",
 ]
 
 

@@ -177,3 +177,41 @@ def test_decision_stump_finds_planted_split(spark):
     r = out[0]
     assert r["feature"] == "x" and r["threshold"] == 600.0
     assert r["errors"] == 0 and r["acc_ppm"] == 1_000_000
+
+
+def test_auc_exact_hand_computed(spark):
+    """m6: tiny score/label set with a tie -- AUC counted by hand.
+    scores: pos {3, 2}, neg {1, 2}.  Pairs: (3,1)+2 (3,2)+2 (2,1)+2
+    (2,2 tie)+1 => num2 = 7 of 2*2*2 = 8 -> AUC = 0.875."""
+    from youtubeanalyzerproject_big_data__spark.operators.classify import auc_exact
+
+    df = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)], "score double, y long"
+    )
+    row = auc_exact(df, "score", "y", bucket_span=1.0).collect()[0]
+    assert (row["n"], row["n_pos"], row["n_neg"]) == (4, 2, 2)
+    assert row["num2"] == 7
+    assert row["auc_ppm"] == (1_000_000 * 7) // 8  # 875000
+
+
+def test_auc_exact_perfect_and_degenerate(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.classify import auc_exact
+
+    perfect = spark.createDataFrame(
+        [(10.0, 1), (9.0, 1), (2.0, 0), (1.0, 0)], "score double, y long"
+    )
+    assert auc_exact(perfect, "score", "y").collect()[0]["auc_ppm"] == 1_000_000
+    one_class = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, y long")
+    assert auc_exact(one_class, "score", "y").collect()[0]["auc_ppm"] == -1  # sentinel
+
+
+def test_auc_exact_bucket_span_invariant(spark):
+    """The bucketed prefix sum is an implementation detail: any span gives
+    the identical integer statistic."""
+    from youtubeanalyzerproject_big_data__spark.operators.classify import auc_exact
+
+    rows = [(float(i % 17) + 0.5 * (i % 3), 1 if (i * 7) % 11 > 4 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "score double, y long")
+    a = auc_exact(df, "score", "y", bucket_span=1.0).collect()[0]
+    b = auc_exact(df, "score", "y", bucket_span=100.0).collect()[0]
+    assert a.asDict() == b.asDict()

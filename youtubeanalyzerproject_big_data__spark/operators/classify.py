@@ -132,3 +132,83 @@ def decision_stump(
         .orderBy("errors", "feature", "threshold")
         .limit(1)
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bucket_span: float = 1000.0,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label, computed as the
+    tie-corrected Mann-Whitney statistic in PURE INTEGER arithmetic -- the
+    standard ranking-quality gate for any scoring model (m4's logreg, a
+    quality heuristic, a reranker), engine-exact so the whole evaluation
+    replays in the oracle.
+
+        2 * U = sum over distinct scores s of
+                npos(s) * (2 * cum_neg_below(s) + nneg(s))
+        AUC    = U / (Npos * Nneg)
+
+    (each concordant pos/neg pair contributes 2, each tied pair 1).
+
+    Scale shape: one hash aggregate collapses the facts to per-DISTINCT-
+    score counts; cum_neg_below comes from the textbook distributed
+    prefix sum (sampling.pack_sequences recipe: bucket-local window +
+    model-sized bucket-offset cumsum broadcast back) -- NEVER a global
+    window, which funnels the corpus through one reducer.  ``bucket_span``
+    slices the score axis; offsets stay model-sized as long as the score
+    range / span is (pick span so #buckets ~ 1e3-1e5).
+
+    The final ratio multiplies 1e6 into 2*U, which overflows int64 once
+    Npos*Nneg > ~9.2e12 (n ~ 6M balanced) -- so the ppm division happens
+    DRIVER-SIDE on the 1-row aggregate in exact Python big-ints, and the
+    oracle uses HUGEINT for the same floor division (the tpch_q14
+    recipe).  Degenerate inputs (single class) return auc_ppm = -1
+    (sentinel, house rule).
+
+    Returns ONE row: (n, n_pos, n_neg, num2, auc_ppm) where num2 = 2*U.
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    per_score = (
+        df.select(F.col(score_col).alias("s"), F.col(label_col).cast("long").alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("npos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nneg"),
+        )
+        .withColumn("_bucket", F.floor(F.col("s") / bucket_span).cast("long"))
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    local = per_score.withColumn("_cum_in", F.sum("nneg").over(w_local))
+    w_buckets = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_score.groupBy("_bucket")
+        .agg(F.sum("nneg").alias("_bt"))
+        .withColumn("_off", F.coalesce(F.sum("_bt").over(w_buckets), F.lit(0)).cast("long"))
+        .select("_bucket", "_off")
+    )
+    cnb = F.col("_off") + F.col("_cum_in") - F.col("nneg")  # cum_neg strictly below s
+    agg = (
+        local.join(F.broadcast(offsets), "_bucket")
+        .select(
+            (F.col("npos") * (2 * cnb + F.col("nneg"))).alias("_c"),
+            "npos",
+            "nneg",
+        )
+        .agg(
+            F.sum("_c").cast("long").alias("num2"),
+            F.sum("npos").cast("long").alias("n_pos"),
+            F.sum("nneg").cast("long").alias("n_neg"),
+        )
+        .collect()[0]  # ONE row -- model-sized by construction
+    )
+    num2, n_pos, n_neg = int(agg["num2"] or 0), int(agg["n_pos"] or 0), int(agg["n_neg"] or 0)
+    denom = 2 * n_pos * n_neg
+    auc_ppm = (1_000_000 * num2) // denom if denom else -1
+    return spark.createDataFrame(
+        [(n_pos + n_neg, n_pos, n_neg, num2, auc_ppm)],
+        "n long, n_pos long, n_neg long, num2 long, auc_ppm long",
+    )
