@@ -3946,6 +3946,25 @@ def q_m6(spark: SparkSession, sf: str) -> DataFrame:
     return classify_ops.auc_exact(o, "score", "y", bucket_span=1000.0)
 
 
+M7_THRESHOLDS = [float(t) for t in range(50_000, 450_000, 25_000)]
+
+
+def q_m7(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall/F1 curve (classify.pr_curve) over a 16-point
+    threshold grid for m5/m6's flipped rule label -- one broadcast-grid
+    pass (the stump shape) computes every operating point; all-integer
+    ppm metrics with -1 sentinels on empty denominators.  The
+    operating-point companion to m6's threshold-free AUC."""
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (
+            (F.col("o_totalprice") > 150_000).cast("long")
+            != (md5_int32(F.col("o_orderkey").cast("string"), seed="m5") % 20 == 0).cast("long")
+        ).cast("long").alias("y"),
+    )
+    return classify_ops.pr_curve(o, "score", "y", M7_THRESHOLDS)
+
+
 def q_w7(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-pinned value windows (first_value / last_value / nth_value):
     per order, its priority class's cheapest, most expensive, and
@@ -4494,6 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g15_hits_top20": q_g15,
         "t23_dup_ngram_fraction": q_t23,
         "m6_auc_gate": q_m6,
+        "m7_pr_curve": q_m7,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -6790,6 +6810,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
                         ELSE CAST((CAST(1000000 AS HUGEINT) * num2) // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS auc_ppm
             FROM t
+        """,
+        # m7: the stump-shape grid evaluation as an eval curve; integer ppm
+        # with -1 sentinels on empty denominators.
+        "m7_pr_curve": f"""
+            WITH lab AS (
+              SELECT o_totalprice AS s,
+                     CAST(CAST(o_totalprice > 150000 AS BIGINT)
+                          != CAST(({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "m5")}) % 20 = 0 AS BIGINT) AS BIGINT) AS y
+              FROM orders),
+            grid AS (SELECT unnest([{", ".join(str(t) for t in M7_THRESHOLDS)}]) AS threshold),
+            agg AS (SELECT g.threshold,
+                           CAST(SUM(CASE WHEN lab.s >= g.threshold AND lab.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                           CAST(SUM(CASE WHEN lab.s >= g.threshold AND lab.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                           CAST(SUM(CASE WHEN lab.s < g.threshold AND lab.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                    FROM lab, grid g GROUP BY g.threshold)
+            SELECT threshold, CAST(tp + fp AS BIGINT) AS n_pred_pos, tp, fp, fn,
+                   CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT) ELSE (1000000 * tp) // (tp + fp) END AS precision_ppm,
+                   CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT) ELSE (1000000 * tp) // (tp + fn) END AS recall_ppm,
+                   CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(-1 AS BIGINT) ELSE (1000000 * 2 * tp) // (2 * tp + fp + fn) END AS f1_ppm
+            FROM agg ORDER BY threshold
         """,
         "w7_value_windows": """
             SELECT o_orderkey, o_orderpriority,

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "g15_hits_top20",
     "t23_dup_ngram_fraction",
     "m6_auc_gate",
+    "m7_pr_curve",
 ]
 
 

@@ -215,3 +215,22 @@ def test_auc_exact_bucket_span_invariant(spark):
     a = auc_exact(df, "score", "y", bucket_span=1.0).collect()[0]
     b = auc_exact(df, "score", "y", bucket_span=100.0).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_pr_curve_hand_computed(spark):
+    """m7: 4 rows, thresholds straddling the scores; sentinel when nothing
+    clears the cut."""
+    from youtubeanalyzerproject_big_data__spark.operators.classify import pr_curve
+
+    df = spark.createDataFrame(
+        [(10.0, 1), (8.0, 0), (5.0, 1), (1.0, 0)], "score double, y long"
+    )
+    out = {r["threshold"]: r for r in pr_curve(df, "score", "y", [6.0, 9.0, 100.0]).collect()}
+    r6 = out[6.0]  # predicted pos: {10(y1), 8(y0)} -> tp=1 fp=1 fn=1
+    assert (r6["tp"], r6["fp"], r6["fn"]) == (1, 1, 1)
+    assert r6["precision_ppm"] == 500_000 and r6["recall_ppm"] == 500_000
+    assert r6["f1_ppm"] == (1_000_000 * 2) // 4
+    r9 = out[9.0]  # predicted pos: {10(y1)} -> perfect precision, half recall
+    assert (r9["precision_ppm"], r9["recall_ppm"]) == (1_000_000, 500_000)
+    r100 = out[100.0]  # nobody clears: precision sentinel, recall 0
+    assert (r100["n_pred_pos"], r100["precision_ppm"], r100["recall_ppm"]) == (0, -1, 0)

@@ -212,3 +212,52 @@ def auc_exact(
         [(n_pos + n_neg, n_pos, n_neg, num2, auc_ppm)],
         "n long, n_pos long, n_neg long, num2 long, auc_ppm long",
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision / recall / F1 at each threshold of a LITERAL grid -- the
+    operating-point evaluation that pairs with m6's threshold-free AUC
+    (AUC says whether the score ranks; this says where to cut it).
+
+    Scale shape: decision_stump's proven one-pass evaluation -- the grid
+    broadcasts against the facts (repartition-first so the |grid|x
+    expansion spreads across tasks), ONE hash aggregate keyed by
+    threshold computes tp/fp/fn for every operating point simultaneously.
+    All metrics are exact int64 ppm floor divisions; a threshold nobody
+    clears reports precision_ppm = -1 (sentinel, house rule) and the
+    no-positives degenerate does the same for recall/F1.
+
+    Returns per threshold: (threshold, n_pred_pos, tp, fp, fn,
+    precision_ppm, recall_ppm, f1_ppm), ordered by threshold.
+    """
+    spark = df.sparkSession
+    grid = spark.createDataFrame([(float(t),) for t in thresholds], "threshold double")
+    facts = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    scored = facts.join(F.broadcast(grid)).select(
+        "threshold", "_y", (F.col("_s") >= F.col("threshold")).alias("_p")
+    )
+    agg = scored.groupBy("threshold").agg(
+        F.sum((F.col("_p") & (F.col("_y") == 1)).cast("long")).cast("long").alias("tp"),
+        F.sum((F.col("_p") & (F.col("_y") == 0)).cast("long")).cast("long").alias("fp"),
+        F.sum(((~F.col("_p")) & (F.col("_y") == 1)).cast("long")).cast("long").alias("fn"),
+    )
+    return agg.select(
+        "threshold",
+        (F.col("tp") + F.col("fp")).alias("n_pred_pos"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CASE WHEN tp + fp = 0 THEN -1 ELSE (1000000 * tp) DIV (tp + fp) END").alias("precision_ppm"),
+        F.expr("CASE WHEN tp + fn = 0 THEN -1 ELSE (1000000 * tp) DIV (tp + fn) END").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN -1 ELSE (1000000 * 2 * tp) DIV (2 * tp + fp + fn) END"
+        ).alias("f1_ppm"),
+    ).orderBy("threshold")
