@@ -3946,6 +3946,19 @@ def q_m6(spark: SparkSession, sf: str) -> DataFrame:
     return classify_ops.auc_exact(o, "score", "y", bucket_span=1000.0)
 
 
+def q_e17(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive backtest (timeseries.seasonal_naive_backtest):
+    predict each hour's per-type event count with the count 24 h earlier,
+    score with WAPE -- the baseline every forecaster must beat and the
+    forecast-monitoring primitive.  Integer epoch-hour alignment (div,
+    never a double quotient), inner alignment (absent hours are gap
+    fill's job, e15), all-int64 WAPE.  One corpus shuffle."""
+    from youtubeanalyzerproject_big_data__spark.operators.timeseries import seasonal_naive_backtest
+
+    _utc(spark)
+    return seasonal_naive_backtest(load_events(spark, sf), "ts", "event_type", period_hours=24)
+
+
 M7_THRESHOLDS = [float(t) for t in range(50_000, 450_000, 25_000)]
 
 
@@ -4514,6 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t23_dup_ngram_fraction": q_t23,
         "m6_auc_gate": q_m6,
         "m7_pr_curve": q_m7,
+        "e17_seasonal_backtest": q_e17,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -6810,6 +6824,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
                         ELSE CAST((CAST(1000000 AS HUGEINT) * num2) // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS auc_ppm
             FROM t
+        """,
+        # e17: integer epoch-hours from nanos (// 1000 // 3600e6, the e2
+        # micros-normalization), inner 24h self-alignment, int64 WAPE.
+        "e17_seasonal_backtest": """
+            WITH c AS (
+              SELECT event_type AS grp, (epoch_ns(ts) // 1000) // 3600000000 AS h,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            s AS (
+              SELECT a.grp, a.n, f.n AS fc
+              FROM c a JOIN c f ON a.grp = f.grp AND a.h = f.h + 24)
+            SELECT grp AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(n) AS BIGINT) AS total_actual,
+                   CAST(SUM(ABS(n - fc)) AS BIGINT) AS total_abs_err,
+                   (1000000 * CAST(SUM(ABS(n - fc)) AS BIGINT)) // CAST(SUM(n) AS BIGINT) AS wape_ppm
+            FROM s GROUP BY grp ORDER BY event_type
         """,
         # m7: the stump-shape grid evaluation as an eval curve; integer ppm
         # with -1 sentinels on empty denominators.

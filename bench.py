@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "t23_dup_ngram_fraction",
     "m6_auc_gate",
     "m7_pr_curve",
+    "e17_seasonal_backtest",
 ]
 
 

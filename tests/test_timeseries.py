@@ -36,3 +36,30 @@ def test_gap_fill_no_nulls_and_spine_is_per_key(spark):
     # key 8's spine must NOT extend over key 7's range (per-key spine,
     # not a global calendar cross join)
     assert out.where(F.col("user_id") == 8).count() == 1
+
+
+def test_seasonal_backtest_hand_computed(spark):
+    """e17: two days of hourly counts for one type; day-2 hours score
+    against day-1.  Hours without a day-earlier counterpart drop (inner
+    alignment)."""
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.operators.timeseries import seasonal_naive_backtest
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # day 1: hour 0 -> 2 events, hour 1 -> 1 event
+    rows += [(base, "a"), (base + dt.timedelta(minutes=5), "a")]
+    rows += [(base + dt.timedelta(hours=1), "a")]
+    # day 2: hour 0 -> 3 events (err 1), hour 1 -> 1 event (err 0),
+    #        hour 2 -> 5 events (no day-1 counterpart: dropped)
+    d2 = base + dt.timedelta(hours=24)
+    rows += [(d2 + dt.timedelta(minutes=m), "a") for m in (0, 1, 2)]
+    rows += [(d2 + dt.timedelta(hours=1), "a")]
+    rows += [(d2 + dt.timedelta(hours=2, minutes=m), "a") for m in range(5)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = seasonal_naive_backtest(df, "ts", "event_type", period_hours=24).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_hours"], r["total_actual"], r["total_abs_err"]) == (2, 4, 1)
+    assert r["wape_ppm"] == (1_000_000 * 1) // 4

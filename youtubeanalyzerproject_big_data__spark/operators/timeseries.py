@@ -69,3 +69,56 @@ def gap_fill(
         F.col("_n").isNull().alias("is_gap"),
         F.last("_type", ignorenulls=True).over(w).alias("carried_type"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+    period_hours: int = 24,
+) -> DataFrame:
+    """Backtest the seasonal-naive forecaster (predict this hour's count
+    with the count from ``period_hours`` earlier) against the observed
+    hourly series -- the baseline every real forecasting pipeline must
+    beat, and the accuracy-reporting primitive (WAPE) for monitoring it.
+
+    Hours key on exact INTEGER epoch-hours (unix_micros div 3600e6), so
+    bucketing and the self-alignment are engine-exact; the error metric is
+    WAPE = 1e6 * sum|actual - forecast| DIV sum(actual) -- all int64, no
+    float division (MAPE's per-point ratios would need per-row rounding;
+    WAPE is the aggregate-safe form).  Only hours where BOTH sides exist
+    are scored (inner alignment -- absent hours are gap_fill's job, and
+    scoring a missing forecast as 0 would double-count coverage gaps as
+    model error; the oracle mirrors the inner join).
+
+    Scale shape: ONE corpus shuffle (the (group, hour) pre-aggregate);
+    the self-join and scoring run on bucket-cardinality rows.  Returns
+    per group: (group, n_hours, total_actual, total_abs_err, wape_ppm),
+    ordered by group.
+    """
+    # integer DIV, never double-divide-then-cast: a double quotient that
+    # rounds up across an integer would flip the bucket (house rule)
+    hour = F.expr(f"unix_micros({ts_col}) div 3600000000")
+    counts = (
+        events.select(F.col(group_col).alias("grp"), hour.alias("h"))
+        .groupBy("grp", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    fc = counts.select("grp", (F.col("h") + F.lit(int(period_hours))).cast("long").alias("h"), F.col("n").alias("f"))
+    scored = counts.join(fc, ["grp", "h"])  # inner: hours with actual AND forecast
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("n").cast("long").alias("total_actual"),
+            F.sum(F.abs(F.col("n") - F.col("f"))).cast("long").alias("total_abs_err"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_hours",
+            "total_actual",
+            "total_abs_err",
+            F.expr("(1000000 * total_abs_err) DIV total_actual").alias("wape_ppm"),
+        )
+        .orderBy(group_col)
+    )
