@@ -464,10 +464,17 @@ def test_hits_star_graph_extremes(spark):
 def test_hits_releases_edge_cache(spark):
     from youtubeanalyzerproject_big_data__spark.operators import graph
 
+    def noncheckpoint_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {
+            rid for rid in jmap.keySet().toArray() if not jmap.get(rid).rdd().isLocallyCheckpointed()
+        }
+
+    # Snapshot first: the shared session may legitimately carry caches from
+    # earlier tests (e.g. the sanctioned g4/g5/g7 prepared-edge memo) --
+    # the gate is that hits() adds NO new non-checkpoint entry.
+    before = noncheckpoint_ids()
     edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
     graph.hits(edges, rounds=2, k=5).collect()
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    leaked = [
-        rid for rid in jmap.keySet().toArray() if not jmap.get(rid).rdd().isLocallyCheckpointed()
-    ]
-    assert leaked == [], f"lingering cached (non-checkpoint) RDD ids: {leaked}"
+    leaked = sorted(noncheckpoint_ids() - before)
+    assert leaked == [], f"hits() leaked cached (non-checkpoint) RDD ids: {leaked}"

@@ -975,10 +975,14 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10) -> DataFrame:
     )
     e = _ckpt(und.where(F.col("src") != F.col("dst")).distinct())
     for _ in range(max_rounds):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        # Pin the degree table BEFORE the probe: the early-exit count and
+        # the survivor keyset both read it, and unpinned each would
+        # re-aggregate the full edge table -- a whole extra edge pass per
+        # peel round.
+        deg = _ckpt(e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
         if deg.where(F.col("_d") < k).count() == 0:
             break
-        keep = _ckpt(deg.where(F.col("_d") >= k).select(F.col("src").alias("_v")))
+        keep = deg.where(F.col("_d") >= k).select(F.col("src").alias("_v"))
         e = e.join(keep, e["src"] == F.col("_v"), "left_semi")
         e = _ckpt(e.join(keep.withColumnRenamed("_v", "_w"), e["dst"] == F.col("_w"), "left_semi"))
     return e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
