@@ -2999,6 +2999,46 @@ def q_v2(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_v4(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV corpus round trip (io.write_csv / read_csv): documents ->
+    quoted RFC-4180 CSV (quoteAll, quote-doubling escape, out-of-band
+    null token, multiLine read) -> explicit-schema read-back,
+    fingerprinted with v2's order-invariant XOR-folded md5 lanes.  The
+    oracle computes the SAME fingerprint from the parquet source, so a
+    hash match proves the CSV sink+source preserved every row and byte --
+    the spreadsheet-facing interchange format, verified like v2's JSONL."""
+    import shutil
+    import tempfile
+
+    from youtubeanalyzerproject_big_data__spark.io import read_csv, write_csv
+
+    docs = load_table(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="v4_csv_")
+    try:
+        write_csv(docs, tmp, n_files=8)
+        back = read_csv(
+            spark, tmp, schema="doc_id long, text string, lang string, source string, n_chars long"
+        ).select("doc_id", "text", "lang", "source", "n_chars")
+        canon = F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("__null__")),
+            F.coalesce(F.col("lang"), F.lit("__null__")),
+            F.coalesce(F.col("source"), F.lit("__null__")),
+            F.col("n_chars").cast("string"),
+        )
+        lanes = md5_int32_lanes_col(canon, seed="v4", lanes=2)
+        out = back.select(lanes[0].alias("l0"), lanes[1].alias("l1")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("l0").cast("long").alias("fp_lane0"),
+            F.bit_xor("l1").cast("long").alias("fp_lane1"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_v3(spark: SparkSession, sf: str) -> DataFrame:
     """Schema EVOLUTION read (mergeSchema): the lakehouse append pattern
     where a later batch adds columns.  Even-doc_id documents written with
@@ -4528,6 +4568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_auc_gate": q_m6,
         "m7_pr_curve": q_m7,
         "e17_seasonal_backtest": q_e17,
+        "v4_csv_roundtrip": q_v4,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -5914,6 +5955,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(bit_xor({md5_int32_lane_sql("canon", "v2", 0)}) AS BIGINT) AS fp_lane0,
                    CAST(bit_xor({md5_int32_lane_sql("canon", "v2", 1)}) AS BIGINT) AS fp_lane1
+            FROM c
+        """,
+        # v4: identical fingerprint recipe to v2 (different seed) -- the
+        # oracle never sees the CSV, proving the round trip lossless.
+        "v4_csv_roundtrip": f"""
+            WITH c AS (
+              SELECT concat_ws('|', CAST(doc_id AS VARCHAR),
+                               COALESCE(text, '__null__'),
+                               COALESCE(lang, '__null__'),
+                               COALESCE(source, '__null__'),
+                               CAST(n_chars AS VARCHAR)) AS canon
+              FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "v4", 0)}) AS BIGINT) AS fp_lane0,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "v4", 1)}) AS BIGINT) AS fp_lane1
             FROM c
         """,
         "l2_table_fingerprint": f"""

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "m6_auc_gate",
     "m7_pr_curve",
     "e17_seasonal_backtest",
+    "v4_csv_roundtrip",
 ]
 
 

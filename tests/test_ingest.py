@@ -113,3 +113,27 @@ def test_jsonl_roundtrip_preserves_tricky_strings(spark, tmp_path_factory):
     back = read_jsonl(spark, path, schema="doc_id long, text string, lang string")
     got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
     assert got == {i: (t, g) for i, t, g in rows}
+
+
+def test_csv_roundtrip_preserves_tricky_strings(spark, tmp_path_factory):
+    """CSV (v4): commas, quotes, embedded newlines, unicode, EMPTY STRING
+    vs NULL -- the classic CSV ambiguity -- all survive write_csv ->
+    read_csv exactly (quoteAll + escape-doubling + out-of-band null token
+    + multiLine read)."""
+    from youtubeanalyzerproject_big_data__spark.io import read_csv, write_csv
+
+    rows = [
+        (1, "comma, inside", "en"),
+        (2, 'quote " and ""doubled""', "en"),
+        (3, "line1\nline2\r\nline3", "en"),
+        (4, "unicode é中文 \U0001f600", "zh"),
+        (5, "", "en"),       # empty string must NOT become null
+        (6, None, None),     # null must NOT become empty string
+        (7, "__csvnull__x", "en"),  # data that merely CONTAINS the token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path_factory.mktemp("csv") / "docs")
+    write_csv(df, path, n_files=2)
+    back = read_csv(spark, path, schema="doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    assert got == {i: (t, g) for i, t, g in rows}

@@ -140,3 +140,39 @@ def compact_parquet(spark: SparkSession, src_path: str, dst_path: str, n_files: 
     df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(sort_col).write.mode(
         "overwrite"
     ).parquet(dst_path)
+
+
+def write_csv(df: DataFrame, path: str, n_files: int = 8) -> None:
+    """CSV interchange sink, configured for LOSSLESS round trips of free
+    text: quoteAll (so an empty string is written as "" and never
+    collapses into the null representation), quote-doubling escape (the
+    RFC-4180 convention both Spark and every spreadsheet agree on), and an
+    explicit out-of-band nullValue token.  Embedded newlines/commas/quotes
+    in document text all survive -- verified, not assumed (driver query
+    v4 fingerprints the round trip)."""
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .option("nullValue", "__csvnull__")
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV interchange source: EXPLICIT schema (inference is a full extra
+    pass at 100 TB), multiLine for quoted embedded newlines, and the same
+    escape/null conventions as :func:`write_csv`.  multiLine disables
+    newline-based file splitting, so shard parallelism comes from the
+    writer's ``n_files``, not intra-file splits -- the standard trade-off
+    for quoted-newline CSV."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("nullValue", "__csvnull__")
+        .csv(path)
+    )
