@@ -137,3 +137,48 @@ def test_quantile_merge_bound_universal(spark, vals, n_shards, k):
     assert len(out) == 3 and all(r["within_bound"] == 1 for r in out)
     # estimates are real data values
     assert all(r["est_micro"] in set(vals) for r in out)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 1)), min_size=2, max_size=40
+    ).filter(lambda r: len({y for _, y in r}) == 2)
+)
+def test_auc_matches_bruteforce_pair_count(spark, rows):
+    """m6 property: the prefix-sum Mann-Whitney statistic equals the
+    brute-force pairwise count (2 per concordant pos/neg pair, 1 per tie)
+    on arbitrary integer scores with heavy ties."""
+    from youtubeanalyzerproject_big_data__spark.operators.classify import auc_exact
+
+    df = spark.createDataFrame([(float(s), y) for s, y in rows], "score double, y long")
+    got = auc_exact(df, "score", "y", bucket_span=3.0).collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert got["num2"] == num2
+    assert got["auc_ppm"] == (1_000_000 * num2) // (2 * len(pos) * len(neg))
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_hits_matches_driver_replay_on_random_graphs(spark, edges):
+    """g15 property: the distributed integer HITS equals the driver-side
+    replay (tests/test_graph._ref_hits) on arbitrary small digraphs --
+    partitioning, join order, and renorm pinning cannot leak into the
+    scores."""
+    from tests.test_graph import _ref_hits
+    from youtubeanalyzerproject_big_data__spark.operators import graph
+
+    sedges = [(f"v{a}", f"v{b}") for a, b in edges]
+    df = spark.createDataFrame(sedges, "src string, dst string")
+    out = graph.hits(df, rounds=2, k=100).collect()
+    ref_a, ref_h = _ref_hits(sedges, rounds=2)
+    assert {r["id"]: r["score_ppm"] for r in out if r["role"] == "authority"} == ref_a
+    assert {r["id"]: r["score_ppm"] for r in out if r["role"] == "hub"} == ref_h
