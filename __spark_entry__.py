@@ -3039,6 +3039,54 @@ def q_v4(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_v5(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded training-data export WITH a verifiable manifest
+    (io.export_sharded): documents hash-sharded 8 ways on
+    pmod(md5(doc_id)) -- a pure function of the data, never rand() or
+    partition index -- written hive-partitioned, read back, and
+    manifested (per shard: row count, XOR-md5 fingerprint lanes).  The
+    oracle recomputes the IDENTICAL manifest from the parquet source
+    alone, so a hash match proves (a) the shard assignment is
+    deterministic and (b) the export wrote and reads back every row --
+    the ship-to-training handoff, audited."""
+    import shutil
+    import tempfile
+
+    from youtubeanalyzerproject_big_data__spark.io import export_sharded
+
+    docs = load_table(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="v5_export_")
+    try:
+        staged = docs.withColumn(
+            "shard", F.pmod(md5_int32(F.col("doc_id").cast("string"), seed="v5"), F.lit(8))
+        )
+        export_sharded(staged, "shard", tmp)
+        back = spark.read.parquet(tmp).select("shard", "doc_id", "text", "lang", "source", "n_chars")
+        canon = F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("__null__")),
+            F.coalesce(F.col("lang"), F.lit("__null__")),
+            F.coalesce(F.col("source"), F.lit("__null__")),
+            F.col("n_chars").cast("string"),
+        )
+        lanes = md5_int32_lanes_col(canon, seed="v5", lanes=2)
+        out = (
+            back.select(F.col("shard").cast("long").alias("shard"), lanes[0].alias("l0"), lanes[1].alias("l1"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.bit_xor("l0").cast("long").alias("fp_lane0"),
+                F.bit_xor("l1").cast("long").alias("fp_lane1"),
+            )
+            .orderBy("shard")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_v3(spark: SparkSession, sf: str) -> DataFrame:
     """Schema EVOLUTION read (mergeSchema): the lakehouse append pattern
     where a later batch adds columns.  Even-doc_id documents written with
@@ -4569,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m7_pr_curve": q_m7,
         "e17_seasonal_backtest": q_e17,
         "v4_csv_roundtrip": q_v4,
+        "v5_export_manifest": q_v5,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
         "tpch_q19_bracket_revenue": q_q19,
@@ -5971,6 +6020,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor({md5_int32_lane_sql("canon", "v4", 0)}) AS BIGINT) AS fp_lane0,
                    CAST(bit_xor({md5_int32_lane_sql("canon", "v4", 1)}) AS BIGINT) AS fp_lane1
             FROM c
+        """,
+        # v5: the oracle recomputes the manifest (shard assignment + per-
+        # shard fingerprints) from the SOURCE alone -- a match proves the
+        # hash-sharded export deterministic and lossless.
+        "v5_export_manifest": f"""
+            WITH c AS (
+              SELECT ({md5_int32_sql("CAST(doc_id AS VARCHAR)", "v5")}) % 8 AS shard,
+                     concat_ws('|', CAST(doc_id AS VARCHAR),
+                               COALESCE(text, '__null__'),
+                               COALESCE(lang, '__null__'),
+                               COALESCE(source, '__null__'),
+                               CAST(n_chars AS VARCHAR)) AS canon
+              FROM documents)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "v5", 0)}) AS BIGINT) AS fp_lane0,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "v5", 1)}) AS BIGINT) AS fp_lane1
+            FROM c GROUP BY shard ORDER BY shard
         """,
         "l2_table_fingerprint": f"""
             WITH c AS (

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "m7_pr_curve",
     "e17_seasonal_backtest",
     "v4_csv_roundtrip",
+    "v5_export_manifest",
 ]
 
 

@@ -176,3 +176,19 @@ def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("nullValue", "__csvnull__")
         .csv(path)
     )
+
+
+def export_sharded(df: DataFrame, shard_col: str, path: str) -> None:
+    """Training-data export: hive-partitioned parquet sharded on a
+    PRE-COMPUTED deterministic column (hash of the stable id -- never
+    rand() or partition index, so the shard assignment is a pure function
+    of the data and any consumer or auditor can recompute it).  One
+    shuffle co-locates each shard into one file; partition pruning then
+    serves shard-addressed reads (curriculum phases, worker splits)
+    without scanning the rest."""
+    (
+        df.repartition(F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
