@@ -1043,11 +1043,18 @@ def hits(
     q = F.lit(int(quantum)).cast("long")
 
     def renorm(raw: DataFrame, col: str) -> DataFrame:
+        # Pin the RAW table, not the renormalized one: the renorm reads its
+        # input twice (broadcast max + value side), so pinning downstream
+        # would run the expensive join+aggregate TWICE per half-round --
+        # pinned-raw, both reads are cheap vertex-sized cache scans and the
+        # returned projection is lazy (re-evaluating it for its consumers
+        # costs a pinned scan, not an edge pass).  Plan growth stays
+        # bounded: the pin truncates lineage each half-round either way.
+        raw = _ckpt(raw)
         mx = raw.agg(F.max(col).alias("_mx"))
-        out = raw.crossJoin(F.broadcast(mx)).select(
+        return raw.crossJoin(F.broadcast(mx)).select(
             "id", F.expr(f"({col} * {int(quantum)}L) div _mx").alias(col[:-4])
         )
-        return _ckpt(out)
 
     h = None  # None => every hub score still at the initial constant `quantum`
     a = None
