@@ -4241,6 +4241,89 @@ def q_q10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
+    revenue for one market segment -- customer filter broadcast into the
+    orders scan, the one fact-fact join shuffles on orderkey, both date
+    predicates push down to the parquet scans.  The fixture has no
+    o_shippriority column, so the grouping carries o_orderpriority (same
+    shape: a per-order dimension attribute riding through the aggregate).
+    Revenue compares as exact integer micros so the top-10 cut cannot
+    flip on a ulp; (rev desc, orderkey) is a total order."""
+    _utc(spark)
+    cut = F.lit("1998-06-01").cast("timestamp_ntz")
+    c = load_table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf, "lineitem").where(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) * 1_000_000).cast("long").alias("rev_micro"))
+        .select(
+            "l_orderkey",
+            (F.col("rev_micro").cast("double") / 1e6).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation for one
+    region and one order year, counting only lines where the supplier and
+    the ordering customer share a nation -- the equality that makes Q5
+    different from a plain rollup.  Supplier/customer/nation/region all
+    broadcast (dimension chains); the lineitem-orders join is the only
+    shuffle.  Nation count bounds the output, exact-micros ordering."""
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    df = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(c),
+            (o["o_custkey"] == c["c_custkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        df.groupBy("n_name")
+        .agg(
+            (F.sum(rev) * 1_000_000).cast("long").alias("rev_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            "n_name",
+            (F.col("rev_micro").cast("double") / 1e6).alias("revenue"),
+            "n_lines",
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 def q_t22(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source bigram novelty vs a reference corpus (textanalysis.
     bigram_novelty): corpus = doc_id % 7 != 0 scored against the % 7 == 0
@@ -4594,6 +4677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l5_zonemap_skip_report": q_l5,
         "l6_bucketed_join": q_l6,
         "l7_partition_pruning": q_l7,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q5_local_supplier_volume": q_tpch_q5,
         "tpch_q7_nation_volume": q_q7,
         "tpch_q10_returned_items": q_q10,
         "i3_incremental_kmv": q_i3,
@@ -7015,6 +7100,45 @@ def oracle_sql() -> dict[str, str]:
                              THEN (63 * 4294967296) // MAX(CASE WHEN rn = 64 THEN hv END)
                              ELSE LEAST(nd, 64) END AS BIGINT) AS est_distinct
             FROM r GROUP BY hour, nd ORDER BY hour
+        """,
+        # q3/q5: revenue materializes via exact integer micros (the _dsum
+        # recipe inlined because the ORDER BY reuses the micros column);
+        # ties on the rounded double are broken by key, so the top-10 cut
+        # and nation ordering are total orders in both engines.
+        "tpch_q3_shipping_priority": """
+            WITH a AS (
+              SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                     CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-06-01'
+                AND l.l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY 1, 2, 3)
+            SELECT l_orderkey, CAST(rev_micro AS DOUBLE) / 1000000 AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+                   o_orderpriority
+            FROM a ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5_local_supplier_volume": """
+            WITH a AS (
+              SELECT n.n_name,
+                     CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+                             AND c.c_nationkey = s.s_nationkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA'
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1)
+            SELECT n_name, CAST(rev_micro AS DOUBLE) / 1000000 AS revenue, n_lines
+            FROM a ORDER BY revenue DESC, n_name
         """,
         "tpch_q7_nation_volume": f"""
             WITH j AS (
