@@ -4047,6 +4047,22 @@ def q_e17(spark: SparkSession, sf: str) -> DataFrame:
     return seasonal_naive_backtest(load_events(spark, sf), "ts", "event_type", period_hours=24)
 
 
+E18_LAGS = (1, 2, 3, 24)
+
+
+def q_e18(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly-series autocorrelation gate (timeseries.acf_ppm): ACF of
+    the global hourly event-count series at lags 1/2/3/24 -- the
+    seasonality detector that justifies e17's period choice.  Dense
+    integer epoch-hour spine (zeros are real), denominator-cleared
+    integer deviations, decimal(38,0) cross-product sums (HUGEINT twin),
+    final ppm ratio driver-side in Python big ints (the q14/m6 recipe)."""
+    from youtubeanalyzerproject_big_data__spark.operators.timeseries import acf_ppm
+
+    _utc(spark)
+    return acf_ppm(load_events(spark, sf), "ts", lags=E18_LAGS)
+
+
 M7_THRESHOLDS = [float(t) for t in range(50_000, 450_000, 25_000)]
 
 
@@ -4701,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_auc_gate": q_m6,
         "m7_pr_curve": q_m7,
         "e17_seasonal_backtest": q_e17,
+        "e18_acf_gate": q_e18,
         "v4_csv_roundtrip": q_v4,
         "v5_export_manifest": q_v5,
         "se9_stream_static_enrich": q_se9,
@@ -7049,6 +7066,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ABS(n - fc)) AS BIGINT) AS total_abs_err,
                    (1000000 * CAST(SUM(ABS(n - fc)) AS BIGINT)) // CAST(SUM(n) AS BIGINT) AS wape_ppm
             FROM s GROUP BY grp ORDER BY event_type
+        """,
+        # e18: dense integer-hour spine, denominator-cleared deviations
+        # (d = nh*x - s, exact int64), HUGEINT cross-product sums, signed
+        # ppm division truncated toward zero (twin of the Python big-int
+        # driver-side ratio in timeseries.acf_ppm).
+        "e18_acf_gate": f"""
+            WITH hourly AS (
+              SELECT (epoch_ns(ts) // 1000) // 3600000000 AS h,
+                     CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            bounds AS (
+              SELECT MIN(h) AS h0, MAX(h) AS h1,
+                     CAST(SUM(x) AS BIGINT) AS s,
+                     CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS nh
+              FROM hourly),
+            spine AS (
+              SELECT unnest(generate_series(h0, h1)) AS h FROM bounds),
+            dev AS (
+              SELECT spine.h,
+                     (SELECT nh FROM bounds) * COALESCE(hourly.x, 0) - (SELECT s FROM bounds) AS d
+              FROM spine LEFT JOIN hourly USING (h)),
+            den AS (SELECT GREATEST(SUM(CAST(d AS HUGEINT) * d), 1) AS dd FROM dev),
+            lags AS (SELECT unnest([{", ".join(str(l) for l in E18_LAGS)}]) AS lag),
+            num AS (
+              SELECT lags.lag,
+                     SUM(CAST(a.d AS HUGEINT) * b.d) AS nm,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM lags CROSS JOIN dev a JOIN dev b ON b.h = a.h + lags.lag
+              GROUP BY lags.lag)
+            SELECT CAST(num.lag AS BIGINT) AS lag, num.n_pairs,
+                   (SELECT nh FROM bounds) AS n_hours,
+                   CAST(CASE WHEN num.nm < 0
+                             THEN -((1000000 * (-num.nm)) // den.dd)
+                             ELSE (1000000 * num.nm) // den.dd END AS BIGINT) AS acf_ppm
+            FROM num, den ORDER BY lag
         """,
         # m7: the stump-shape grid evaluation as an eval curve; integer ppm
         # with -1 sentinels on empty denominators.

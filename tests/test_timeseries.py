@@ -63,3 +63,39 @@ def test_seasonal_backtest_hand_computed(spark):
     r = out[0]
     assert (r["n_hours"], r["total_actual"], r["total_abs_err"]) == (2, 4, 1)
     assert r["wape_ppm"] == (1_000_000 * 1) // 4
+
+def test_acf_matches_bruteforce(spark):
+    """e18: acf_ppm equals a pure-Python replay over the dense hourly
+    series (zeros included), including the negative-numerator truncation
+    and the driver-side big-int ratio."""
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.operators.timeseries import acf_ppm
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # 3 days, alternating-ish counts with one silent hour (a real zero)
+    counts = {}
+    for h in range(72):
+        if h == 5:
+            continue  # gap hour -> x = 0
+        counts[h] = (h % 7) + (3 if h % 24 == 2 else 0)
+    rows = [
+        (base + dt.timedelta(hours=h, minutes=i), "a")
+        for h, c in counts.items()
+        for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    lags = (1, 2, 24)
+    out = {r["lag"]: r for r in acf_ppm(df, "ts", lags=lags).collect()}
+
+    active = [h for h, c in counts.items() if c > 0]
+    h0, h1 = min(active), max(active)  # spine spans OBSERVED hours only
+    xs = [counts.get(h, 0) for h in range(h0, h1 + 1)]
+    n, s = len(xs), sum(xs)
+    dev = [n * x - s for x in xs]
+    den = max(sum(d * d for d in dev), 1)
+    for L in lags:
+        num = sum(dev[t] * dev[t + L] for t in range(n - L))
+        ppm = -((1_000_000 * -num) // den) if num < 0 else (1_000_000 * num) // den
+        r = out[L]
+        assert (r["n_pairs"], r["n_hours"], r["acf_ppm"]) == (n - L, n, ppm)

@@ -122,3 +122,76 @@ def seasonal_naive_backtest(
         )
         .orderBy(group_col)
     )
+
+
+def acf_ppm(
+    events: DataFrame,
+    ts_col: str,
+    lags: tuple[int, ...] = (1, 2, 3, 24),
+) -> DataFrame:
+    """Autocorrelation of the global hourly event-count series at fixed
+    integer lags -- the seasonality detector behind forecast-model choice
+    (a large lag-24 coefficient is what justifies seasonal_naive_backtest's
+    period) and the drift monitor for ingest cadence.
+
+    Exactness recipe (the q14/m6 big-int pattern): the series is integer
+    counts on a dense integer epoch-hour spine (missing hours are real
+    zeros, generated from min/max + range, never collected).  Deviations
+    are computed against the UNSCALED mean by clearing the denominator:
+    d_t = n_hours * x_t - sum(x)  (exact int64), so
+    acf(L) = sum(d_t * d_{t+L}) / sum(d_t^2) exactly, no float mean.
+    The cross products can exceed int64 when summed (d ~ 1e9 squared,
+    summed over 1e5 hours), so partial sums accumulate in decimal(38,0)
+    (HUGEINT in the oracle twin); the final ppm ratio is taken DRIVER-SIDE
+    in Python big ints on the lag-count-sized aggregate, truncated toward
+    zero so both engines' signed division agrees.
+
+    Scale shape: ONE corpus shuffle (the hour pre-aggregate); the spine
+    join, deviation map, and lag self-join all run on hour-cardinality
+    rows (calendar-bounded -- ~1e5 rows for a decade, regardless of
+    corpus size).  Returns (lag, n_pairs, n_hours, acf_ppm), one row per
+    requested lag, ordered by lag.
+    """
+    spark = events.sparkSession
+    hour = F.expr(f"unix_micros({ts_col}) div 3600000000")
+    hourly = (
+        events.select(hour.alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    b = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"), F.sum("x").cast("long").alias("s")
+    ).collect()[0]
+    h0, h1, total = int(b["h0"]), int(b["h1"]), int(b["s"])
+    n_hours = h1 - h0 + 1
+    dev = (
+        spark.range(h0, h1 + 1).withColumnRenamed("id", "h")
+        .join(hourly, "h", "left")
+        .select("h", (F.lit(n_hours) * F.coalesce(F.col("x"), F.lit(0)) - F.lit(total)).alias("d"))
+    )
+    dec = "decimal(38,0)"
+    den_row = dev.agg(F.sum(F.col("d").cast(dec) * F.col("d").cast(dec)).alias("dd")).collect()[0]
+    den = max(int(den_row["dd"]), 1)
+    shifted = dev.select(
+        F.explode(F.array(*[F.lit(int(l)) for l in lags])).alias("lag"),
+        F.col("h").alias("h_base"),
+        F.col("d").alias("d_lead"),
+    ).select("lag", (F.col("h_base") - F.col("lag")).alias("h"), "d_lead")
+    nums = (
+        dev.join(shifted, "h")
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("d").cast(dec) * F.col("d_lead").cast(dec)).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .collect()
+    )
+    rows = []
+    for r in nums:
+        num = int(r["num"])
+        ppm = -((1_000_000 * -num) // den) if num < 0 else (1_000_000 * num) // den
+        rows.append((int(r["lag"]), int(r["n_pairs"]), n_hours, ppm))
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "lag bigint, n_pairs bigint, n_hours bigint, acf_ppm bigint"
+    )
