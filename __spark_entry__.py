@@ -3039,6 +3039,46 @@ def q_v4(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_v6(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC corpus round trip (io.write_orc / read_orc): documents ->
+    sharded zlib ORC -> read-back, fingerprinted with v2/v4's
+    order-invariant XOR-folded md5 lanes.  The oracle computes the SAME
+    fingerprint from the parquet source, so a hash match proves the ORC
+    sink+source preserved every row -- closing the interchange matrix
+    (JSONL v2, CSV v4, ORC v6, hive-partitioned parquet v5) with the
+    Hive-ecosystem columnar format."""
+    import shutil
+    import tempfile
+
+    from youtubeanalyzerproject_big_data__spark.io import read_orc, write_orc
+
+    docs = load_table(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="v6_orc_")
+    try:
+        write_orc(docs, tmp, n_files=8)
+        back = read_orc(
+            spark, tmp, schema="doc_id long, text string, lang string, source string, n_chars long"
+        ).select("doc_id", "text", "lang", "source", "n_chars")
+        canon = F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("__null__")),
+            F.coalesce(F.col("lang"), F.lit("__null__")),
+            F.coalesce(F.col("source"), F.lit("__null__")),
+            F.col("n_chars").cast("string"),
+        )
+        lanes = md5_int32_lanes_col(canon, seed="v6", lanes=2)
+        out = back.select(lanes[0].alias("l0"), lanes[1].alias("l1")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("l0").cast("long").alias("fp_lane0"),
+            F.bit_xor("l1").cast("long").alias("fp_lane1"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_v5(spark: SparkSession, sf: str) -> DataFrame:
     """Sharded training-data export WITH a verifiable manifest
     (io.export_sharded): documents hash-sharded 8 ways on
@@ -4719,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_seasonal_backtest": q_e17,
         "e18_acf_gate": q_e18,
         "v4_csv_roundtrip": q_v4,
+        "v6_orc_roundtrip": q_v6,
         "v5_export_manifest": q_v5,
         "se9_stream_static_enrich": q_se9,
         "tpch_q14_promo_effect": q_q14,
@@ -6121,6 +6162,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(bit_xor({md5_int32_lane_sql("canon", "v4", 0)}) AS BIGINT) AS fp_lane0,
                    CAST(bit_xor({md5_int32_lane_sql("canon", "v4", 1)}) AS BIGINT) AS fp_lane1
+            FROM c
+        """,
+        # v6: identical source-side fingerprint as v2/v4 (seed v6) -- a
+        # match proves the ORC sink+source lossless.
+        "v6_orc_roundtrip": f"""
+            WITH c AS (
+              SELECT concat_ws('|', CAST(doc_id AS VARCHAR),
+                               COALESCE(text, '__null__'),
+                               COALESCE(lang, '__null__'),
+                               COALESCE(source, '__null__'),
+                               CAST(n_chars AS VARCHAR)) AS canon
+              FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "v6", 0)}) AS BIGINT) AS fp_lane0,
+                   CAST(bit_xor({md5_int32_lane_sql("canon", "v6", 1)}) AS BIGINT) AS fp_lane1
             FROM c
         """,
         # v5: the oracle recomputes the manifest (shard assignment + per-
