@@ -1945,6 +1945,65 @@ def q_se5(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("n_events").cast("long").alias("n_events"))
 
 
+def q_se11(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint-restart recovery gate: stream_user_totals driven in TWO
+    separate streaming queries over ONE checkpoint -- phase A drains the
+    first 2 source files and stops (a planned shutdown); phase B reveals
+    2 more files and restarts from the same checkpoint.  Exactly-once
+    recovery is machine-checked from both sides: the restarted query must
+    process ONLY the new files (asserted batch count -- a lost file log
+    would re-read phase A and double-count into the retained state), and
+    the final per-user totals must equal the batch count over ALL events
+    (a lost state store would cover only phase B and undercount).  The
+    production crash-recovery contract, gate-checked instead of assumed."""
+    import glob
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    # restart reads phase-A state snapshots, which ship no checksum files;
+    # the per-snapshot "no checksum" WARN would spam stderr ~70x per run
+    ck_key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    ck_prev = spark.conf.get(ck_key, None)
+    spark.conf.set(ck_key, "false")
+    e = load_events(spark, sf).select("user_id", "ts", "value")
+    base = tempfile.mkdtemp(prefix="se11_")
+    stage, src, sink, ckpt = (os.path.join(base, d) for d in ("stage", "src", "sink", "ckpt"))
+    e.repartitionByRange(4, F.col("ts")).write.parquet(stage)
+    parts = sorted(glob.glob(os.path.join(stage, "part-*")))
+    t0 = int(time.time()) - 3600
+    for i, p in enumerate(parts):
+        os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+    os.makedirs(src)
+
+    def _reveal(ps: list[str]) -> None:
+        for p in ps:
+            shutil.move(p, os.path.join(src, os.path.basename(p)))
+
+    try:
+        _reveal(parts[:2])
+        n_a = ev.run_stream_to_parquet(
+            ev.stream_user_totals(spark, src, max_files_per_trigger=1), sink, ckpt, "update"
+        )
+        _reveal(parts[2:])
+        n_b = ev.run_stream_to_parquet(
+            ev.stream_user_totals(spark, src, max_files_per_trigger=1), sink, ckpt, "update"
+        )
+    finally:
+        if ck_prev is None:
+            spark.conf.unset(ck_key)
+        else:
+            spark.conf.set(ck_key, ck_prev)
+    if n_a != 2 or n_b != 2:
+        raise RuntimeError(
+            f"restart gate expected 2+2 micro-batches (phase B re-reading phase A's "
+            f"files would break exactly-once), got {n_a}+{n_b}"
+        )
+    print(f"[stream se11] {n_a}+{n_b} micro-batches across restart", file=sys.stderr)
+    out = spark.read.parquet(sink)
+    return out.groupBy("user_id").agg(F.max("n_events").cast("long").alias("n_events")).orderBy("user_id")
+
+
 def q_se6(spark: SparkSession, sf: str) -> DataFrame:
     """Bounded-state streaming dedup (stream_dedup_with_ttl), gate-checked:
     the production TTL form of se4 -- digest state expires ttl_seconds of
@@ -4708,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se3_stream_interval_join": q_se3,
         "se4_stream_dedup_first_seen": q_se4,
         "se5_stream_user_totals": q_se5,
+        "se11_stream_restart_recovery": q_se11,
         "se6_stream_dedup_ttl": q_se6,
         "se7_stream_heavy_hitters": q_se7,
         "em1_label_centroids": q_em1,
@@ -5942,6 +6002,13 @@ def oracle_sql() -> dict[str, str]:
         "se5_stream_user_totals": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id
+        """,
+        # se11: the restarted stream's final totals must equal the batch
+        # count over ALL events -- state-store recovery undercounts and
+        # file-log loss double-counts both hash-mismatch here.
+        "se11_stream_restart_recovery": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "se3_stream_interval_join": """
             SELECT e.event_id AS err_id, e.user_id AS err_user, c.event_id AS clk_id,
