@@ -1179,6 +1179,24 @@ def q_m4(spark: SparkSession, sf: str) -> DataFrame:
     return logreg_separability_gate(load_table(spark, sf, "embeddings"), "embedding", min_auc=0.95)
 
 
+def q_m8(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial naive Bayes confusion matrix (classify.
+    naive_bayes_confusion): train on doc_id % 5 != 0, score the held-out
+    fifth, Laplace smoothing -- the generative text classifier next to
+    m4's LBFGS and m5's stump.  Every log term is floor(ln(int/int
+    double quotient) * 1e6) (the t8 recipe), so (doc,label) scores are
+    exact int64 sums and the argmax (score desc, label asc) replays
+    engine-identically; the model is vocab-x-labels-sized and broadcast."""
+    docs = load_table(spark, sf, "documents")
+    return classify_ops.naive_bayes_confusion(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        "lang",
+    )
+
+
 def q_s7(spark: SparkSession, sf: str) -> DataFrame:
     """Metadata-filtered vector search (similarity.filtered_topk): top-5
     cosine neighbors SHARING THE QUERY'S LABEL -- pre-filtering composed
@@ -4816,6 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t23_dup_ngram_fraction": q_t23,
         "m6_auc_gate": q_m6,
         "m7_pr_curve": q_m7,
+        "m8_naive_bayes_confusion": q_m8,
         "e17_seasonal_backtest": q_e17,
         "e18_acf_gate": q_e18,
         "v4_csv_roundtrip": q_v4,
@@ -7224,6 +7243,48 @@ def oracle_sql() -> dict[str, str]:
                              THEN -((1000000 * (-num.nm)) // den.dd)
                              ELSE (1000000 * num.nm) // den.dd END AS BIGINT) AS acf_ppm
             FROM num, den ORDER BY lag
+        """,
+        # m8: the t8 floor(ln*1e6) quantization on every log term makes
+        # (doc,label) scores exact int64; argmax ties break by label asc.
+        "m8_naive_bayes_confusion": r"""
+            WITH tr AS (SELECT doc_id, lang AS y, text FROM documents WHERE doc_id % 5 != 0),
+            te AS (SELECT doc_id, lang AS true_label, text FROM documents WHERE doc_id % 5 = 0),
+            trtok AS (SELECT y, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+                      FROM tr),
+            tf AS (SELECT y, token, CAST(COUNT(*) AS BIGINT) AS c FROM trtok GROUP BY 1, 2),
+            ny AS (SELECT y, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+            v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS nv FROM tf),
+            dt AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM tr),
+            prior AS (
+              SELECT pc.y,
+                     CAST(floor(ln(CAST(pc.cnt AS DOUBLE) / CAST(dt.d AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro,
+                     CAST(floor(ln(1.0 / CAST(ny.n + v.nv AS DOUBLE)) * 1e6) AS BIGINT) AS default_micro
+              FROM (SELECT y, COUNT(*) AS cnt FROM tr GROUP BY y) pc
+              JOIN ny ON ny.y = pc.y CROSS JOIN dt CROSS JOIN v),
+            lp AS (
+              SELECT tf.y, tf.token,
+                     CAST(floor(ln(CAST(tf.c + 1 AS DOUBLE) / CAST(ny.n + v.nv AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+              FROM tf JOIN ny ON ny.y = tf.y CROSS JOIN v),
+            tetok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
+                      FROM te),
+            tetf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tetok GROUP BY 1, 2),
+            ts AS (
+              SELECT tetf.doc_id, p.y,
+                     CAST(SUM(tetf.tf * COALESCE(lp.lp_micro, p.default_micro)) AS BIGINT) AS s
+              FROM tetf CROSS JOIN prior p
+              LEFT JOIN lp ON lp.y = p.y AND lp.token = tetf.token
+              GROUP BY 1, 2),
+            sc AS (
+              SELECT te.doc_id, te.true_label, p.y,
+                     p.prior_micro + COALESCE(ts.s, 0) AS score
+              FROM te CROSS JOIN prior p
+              LEFT JOIN ts ON ts.doc_id = te.doc_id AND ts.y = p.y),
+            pred AS (
+              SELECT doc_id, true_label, y,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, y ASC) AS rk
+              FROM sc)
+            SELECT true_label, y AS pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # m7: the stump-shape grid evaluation as an eval curve; integer ppm
         # with -1 sentinels on empty denominators.

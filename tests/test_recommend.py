@@ -79,3 +79,29 @@ def test_logreg_gate_recovers_separable_direction(spark):
     assert out["n_rows"] == 400 and out["n_features"] == 4
     assert out["auc_ok"] == 1        # separable by construction -> recovered
     assert out["runs_identical"] == 1  # LBFGS deterministic in-session
+
+
+def test_naive_bayes_disjoint_vocab_is_diagonal(spark):
+    """m8: labels with disjoint training vocabularies classify their own
+    test docs perfectly; an empty-vocab test doc falls back to the prior
+    argmax (most-frequent label, ties by label asc)."""
+    from youtubeanalyzerproject_big_data__spark.operators.classify import naive_bayes_confusion
+
+    train_rows = [
+        # 3 'aa' docs vs 2 'bb' docs -> prior argmax is 'aa'
+        (1, "apple avocado apricot", "aa"),
+        (2, "apple apple avocado", "aa"),
+        (3, "apricot avocado", "aa"),
+        (4, "banana blueberry", "bb"),
+        (5, "banana banana blueberry", "bb"),
+    ]
+    test_rows = [
+        (10, "apple apricot", "aa"),
+        (11, "blueberry banana banana", "bb"),
+        (12, "", "bb"),  # no tokens -> prior-only -> predicted 'aa'
+    ]
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string, lang string")
+    te = spark.createDataFrame(test_rows, "doc_id long, text string, lang string")
+    out = {(r["true_label"], r["pred_label"]): r["n_docs"]
+           for r in naive_bayes_confusion(tr, te, "doc_id", "text", "lang").collect()}
+    assert out == {("aa", "aa"): 1, ("bb", "bb"): 1, ("bb", "aa"): 1}

@@ -9,7 +9,7 @@ run to score documents against a curated seed set (e.g. the GPT-3/LLaMA
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -261,3 +261,103 @@ def pr_curve(
             "CASE WHEN 2 * tp + fp + fn = 0 THEN -1 ELSE (1000000 * 2 * tp) DIV (2 * tp + fp + fn) END"
         ).alias("f1_ppm"),
     ).orderBy("threshold")
+
+
+def naive_bayes_confusion(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Multinomial naive Bayes over whitespace tokens, trained on
+    ``train`` and evaluated on ``test`` as a confusion matrix -- the
+    classic generative text classifier (the third trained-model family
+    next to m4's LBFGS logreg and m5's decision stump), with EXACT
+    integer scoring so the argmax replays engine-identically.
+
+    Exactness: every log term quantizes to floor(ln(x) * 1e6) where x is
+    one IEEE double division of exact integers ((c+1)/(N_y+V) with
+    Laplace smoothing; D_y/D for priors) -- the t8/unigram_logprob
+    recipe, so per-(doc,label) scores are int64 sums and ties at the
+    argmax break deterministically by label ascending.
+
+    Scale shape: the model is (vocab x labels)-sized and BROADCAST; the
+    train side is two map-side-combined hash aggregates over (label,
+    token); the test side aggregates (doc, token) once, expands by the
+    label-count factor (a handful), and reduces back per doc.  No
+    data-sized collect (V and the label/prior table are model-sized);
+    the argmax window partitions by doc over label-count rows.  Returns
+    (true_label, pred_label, n_docs) ordered by both.
+    """
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import tokens
+
+    tr_tok = train.select(
+        F.col(label_col).alias("y"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf_tr = tr_tok.groupBy("y", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ny = tf_tr.groupBy("y").agg(F.sum("c").cast("long").alias("n"))
+    n_vocab = tf_tr.select("token").distinct().count()  # scalar, model-sized
+
+    d_tot = train.count()
+    prior = (
+        train.groupBy(F.col(label_col).alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .join(F.broadcast(ny), "y")
+        .select(
+            "y",
+            F.floor(F.log(F.col("d").cast("double") / F.lit(float(d_tot))) * 1e6)
+            .cast("long")
+            .alias("prior_micro"),
+            # a test token never seen with label y scores the smoothed zero-count mass
+            F.floor(F.log(F.lit(1.0) / (F.col("n") + F.lit(n_vocab)).cast("double")) * 1e6)
+            .cast("long")
+            .alias("default_micro"),
+        )
+    )
+    lp = (
+        tf_tr.join(F.broadcast(ny), "y")
+        .select(
+            "y",
+            "token",
+            F.floor(
+                F.log((F.col("c") + 1).cast("double") / (F.col("n") + F.lit(n_vocab)).cast("double")) * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+
+    te_tf = (
+        test.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tok_scores = (
+        te_tf.crossJoin(F.broadcast(prior.select("y", "default_micro")))
+        .join(F.broadcast(lp), ["y", "token"], "left")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("tf") * F.coalesce(F.col("lp_micro"), F.col("default_micro"))).cast("long").alias("s"))
+    )
+    base = (
+        test.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("true_label"))
+        .crossJoin(F.broadcast(prior.select("y", "prior_micro")))
+        .join(tok_scores, ["doc_id", "y"], "left")
+        .select(
+            "doc_id",
+            "true_label",
+            "y",
+            (F.col("prior_micro") + F.coalesce(F.col("s"), F.lit(0))).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("y"))
+    pred = base.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        pred.groupBy(F.col("true_label"), F.col("y").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_label", "pred_label")
+    )
