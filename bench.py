@@ -166,6 +166,12 @@ BENCH_QUERIES = [
     "e17_seasonal_backtest",
     "v4_csv_roundtrip",
     "v5_export_manifest",
+    # round 6, final batch
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "e18_acf_gate",
+    "v6_orc_roundtrip",
+    "m8_naive_bayes_confusion",
 ]
 
 

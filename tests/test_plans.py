@@ -814,3 +814,31 @@ def test_hits_loop_shape(spark):
     assert plan.count("CartesianProduct") == 0
     assert plan.count("BroadcastNestedLoopJoin") >= 4  # one per renorm, re-inlined
     assert plan.count("TakeOrderedAndProject") == 2  # never a global sort
+
+
+def test_q3_segment_filter_broadcasts_and_top10_is_takeordered(spark):
+    """tpch_q3: the BUILDING-segment customer keys broadcast into the
+    fact join; at most the lineitem-orders join sort-merges; the top-10
+    compiles to TakeOrderedAndProject, never a global sort."""
+    plan = _plan(entrymod.q_tpch_q3(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("SortMergeJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_single_fact_fact_shuffle(spark):
+    """tpch_q5: supplier/customer/nation/region chains broadcast; the
+    only join allowed to sort-merge is lineitem-orders."""
+    plan = _plan(entrymod.q_tpch_q5(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_m8_model_joins_broadcast_no_doc_sized_join(spark):
+    """m8: every join is a model-sized broadcast (prior cross, lp left);
+    the true label rides through the test aggregate, so NO doc-sized
+    join -- a SortMergeJoin anywhere means a corpus-vs-corpus shuffle
+    crept back in."""
+    plan = _plan(entrymod.q_m8(spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "SortMergeJoin" not in plan

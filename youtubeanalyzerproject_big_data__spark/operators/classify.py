@@ -284,11 +284,16 @@ def naive_bayes_confusion(
 
     Scale shape: the model is (vocab x labels)-sized and BROADCAST; the
     train side is two map-side-combined hash aggregates over (label,
-    token); the test side aggregates (doc, token) once, expands by the
-    label-count factor (a handful), and reduces back per doc.  No
-    data-sized collect (V and the label/prior table are model-sized);
-    the argmax window partitions by doc over label-count rows.  Returns
-    (true_label, pred_label, n_docs) ordered by both.
+    token); the test side aggregates (doc, token) once (the true label
+    rides through the aggregate -- functionally dependent on doc_id --
+    and every doc gets one tf=0 pad row so empty-text docs still reach
+    the argmax at their prior), expands by the label-count factor (a
+    handful), and reduces back per doc.  NO doc-sized join anywhere:
+    every join below the aggregates is a model-sized broadcast
+    (plan-gated).  No data-sized collect (V and the label/prior table
+    are model-sized); the argmax window partitions by doc over
+    label-count rows.  Returns (true_label, pred_label, n_docs) ordered
+    by both.
     """
     from youtubeanalyzerproject_big_data__spark.functions.textfns import tokens
 
@@ -329,29 +334,37 @@ def naive_bayes_confusion(
         )
     )
 
-    te_tf = (
-        test.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
-        )
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # true_label rides THROUGH the (doc, token) aggregate (it is functionally
+    # dependent on doc_id), and every doc gets one tf=0 pad row, so empty-text
+    # docs still reach the argmax -- and no doc-sized join ever materializes:
+    # the only joins below are model-sized broadcasts.
+    te_base = test.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("true_label"))
+    te_tok = test.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("true_label"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     )
-    tok_scores = (
-        te_tf.crossJoin(F.broadcast(prior.select("y", "default_micro")))
-        .join(F.broadcast(lp), ["y", "token"], "left")
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("tf") * F.coalesce(F.col("lp_micro"), F.col("default_micro"))).cast("long").alias("s"))
+    te_tf = (
+        te_tok.groupBy("doc_id", "true_label", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .unionByName(
+            te_base.select(
+                "doc_id", "true_label", F.lit("").alias("token"), F.lit(0).cast("long").alias("tf")
+            )
+        )
     )
     base = (
-        test.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("true_label"))
-        .crossJoin(F.broadcast(prior.select("y", "prior_micro")))
-        .join(tok_scores, ["doc_id", "y"], "left")
-        .select(
-            "doc_id",
-            "true_label",
-            "y",
-            (F.col("prior_micro") + F.coalesce(F.col("s"), F.lit(0))).alias("score_micro"),
+        te_tf.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(lp), ["y", "token"], "left")
+        .groupBy("doc_id", "true_label", "y")
+        .agg(
+            # prior_micro is constant within the (doc, y) group (one row per label)
+            (
+                F.min("prior_micro")
+                + F.sum(F.col("tf") * F.coalesce(F.col("lp_micro"), F.col("default_micro")))
+            )
+            .cast("long")
+            .alias("score_micro")
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("y"))

@@ -154,10 +154,15 @@ def acf_ppm(
     """
     spark = events.sparkSession
     hour = F.expr(f"unix_micros({ts_col}) div 3600000000")
+    # Materialize the calendar-bounded hour aggregate ONCE: three driver
+    # actions follow (bounds, denominator, lag numerators) and each would
+    # otherwise re-scan the corpus.  localCheckpoint pins ~1e5 rows and
+    # truncates lineage (eager so the single corpus scan happens here).
     hourly = (
         events.select(hour.alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=True)
     )
     b = hourly.agg(
         F.min("h").alias("h0"), F.max("h").alias("h1"), F.sum("x").cast("long").alias("s")
