@@ -213,6 +213,20 @@ def q_f9(spark: SparkSession, sf: str) -> DataFrame:
     return hash_sample(o, "o_orderkey", 0.10, seed="s1").select("o_orderkey", "o_totalprice")
 
 
+def q_f13(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k deterministic uniform sample (sampling.exact_k_sample):
+    the 50 orders with the lowest keyed-md5 rank -- the fixed-size
+    eval-set draw (f9's rate form gives only an EXPECTED size).  Compiles
+    to TakeOrderedAndProject: per-partition k-heaps, driver merges P*k
+    rows, no global sort."""
+    from youtubeanalyzerproject_big_data__spark.functions.sampling import exact_k_sample
+
+    o = load_table(spark, sf, "orders")
+    return exact_k_sample(o, "o_orderkey", 50, seed="f13").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 def q_f10(spark: SparkSession, sf: str) -> DataFrame:
     """Stratified deterministic sampling: rebalance strata (keep all URGENT,
     10% of LOW) -- the corpus-rebalancing step of training-data curation."""
@@ -4753,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_dynamic_search_count": q_f6,
         "f9_hash_sample": q_f9,
         "f10_stratified_sample": q_f10,
+        "f13_exact_k_sample": q_f13,
         "f12_group_examples": q_f12,
         "sk1_salted_event_stats": q_sk1,
         "sk2_salted_join_user_clicks": q_sk2,
@@ -5688,6 +5703,12 @@ def oracle_sql() -> dict[str, str]:
                    AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 1000000)
                OR (o_orderpriority = '5-LOW'
                    AND ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "s2")}) % 1000000 < 100000)
+        """,
+        # f13: same keyed-md5 rank, k-row cut; (hash, key) is a total order.
+        "f13_exact_k_sample": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "f13")}) ASC, o_orderkey ASC
+            LIMIT 50
         """,
         "f12_group_examples": f"""
             SELECT source, doc_id, CAST(rk AS BIGINT) AS sample_rank

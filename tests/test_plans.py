@@ -842,3 +842,11 @@ def test_m8_model_joins_broadcast_no_doc_sized_join(spark):
     plan = _plan(entrymod.q_m8(spark, SF))
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_f13_exact_k_is_takeordered_not_global_sort(spark):
+    """f13: ORDER BY hash LIMIT k must compile to TakeOrderedAndProject
+    (per-partition k-heaps); a global Sort would shuffle the corpus."""
+    plan = _plan(entrymod.q_f13(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "+- Sort " not in plan

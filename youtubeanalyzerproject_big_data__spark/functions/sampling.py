@@ -408,3 +408,20 @@ def target_mix_sample(
     rate_df = spark.createDataFrame(rates, f"{stratum_col} string, rate_ppm long")
     h = F.pmod(md5_int32(F.col(key_col).cast("string"), seed=seed), F.lit(denominator))
     return df.join(F.broadcast(rate_df), stratum_col).where(h < F.col("rate_ppm"))
+
+
+def exact_k_sample(df: DataFrame, key_col: str, k: int, seed: int | str = 0) -> DataFrame:
+    """EXACT-k deterministic uniform sample: the k rows whose keyed md5
+    rank lowest -- the fixed-size eval-set / human-review draw (where
+    hash_sample's rate form gives only an EXPECTED size).
+
+    Ranking by a pure key hash makes the chosen SET a function of
+    (keys, seed) alone -- stable under repartition, re-run, engine, and
+    insertion order -- and uniform because md5 is equidistributed over
+    keys.  ORDER BY hash LIMIT k compiles to TakeOrderedAndProject:
+    each partition keeps a k-sized heap and the driver merges P*k rows,
+    so there is NO global sort and no corpus shuffle at any scale.
+    (key ascending breaks the measure-zero hash-collision tie.)
+    """
+    h = md5_int32(F.col(key_col).cast("string"), seed=seed)
+    return df.orderBy(h.asc(), F.col(key_col).asc()).limit(k)
