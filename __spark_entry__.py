@@ -213,6 +213,65 @@ def q_f9(spark: SparkSession, sf: str) -> DataFrame:
     return hash_sample(o, "o_orderkey", 0.10, seed="s1").select("o_orderkey", "o_totalprice")
 
 
+def q_c15(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END curation pipeline in one DAG: Gopher rule filter (c10's
+    bits) -> exact dedup keep-min (d1's canonical digest) -> integer
+    token-count tiers -> leakage-safe train/val/test split keyed on the
+    CONTENT digest (c11's insight: a dup group can never straddle splits
+    because its members share the digest).  Emits the per-(split, tier)
+    manifest: doc count, absorbed-duplicate mass, kept token mass, and an
+    order-invariant XOR-md5 fingerprint of the kept ids -- what a
+    training-data handoff actually ships.
+
+    Scale shape: rule bits + digest are one map-side projection (codegen);
+    the ONLY corpus shuffle is the digest groupBy (map-side combined);
+    tiers/split/fingerprint are map-side on the winner set; the output is
+    split x tier sized.  Every stage is exact-integer or md5-derived, so
+    the whole pipeline replays hash-identically in the oracle."""
+    from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize
+    from youtubeanalyzerproject_big_data__spark.operators.textanalysis import gopher_rule_bits
+
+    docs = load_table(spark, sf, "documents")
+    bits = gopher_rule_bits(F.col("text"))
+    kept = docs.where(bits["keep"]).select(
+        "doc_id",
+        bits["n_tok"].alias("n_tok"),
+        F.md5(normalize(F.col("text"))).alias("digest"),
+    )
+    winners = kept.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        # token count is a function of the normalized text, hence of the digest
+        F.min("n_tok").alias("n_tok"),
+    )
+    tier = (
+        F.when(F.col("n_tok") < 50, "short")
+        .when(F.col("n_tok") < 200, "medium")
+        .otherwise("long")
+    )
+    split_bucket = F.pmod(md5_int32(F.col("digest"), seed="c15"), F.lit(10))
+    split = (
+        F.when(split_bucket < 8, "train").when(split_bucket == 8, "val").otherwise("test")
+    )
+    return (
+        winners.select(
+            split.alias("split"),
+            tier.alias("tier"),
+            "n_dups",
+            "n_tok",
+            md5_int32(F.col("doc_id").cast("string"), seed="c15fp").alias("fp"),
+        )
+        .groupBy("split", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_dups").cast("long").alias("n_docs_with_dups"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.bit_xor("fp").cast("long").alias("fp_ids"),
+        )
+        .orderBy("split", "tier")
+    )
+
+
 def q_f13(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-k deterministic uniform sample (sampling.exact_k_sample):
     the 50 orders with the lowest keyed-md5 rank -- the fixed-size
@@ -4959,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_leakage_safe_split": q_c11,
         "c12_target_mix": q_c12,
         "c14_contamination_report": q_c14,
+        "c15_pipeline_e2e": q_c15,
         "dq1_constraint_audit": q_dq1,
         "dq2_psi_drift": q_dq2,
         "dq3_fact_reconciliation": q_dq3,
@@ -8272,6 +8332,59 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
               CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_dup THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
             FROM b GROUP BY source ORDER BY source
+        """,
+        # c15: the c10 rule bits, d1 canonical digest, integer tiers, and
+        # the digest-keyed split composed as nested CTEs -- one pipeline,
+        # one hash-exact manifest.
+        "c15_pipeline_e2e": rf"""
+            WITH s AS (
+              SELECT doc_id, text,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
+                lower(text) AS low
+              FROM documents),
+            r AS (
+              SELECT doc_id, text,
+                CAST(len(w) AS BIGINT) AS n_tok,
+                CAST(len(list_distinct(w)) AS BIGINT) AS n_dis,
+                CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_tok,
+                n_nonspace,
+                (CASE WHEN regexp_matches(low, '\bthe\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(low, '\band\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(low, '\bof\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(low, '\bto\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(low, '\ba\b') THEN 1 ELSE 0 END) AS n_stop
+              FROM s),
+            kept AS (
+              SELECT doc_id, n_tok,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+              FROM r
+              WHERE (n_tok >= 20 AND n_tok <= 100000)
+                AND (2 * n_tok <= n_nonspace AND n_nonspace <= 5 * n_tok)
+                AND (10 * n_alpha_tok >= 7 * n_tok)
+                AND (n_stop >= 2)
+                AND (10 * (n_tok - n_dis) <= 6 * n_tok)),
+            winners AS (
+              SELECT digest, MIN(doc_id) AS doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_dups,
+                     MIN(n_tok) AS n_tok
+              FROM kept GROUP BY digest),
+            staged AS (
+              SELECT CASE WHEN ({md5_int32_sql("digest", "c15")}) % 10 < 8 THEN 'train'
+                          WHEN ({md5_int32_sql("digest", "c15")}) % 10 = 8 THEN 'val'
+                          ELSE 'test' END AS split,
+                     CASE WHEN n_tok < 50 THEN 'short'
+                          WHEN n_tok < 200 THEN 'medium'
+                          ELSE 'long' END AS tier,
+                     n_dups, n_tok,
+                     ({md5_int32_sql("CAST(doc_id AS VARCHAR)", "c15fp")}) AS fp
+              FROM winners)
+            SELECT split, tier,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_dups) AS BIGINT) AS n_docs_with_dups,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(bit_xor(fp) AS BIGINT) AS fp_ids
+            FROM staged GROUP BY split, tier ORDER BY split, tier
         """,
         "t17_zipf_fit": r"""
             WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token

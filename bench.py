@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "e18_acf_gate",
     "v6_orc_roundtrip",
     "m8_naive_bayes_confusion",
+    "c15_pipeline_e2e",
 ]
 
 

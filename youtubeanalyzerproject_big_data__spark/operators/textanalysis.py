@@ -891,6 +891,38 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
 # Gopher/C4-style hard rule filter (c10) and readability profile (t18)
 # ---------------------------------------------------------------------------
 
+def gopher_rule_bits(t: Column) -> dict[str, Column]:
+    """The five Gopher/C4 hard-filter rule bits for one text column (all
+    integer cross-multiplication comparisons -- engine-bit-identical; see
+    rule_filter_stats for the rule definitions).  Shared by the c10
+    funnel report and the c15 end-to-end pipeline's keep predicate.
+    Keys: n_tok, r_wc, r_mwl, r_alpha, r_stop, r_dup, keep."""
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("long")
+    n_nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    n_alpha_tok = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    low = F.lower(t)
+    n_stop_distinct = sum(
+        F.when(low.rlike(r"\b" + w + r"\b"), F.lit(1)).otherwise(F.lit(0))
+        for w in LANG_MARKERS["en"]
+    ).cast("long")
+    r_wc = (n_tok >= 20) & (n_tok <= 100_000)
+    r_mwl = (2 * n_tok <= n_nonspace) & (n_nonspace <= 5 * n_tok)
+    r_alpha = 10 * n_alpha_tok >= 7 * n_tok
+    r_stop = n_stop_distinct >= 2
+    r_dup = 10 * (n_tok - n_distinct) <= 6 * n_tok
+    return {
+        "n_tok": n_tok,
+        "r_wc": r_wc,
+        "r_mwl": r_mwl,
+        "r_alpha": r_alpha,
+        "r_stop": r_stop,
+        "r_dup": r_dup,
+        "keep": r_wc & r_mwl & r_alpha & r_stop & r_dup,
+    }
+
+
 def rule_filter_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
     """Hard rule-based document filter, Gopher/C4 style (Rae et al. 2021
     par.A1.1; Raffel et al. 2020 par.2.2): each document is screened by
@@ -921,23 +953,12 @@ def rule_filter_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame
 
     Returns per group: n_docs, fail counts per rule, n_kept, kept tokens.
     """
-    t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = F.size(toks).cast("long")
-    n_nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
-    n_alpha_tok = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
-    n_distinct = F.size(F.array_distinct(toks)).cast("long")
-    low = F.lower(t)
-    n_stop_distinct = sum(
-        F.when(low.rlike(r"\b" + w + r"\b"), F.lit(1)).otherwise(F.lit(0))
-        for w in LANG_MARKERS["en"]
-    ).cast("long")
-    r_wc = (n_tok >= 20) & (n_tok <= 100_000)
-    r_mwl = (2 * n_tok <= n_nonspace) & (n_nonspace <= 5 * n_tok)
-    r_alpha = 10 * n_alpha_tok >= 7 * n_tok
-    r_stop = n_stop_distinct >= 2
-    r_dup = 10 * (n_tok - n_distinct) <= 6 * n_tok
-    keep = r_wc & r_mwl & r_alpha & r_stop & r_dup
+    bits = gopher_rule_bits(F.col(text_col))
+    n_tok = bits["n_tok"]
+    r_wc, r_mwl, r_alpha, r_stop, r_dup = (
+        bits["r_wc"], bits["r_mwl"], bits["r_alpha"], bits["r_stop"], bits["r_dup"]
+    )
+    keep = bits["keep"]
     base = df.select(
         F.col(group_col).alias("grp"),
         n_tok.alias("n_tok"),
