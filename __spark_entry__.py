@@ -2095,6 +2095,35 @@ def q_se11(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("n_events").cast("long").alias("n_events")).orderBy("user_id")
 
 
+def q_se12(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark closure
+    (stream_interval_join how='left_outer'): se3's inner pairs PLUS one
+    null-side row per error that provably got no click -- and 'provably'
+    is the gated semantics: an outer row may emit only once the watermark
+    passes the error's window end.  Probed empirically (sf0.001): the
+    availableNow drain runs a final no-data batch, and the emitted outer
+    set is exactly {unmatched errors: err_ts + window <= final_wm} with
+    final_wm = least(max err ts, max click ts) - delay -- the PER-INPUT
+    watermark minimum (multipleWatermarkPolicy=min), which the oracle
+    replays in SQL.  -1 sentinels on the null side (no NULLs in outputs)."""
+    _utc(spark)
+    out = _drive_stream(
+        spark,
+        load_events(spark, sf),
+        lambda src: ev.stream_interval_join(spark, src, max_files_per_trigger=1, how="left_outer"),
+        "append",
+        "se12_",
+        n_files=3,
+        order_col="ts",
+    )
+    return out.select(
+        "err_id",
+        "err_user",
+        F.coalesce(F.col("clk_id"), F.lit(-1)).cast("long").alias("clk_id"),
+        F.coalesce(F.unix_micros("clk_ts"), F.lit(-1)).cast("long").alias("clk_us"),
+    ).orderBy("err_id", "clk_id")
+
+
 def q_se6(spark: SparkSession, sf: str) -> DataFrame:
     """Bounded-state streaming dedup (stream_dedup_with_ttl), gate-checked:
     the production TTL form of se4 -- digest state expires ttl_seconds of
@@ -4860,6 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se4_stream_dedup_first_seen": q_se4,
         "se5_stream_user_totals": q_se5,
         "se11_stream_restart_recovery": q_se11,
+        "se12_stream_interval_outer": q_se12,
         "se6_stream_dedup_ttl": q_se6,
         "se7_stream_heavy_hitters": q_se7,
         "em1_label_centroids": q_em1,
@@ -6102,6 +6132,35 @@ def oracle_sql() -> dict[str, str]:
         "se5_stream_user_totals": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id
+        """,
+        # se12: inner pairs replay as a plain batch join; outer rows
+        # replay the watermark-closure protocol -- unmatched AND window
+        # end <= final_wm, final_wm = least(per-input max ts) - 10 min
+        # (multipleWatermarkPolicy=min), empirically probed.
+        "se12_stream_interval_outer": """
+            WITH err AS (SELECT event_id AS err_id, user_id AS err_user,
+                                (epoch_ns(ts) // 1000) AS err_us
+                         FROM events WHERE event_type = 'error'),
+            clk AS (SELECT event_id AS clk_id, user_id AS clk_user,
+                           (epoch_ns(ts) // 1000) AS clk_us
+                    FROM events WHERE event_type = 'click'),
+            wm AS (SELECT LEAST((SELECT MAX(err_us) FROM err),
+                                (SELECT MAX(clk_us) FROM clk)) - 600000000 AS wm_us),
+            matched AS (
+              SELECT e.err_id, e.err_user, c.clk_id, c.clk_us
+              FROM err e JOIN clk c ON c.clk_user = e.err_user
+                AND c.clk_us >= e.err_us
+                AND c.clk_us < e.err_us + 300000000),
+            outer_rows AS (
+              SELECT e.err_id, e.err_user,
+                     CAST(-1 AS BIGINT) AS clk_id, CAST(-1 AS BIGINT) AS clk_us
+              FROM err e, wm
+              WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.err_id = e.err_id)
+                AND e.err_us + 300000000 <= wm.wm_us)
+            SELECT err_id, err_user, clk_id, clk_us FROM matched
+            UNION ALL
+            SELECT err_id, err_user, clk_id, clk_us FROM outer_rows
+            ORDER BY err_id, clk_id
         """,
         # se11: the restarted stream's final totals must equal the batch
         # count over ALL events -- state-store recovery undercounts and

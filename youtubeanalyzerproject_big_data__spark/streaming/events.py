@@ -344,6 +344,7 @@ def stream_interval_join(
     source_dir: str,
     window_seconds: int = 300,
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: error events paired with the same
     user's click events in the following ``window_seconds`` -- the
@@ -356,8 +357,11 @@ def stream_interval_join(
     passes its timestamp.  An unbounded-condition stream-stream join would
     grow state forever -- the scale-defining difference.
 
-    Inner join => rows emit eagerly per micro-batch (only outer joins hold
-    results back for watermark closure).
+    Inner join => rows emit eagerly per micro-batch.  ``how='left_outer'``
+    adds the UNMATCHED errors with a null click side -- and those rows are
+    held back until the watermark passes the error's window end (only then
+    can the engine prove no click will arrive), the state-closure semantics
+    driver query se12 pins against a protocol-replaying oracle.
     """
     stream = _read_stream(spark, source_dir, max_files_per_trigger)
     errors = (
@@ -384,7 +388,7 @@ def stream_interval_join(
         & (F.col("clk_ts") >= F.col("err_ts"))
         & (F.col("clk_ts") < bound)
     )
-    return errors.join(clicks, cond, "inner").select("err_id", "err_user", "clk_id", "clk_ts")
+    return errors.join(clicks, cond, how).select("err_id", "err_user", "clk_id", "clk_ts")
 
 
 def funnel_steps(
