@@ -492,3 +492,43 @@ def test_kmv_merge_is_batch_boundary_invariant():
     # the KMV estimate is within a reasonable band of the true count (300)
     est = (k - 1) * 4294967296 // one[-1]
     assert 150 <= est <= 600, est
+
+
+def test_stream_interval_outer_join_holds_back_unprovable_rows(spark, tmp_path_factory):
+    """se12: an unmatched error emits its null-side row ONLY when the
+    final watermark passes its window end; an unmatched error too close
+    to the stream's end is held back (the engine cannot prove no click
+    will arrive)."""
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_interval_join
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # u1: err@0 matched by click@1
+        (0, base + dt.timedelta(minutes=0), 1, "error", 0.0),
+        (1, base + dt.timedelta(minutes=1), 1, "click", 0.0),
+        # u2: err@0 unmatched, window ends @5 -- provable once wm >= 5min
+        (2, base + dt.timedelta(minutes=0), 2, "error", 0.0),
+        # u3: err@55 unmatched, window ends @60 > final wm -> HELD BACK
+        (3, base + dt.timedelta(minutes=55), 3, "error", 0.0),
+        # late anchors (distinct users, so they can't match each other):
+        # push both max-ts sides to @60 -> wm = @50
+        (4, base + dt.timedelta(minutes=60), 9, "click", 0.0),
+        (5, base + dt.timedelta(minutes=60), 8, "error", 0.0),
+    ]
+    path = str(tmp_path_factory.mktemp("ij_outer_src"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    q = (
+        stream_interval_join(spark, path, 300, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("ij_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["err_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM ij_outer_test").collect()}
+    # matched pair emits; err 2's outer row emits (window end 5min <= wm 50min);
+    # err 3 (end 60min) and err 5 (end 65min) are held back past the watermark
+    assert got == {(0, 1), (2, None)}
