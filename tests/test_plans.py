@@ -850,3 +850,15 @@ def test_f13_exact_k_is_takeordered_not_global_sort(spark):
     plan = _plan(entrymod.q_f13(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "+- Sort " not in plan
+
+
+def test_c15_pipeline_single_scan_single_corpus_shuffle(spark):
+    """c15: the end-to-end pipeline reads documents ONCE and shuffles
+    corpus rows only at the digest groupBy (the second exchange carries
+    the map-side-combined split x tier partials, a handful of rows per
+    partition); no join anywhere."""
+    plan = _plan(entrymod.q_c15(spark, SF))
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
