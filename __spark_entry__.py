@@ -1416,8 +1416,15 @@ def q_d3(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_d4(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs, hamming <= 3, pigeonhole-blocked."""
-    return dedup.simhash_pairs(load_table(spark, sf, "documents"), "doc_id", "text", bits=32, max_hamming=3)
+    """SimHash(60-bit) near-dup pairs, hamming <= 3, pigeonhole-blocked.
+    60-bit signatures give 15-bit chunks (32768 bucket values): the
+    32-bit/8-bit-chunk form went QUADRATIC at the sf1 replay (every
+    bucket ~2000 docs -> 2*10^9 candidate pairs -> driver OOM); chunk
+    space must scale with the corpus, max_bucket caps the rest."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf, "documents"), "doc_id", "text", bits=60, max_hamming=3,
+        max_bucket=dedup.DEFAULT_MAX_BUCKET,
+    )
 
 
 def q_d5(spark: SparkSession, sf: str) -> DataFrame:
@@ -5639,10 +5646,20 @@ WHERE j.jaccard >= {threshold}
 """
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3, max_bucket: int | None = None) -> str:
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
+    if bits <= 32:
+        th_expr = f"{md5_int32_sql('t', 'simhash')}"
+    else:
+        # two lanes of one digest: (lane0 & 2^(bits-32)-1) * 2^32 + lane1
+        # (twin of simhash_signatures' wide path; always positive)
+        th_expr = (
+            f"(({md5_int32_lane_sql('t', 'simhash', 0)}) % {1 << (bits - 32)}) * 4294967296"
+            f" + ({md5_int32_lane_sql('t', 'simhash', 1)})"
+        )
+    cap = "" if max_bucket is None else f"HAVING COUNT(*) <= {max_bucket}"
     return rf"""
 WITH tok AS (
   SELECT DISTINCT doc_id, t FROM (
@@ -5650,7 +5667,7 @@ WITH tok AS (
     FROM documents
   )
 ),
-th AS (SELECT doc_id, {md5_int32_sql('t', 'simhash')} AS h FROM tok),
+th AS (SELECT doc_id, {th_expr} AS h FROM tok),
 bits_t AS (SELECT doc_id, unnest(generate_series(0, {bits - 1})) AS bit, h FROM th),
 votes AS (
   SELECT doc_id, bit, CAST(SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
@@ -5662,9 +5679,12 @@ sig AS (
 ),
 blk AS (SELECT doc_id, simhash, unnest(generate_series(0, {chunks - 1})) AS chunk FROM sig),
 blk2 AS (SELECT doc_id, simhash, chunk, (simhash >> (chunk * {chunk_bits})) & {mask} AS cval FROM blk),
+okb AS (SELECT chunk, cval FROM blk2 GROUP BY chunk, cval {cap}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2, a.simhash AS s1, b.simhash AS s2
-  FROM blk2 a JOIN blk2 b ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+  FROM blk2 a
+  JOIN okb USING (chunk, cval)
+  JOIN blk2 b ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
 )
 SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(s1, s2)) <= {max_hamming}
@@ -7995,7 +8015,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(COALESCE(LEAST(c.doc_id, c.mn), d.doc_id) AS BIGINT) AS cluster_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
-        "d4_simhash_pairs": _simhash_oracle(32, 3),
+        "d4_simhash_pairs": _simhash_oracle(60, 3, max_bucket=dedup.DEFAULT_MAX_BUCKET),
         # Cross-corpus: same shingle machinery, sides split by source and
         # only cross-side pairs counted.
         "d8_cross_corpus_dups": f"""

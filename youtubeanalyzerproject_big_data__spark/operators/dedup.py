@@ -281,6 +281,16 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     One token explode, then a SINGLE groupBy(doc_id) carrying ``bits``
     conditional-sum aggregates -- no (token x bit) row blow-up; the vote
     matrix lives in agg buffers, map-side combined, one narrow shuffle.
+
+    ``bits`` > 32 (up to 60) draws token bits from TWO md5 lanes of one
+    digest ((lane0 & 2^(bits-32)-1) * 2^32 + lane1 -- always positive, so
+    shifts are sign-safe in both engines).  Width is the pigeonhole
+    blocker's scale knob: simhash_pairs blocks on bits/(h+1)-bit chunks,
+    and candidate volume is ~n^2 * (h+1) / 2^chunk_bits, so the chunk
+    space must scale with the corpus (32-bit sigs = 8-bit chunks = 256
+    buckets went quadratic at 500k docs -- the sf1 OOM that motivated
+    this; 60-bit sigs carry ~10^6 docs, 100 TB wants 128-bit/32-bit
+    chunks).
     """
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
@@ -290,7 +300,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
         .select("doc_id", F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("_text"))), r"\s+"))).alias("token"))
         .where(F.col("token") != "")
     )
-    hashed = toks.select("doc_id", md5_int32(F.col("token"), seed="simhash").alias("th"))
+    if bits <= 32:
+        th = md5_int32(F.col("token"), seed="simhash")
+    else:
+        if bits > 60:
+            raise ValueError("simhash bits > 60 needs a wider-than-int64 signature")
+        lanes = md5_int32_lanes(F.col("token"), seed="simhash", lanes=2)
+        th = (lanes[0].bitwiseAND(F.lit((1 << (bits - 32)) - 1)) * F.lit(1 << 32) + lanes[1]).cast("long")
+    hashed = toks.select("doc_id", th.alias("th"))
     votes = [
         F.sum(F.when(F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
         for b in range(bits)
@@ -302,13 +319,26 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     return hashed.groupBy("doc_id").agg(*votes).select("doc_id", sig.cast("long").alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
     Pigeonhole blocking: split the signature into (max_hamming+1) chunks;
     any pair within distance max_hamming shares at least one exact chunk, so
     candidates come from groupBy on (chunk_idx, chunk_value) -- no O(n^2).
     Returns (doc1, doc2, hamming).
+
+    Scale: size ``bits`` so the per-chunk value space exceeds the corpus
+    (see simhash_signatures -- candidate volume is quadratic in bucket
+    occupancy), with ``max_bucket`` as the degenerate-bucket backstop
+    (drop semantics, the d3/_pairs_from_groups convention, mirrored in
+    the oracle).
     """
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
@@ -335,6 +365,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32, max
     groups = (
         blocked.groupBy("chunk", "cval").agg(F.sort_array(F.collect_set("ds_elem")).alias("ds")).where(F.size("ds") >= 2)
     )
+    if max_bucket is not None:
+        groups = groups.where(F.size("ds") <= max_bucket)
     xor = F.col("s1").bitwiseXOR(F.col("s2"))
     return (
         groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
