@@ -2087,19 +2087,29 @@ def q_se11(spark: SparkSession, sf: str) -> DataFrame:
         n_b = ev.run_stream_to_parquet(
             ev.stream_user_totals(spark, src, max_files_per_trigger=1), sink, ckpt, "update"
         )
+        if n_a != 2 or n_b != 2:
+            raise RuntimeError(
+                f"restart gate expected 2+2 micro-batches (phase B re-reading phase A's "
+                f"files would break exactly-once), got {n_a}+{n_b}"
+            )
+        # Materialize the bounded result (user-cardinality rows) BEFORE the
+        # tmp dirs go away: the dirs hold two full parquet copies of events
+        # and must not leak across repeated verify runs (the v6 pattern).
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("user_id")
+            .agg(F.max("n_events").cast("long").alias("n_events"))
+            .orderBy("user_id")
+        )
+        rows, schema = out.collect(), out.schema
     finally:
         if ck_prev is None:
             spark.conf.unset(ck_key)
         else:
             spark.conf.set(ck_key, ck_prev)
-    if n_a != 2 or n_b != 2:
-        raise RuntimeError(
-            f"restart gate expected 2+2 micro-batches (phase B re-reading phase A's "
-            f"files would break exactly-once), got {n_a}+{n_b}"
-        )
+        shutil.rmtree(base, ignore_errors=True)
     print(f"[stream se11] {n_a}+{n_b} micro-batches across restart", file=sys.stderr)
-    out = spark.read.parquet(sink)
-    return out.groupBy("user_id").agg(F.max("n_events").cast("long").alias("n_events")).orderBy("user_id")
+    return spark.createDataFrame(rows, schema)
 
 
 def q_se12(spark: SparkSession, sf: str) -> DataFrame:

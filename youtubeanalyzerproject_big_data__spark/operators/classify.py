@@ -269,6 +269,7 @@ def naive_bayes_confusion(
     id_col: str,
     text_col: str,
     label_col: str,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Multinomial naive Bayes over whitespace tokens, trained on
     ``train`` and evaluated on ``test`` as a confusion matrix -- the
@@ -280,7 +281,15 @@ def naive_bayes_confusion(
     one IEEE double division of exact integers ((c+1)/(N_y+V) with
     Laplace smoothing; D_y/D for priors) -- the t8/unigram_logprob
     recipe, so per-(doc,label) scores are int64 sums and ties at the
-    argmax break deterministically by label ascending.
+    argmax break deterministically by label ascending.  Residual ulp
+    risk, documented: the recipe assumes JVM Math.log and the oracle
+    engine's libm log agree bit-for-bit on these quotients; neither is
+    guaranteed correctly rounded, so a 1-ulp divergence landing exactly
+    on a 1e-6 floor boundary could flip one score micro-unit (and an
+    argmax only if that flips a tie).  Green at every tested scale
+    (sf0.001-sf1); if a scale replay ever diverges here, derive the log
+    terms from a shared integer-only approximation (fixed-point atanh
+    series) instead of libm.
 
     Scale shape: the model is (vocab x labels)-sized and BROADCAST; the
     train side is two map-side-combined hash aggregates over (label,
@@ -302,13 +311,25 @@ def naive_bayes_confusion(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     )
     tf_tr = tr_tok.groupBy("y", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Materialize the (label, token) aggregate ONCE: ny, n_vocab, the
+    # per-label doc counts, and lp each take an action over it, and without
+    # the pin every action re-scans and re-explodes the training corpus.
+    # Model-sized (vocab x labels rows), released before return.
+    if checkpoint:
+        tf_tr = tf_tr.localCheckpoint(eager=True)
     ny = tf_tr.groupBy("y").agg(F.sum("c").cast("long").alias("n"))
     n_vocab = tf_tr.select("token").distinct().count()  # scalar, model-sized
 
-    d_tot = train.count()
+    # Per-label doc counts from one pass over (doc_id, label) -- train.count()
+    # folds into the same aggregate via a grand-total sum (one scan, not two).
+    d_by_y = train.groupBy(F.col(label_col).alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    if checkpoint:
+        d_by_y = d_by_y.localCheckpoint(eager=True)  # label-cardinality rows
+    d_tot = sum(int(r["d"]) for r in d_by_y.select("d").collect())
     prior = (
-        train.groupBy(F.col(label_col).alias("y"))
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        d_by_y
         .join(F.broadcast(ny), "y")
         .select(
             "y",
@@ -369,8 +390,15 @@ def naive_bayes_confusion(
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("y"))
     pred = base.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
-    return (
+    out = (
         pred.groupBy(F.col("true_label"), F.col("y").alias("pred_label"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_label", "pred_label")
     )
+    if checkpoint:
+        # Pin the bounded result (labels^2 rows), then release the pinned
+        # intermediates -- the repo's release-before-return convention.
+        out = out.localCheckpoint(eager=True)
+        tf_tr.unpersist()
+        d_by_y.unpersist()
+    return out

@@ -191,6 +191,9 @@ def acf_ppm(
         )
         .collect()
     )
+    # Release the pinned hour aggregate: the result below is driver-built
+    # (model-sized rows), so nothing downstream needs the checkpoint.
+    hourly.unpersist()
     rows = []
     for r in nums:
         num = int(r["num"])
