@@ -1919,6 +1919,16 @@ def _drive_stream(
         raise RuntimeError(f"expected a multi-batch drain, got {n_batches} batch(es) (src={src})")
     # stderr: stdout stays reserved for the driver's contract output
     print(f"[stream {prefix.rstrip('_')}] {n_batches} micro-batches", file=sys.stderr)
+    # The src dir holds a full parquet copy of the events table and is dead
+    # once the drain finishes -- drop it NOW so repeated verify runs don't
+    # accumulate events-sized garbage (the se11 leak, same class).  The
+    # sink must outlive this call (the return is a lazy scan over it), so
+    # it and the checkpoint go at process exit instead.
+    import atexit
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     return spark.read.parquet(sink)
 
 

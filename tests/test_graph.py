@@ -335,6 +335,40 @@ def test_prepared_weighted_edges_shared_across_rank_variants(spark):
     del expected
 
 
+def test_prepared_edges_memo_bounded_across_sf_switches(spark):
+    """Memo lifecycle audit (VERDICT r6 item 8): the one sanctioned
+    long-lived cache must stay BOUNDED across a multi-sf verify sweep --
+    switching sf dirs evicts AND unpersists the previous graph's handles,
+    so a sf0.01+sf0.1+sf1 run never holds three graphs of cached edges.
+    Within one sf, both kinds (fwd + cyclic) may be live: that cap is 2."""
+    import __spark_entry__ as entrymod
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    # clean slate for this session (other tests may have populated the memo)
+    for k in list(entrymod._PAGERANK_EDGE_HANDLES):
+        entrymod._PAGERANK_EDGE_HANDLES.pop(k).unpersist()
+
+    ha_f = entrymod._prepared_pagerank_edges(spark, sf_a, "fwd")
+    ha_c = entrymod._prepared_pagerank_edges(spark, sf_a, "cyclic")
+    assert len(entrymod._PAGERANK_EDGE_HANDLES) == 2
+    lvl = ha_f.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+
+    hb_c = entrymod._prepared_pagerank_edges(spark, sf_b, "cyclic")
+    # the sf switch evicted BOTH sf_a handles and released their cache
+    assert len(entrymod._PAGERANK_EDGE_HANDLES) == 1
+    for stale in (ha_f, ha_c):
+        lvl = stale.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), "stale sf handle still cached"
+    lvl = hb_c.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    # keys carry the applicationId, so a different session could never hit
+    (app, sf, kind), = entrymod._PAGERANK_EDGE_HANDLES
+    assert app == spark.sparkContext.applicationId and sf == sf_b and kind == "cyclic"
+    # leave the memo empty for whoever runs next
+    entrymod._PAGERANK_EDGE_HANDLES.pop((app, sf, kind)).unpersist()
+
+
 def test_copurchase_cap_drops_degenerate_group(spark):
     """g12: a group over max_group_size contributes NOTHING (the whole
     point -- its g*(g-1)/2 pairs would run in one task); within-cap groups

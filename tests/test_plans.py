@@ -838,8 +838,24 @@ def test_m8_model_joins_broadcast_no_doc_sized_join(spark):
     """m8: every join is a model-sized broadcast (prior cross, lp left);
     the true label rides through the test aggregate, so NO doc-sized
     join -- a SortMergeJoin anywhere means a corpus-vs-corpus shuffle
-    crept back in."""
-    plan = _plan(entrymod.q_m8(spark, SF))
+    crept back in.  checkpoint=False exposes the live plan (the operator
+    pins its train aggregate + result when checkpointing, which truncates
+    the lineage the assertions need to see)."""
+    from pyspark.sql import functions as F
+
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators import classify as classify_ops
+
+    docs = load_table(spark, SF, "documents")
+    out = classify_ops.naive_bayes_confusion(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        "lang",
+        checkpoint=False,
+    )
+    plan = _plan(out)
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
     assert "SortMergeJoin" not in plan
 

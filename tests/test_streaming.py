@@ -532,3 +532,164 @@ def test_stream_interval_outer_join_holds_back_unprovable_rows(spark, tmp_path_f
     # matched pair emits; err 2's outer row emits (window end 5min <= wm 50min);
     # err 3 (end 60min) and err 5 (end 65min) are held back past the watermark
     assert got == {(0, 1), (2, None)}
+
+
+# --- state-store row-count bounds, machine-checked from query progress ---
+#
+# The bounded-state claims (TTL-window keys for se6, n_shards rows for se7,
+# group rows for se8) are proven semantically elsewhere; these gates read the
+# ACTUAL state-store row counts from StreamingQueryProgress.stateOperators so
+# "the algorithm bounds state" becomes "the implementation does" -- the claim
+# a 100 TB deploy needs pinned.  Run under both providers: HDFS (in-memory
+# map) and RocksDB (the spill-to-SSD one that makes the bound matter).
+
+
+def _state_rows_per_batch(q) -> list[int]:
+    """Total state-store rows after each micro-batch that reports state."""
+    import json as _json
+
+    out = []
+    for p in q.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        ops = d.get("stateOperators") or []
+        if ops:
+            out.append(sum(int(o.get("numRowsTotal", 0)) for o in ops))
+    return out
+
+
+@pytest.mark.parametrize("state_store_provider", ["hdfs", "rocksdb"], indirect=True)
+def test_ttl_dedup_state_rows_bounded_by_live_window(spark, tmp_path_factory, state_store_provider):
+    """se6's bound: state rows == digests whose TTL window is still open,
+    NOT digests-ever-seen.  After the watermark passes the early keys'
+    timeouts the store must shrink below the distinct-digest total."""
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_dedup_with_ttl
+
+    src = str(tmp_path_factory.mktemp("ttl_state_rows"))
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1 (pre-staged so readStream can infer the schema): five digests at t0
+    spark.createDataFrame(
+        [(i, f"text number {i}", t0) for i in range(5)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        stream_dedup_with_ttl(spark, src, ttl_seconds=60)
+        .writeStream.format("memory")
+        .queryName("ttl_state_rows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: advance event time far past every key's t0+60 timeout
+        spark.createDataFrame(
+            [(10, "late arrival", t0 + dt.timedelta(seconds=600))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: watermark (600s) now exceeds the five t0 keys' timeouts;
+        # EventTimeTimeout fires this batch and removes them.
+        spark.createDataFrame(
+            [(11, "after expiry", t0 + dt.timedelta(seconds=610))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = _state_rows_per_batch(q)
+        assert rows, "no state-operator progress recorded"
+        assert max(rows) >= 5  # the five digests really were held
+        # 7 digests ever; final state = the <=2 inside the last TTL window
+        # ("late arrival" expires once wm=610 passes 600+60? no: 660>610 --
+        # both late keys are live, every t0 key is gone)
+        assert rows[-1] <= 2, f"state rows {rows} never shrank to the live window"
+    finally:
+        q.stop()
+
+
+@pytest.mark.parametrize("state_store_provider", ["hdfs", "rocksdb"], indirect=True)
+def test_heavy_hitters_state_rows_equal_shards(spark, tmp_path_factory, state_store_provider):
+    """se7's bound: one state row per shard (each holding <= k counters),
+    REGARDLESS of key cardinality -- 200 distinct keys over 2 shards must
+    leave exactly 2 state rows in the store."""
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_heavy_hitters
+
+    src = str(tmp_path_factory.mktemp("hh_state_rows"))
+    schema_cols = "event_id long, ts timestamp, hh_key long"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _write_batch(b: int) -> None:
+        spark.createDataFrame(
+            [(b * 100 + i, t0 + dt.timedelta(seconds=b * 100 + i), b * 100 + i) for i in range(100)],
+            schema_cols,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    _write_batch(0)  # pre-staged so readStream can infer the schema
+    q = (
+        stream_heavy_hitters(spark, src, "hh_key", n_shards=2, k=3)
+        .writeStream.format("memory")
+        .queryName("hh_state_rows")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in (1, 2):  # 3 micro-batches x 100 distinct keys total
+            _write_batch(b)
+            q.processAllAvailable()
+        rows = _state_rows_per_batch(q)
+        assert rows, "no state-operator progress recorded"
+        assert max(rows) <= 2, f"state rows {rows} grew past n_shards=2 on 300 distinct keys"
+        out = spark.sql("SELECT * FROM hh_state_rows").collect()
+        per_shard_last = {}
+        for r in out:
+            cur = per_shard_last.setdefault(r["shard"], [])
+            cur.append(r)
+        for shard, rs in per_shard_last.items():
+            n_max = max(r["n_seen"] for r in rs)
+            assert sum(1 for r in rs if r["n_seen"] == n_max) <= 3  # <= k counters
+    finally:
+        q.stop()
+
+
+@pytest.mark.parametrize("state_store_provider", ["hdfs", "rocksdb"], indirect=True)
+def test_kmv_state_rows_equal_groups(spark, tmp_path_factory, state_store_provider):
+    """se8's bound: one state row per group (each holding <= k hashes), so
+    2 groups x 500 distinct hashes leave 2 state rows and n_tracked <= k."""
+    import datetime as dt
+
+    from youtubeanalyzerproject_big_data__spark.streaming.events import stream_kmv_distinct
+
+    src = str(tmp_path_factory.mktemp("kmv_state_rows"))
+    schema = "hour timestamp, hv long"
+    h0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h1 = dt.datetime(2024, 1, 1, 11, 0, 0)
+
+    def _write_batch(b: int) -> None:
+        spark.createDataFrame(
+            [(h0, 1_000_000 + b * 1000 + i) for i in range(250)]
+            + [(h1, 2_000_000 + b * 1000 + i) for i in range(250)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    _write_batch(0)  # pre-staged so readStream can infer the schema
+    q = (
+        stream_kmv_distinct(spark, src, k=16)
+        .writeStream.format("memory")
+        .queryName("kmv_state_rows")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in (1, 2):  # 3 micro-batches, 750 fresh hashes per group total
+            _write_batch(b)
+            q.processAllAvailable()
+        rows = _state_rows_per_batch(q)
+        assert rows, "no state-operator progress recorded"
+        assert max(rows) <= 2, f"state rows {rows} grew past the 2 groups on 1500 distinct hashes"
+        out = spark.sql("SELECT * FROM kmv_state_rows").collect()
+        assert max(r["n_tracked"] for r in out) <= 16  # per-group summary capped at k
+        final = {r["group"]: r for r in out if r["n_seen"] == 750}
+        assert len(final) == 2 and all(r["n_tracked"] == 16 for r in final.values())
+    finally:
+        q.stop()

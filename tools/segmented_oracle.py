@@ -1,0 +1,175 @@
+"""Segmented DuckDB oracles for queries whose one-shot SQL exceeds temp disk
+at high scale factors.
+
+g4/g5's oracle is an UNROLLED 10-join CTE (`__spark_entry__._pagerank_oracle`):
+at sf10 each of the 10 rank-join intermediates materializes against the
+60M-edge table inside one query and DuckDB's temp spill hit ENOSPC (see
+FIXTURES.md "Scale-replay exclusions").  The arithmetic itself is fine -- so
+this tool replays the SAME integer-quantized iteration SEGMENTED: each
+iteration is ONE bounded `CREATE TABLE r_i AS ... FROM w LEFT JOIN r_{i-1}`
+against an on-disk DuckDB database, and r_{i-1} is dropped before the next
+round.  Peak footprint = the weighted edge table + two vertex-sized rank
+tables, regardless of iteration count.  The final top-k is hash-compared to
+the engine result exactly like tools/verify_local.py.
+
+Usage:
+    python tools/segmented_oracle.py <sf_dir> [g4_pagerank_top100 g5_pagerank_cyclic_top100 g7_personalized_pagerank]
+    python tools/segmented_oracle.py --json out.json fixtures/sf10 g4_pagerank_top100
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FWD_EDGES = (
+    "SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS src, "
+    "'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem"
+)
+CYC_EDGES = (
+    FWD_EDGES
+    + " UNION ALL SELECT 'P' || CAST(l_partkey AS VARCHAR), "
+    "'O' || CAST(l_orderkey AS VARCHAR) FROM lineitem"
+)
+
+
+def _segmented_pagerank(
+    con: duckdb.DuckDBPyConnection,
+    edges_sql: str,
+    seeds: list | None,
+    reset: float = 0.15,
+    max_iter: int = 10,
+    k: int = 100,
+    scale: float = 1e9,
+) -> list[tuple]:
+    """Iteration-materialized twin of _pagerank_oracle / _ppr_oracle: the
+    same round->int64 quantized per-edge contributions (bit-for-bit the
+    engine's arithmetic -- see _pagerank_oracle's docstring for why the
+    quantization makes summation order irrelevant), with each r_i landed
+    as a TABLE and its predecessor dropped."""
+    r = f"CAST({reset!r} AS DOUBLE)"
+    d = f"CAST({1.0 - reset!r} AS DOUBLE)"
+    s = f"CAST({int(scale)} AS DOUBLE)"
+    if seeds is None:
+        reset_dst, init_src, absent_src = r, "CAST(1.0 AS DOUBLE)", r
+    else:
+        lst = ", ".join(f"'{x}'" for x in seeds)
+        reset_dst = f"CASE WHEN w.dst IN ({lst}) THEN {r} ELSE CAST(0.0 AS DOUBLE) END"
+        init_src = f"CASE WHEN w.src IN ({lst}) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        absent_src = f"CASE WHEN w.src IN ({lst}) THEN {r} ELSE CAST(0.0 AS DOUBLE) END"
+
+    con.execute(f"CREATE OR REPLACE TABLE sources AS SELECT DISTINCT src FROM ({edges_sql})")
+    con.execute(
+        f"""CREATE OR REPLACE TABLE w AS
+            SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.dg AS wt
+            FROM ({edges_sql}) e
+            JOIN (SELECT src, COUNT(*) AS dg FROM ({edges_sql}) GROUP BY src) deg
+              ON e.src = deg.src"""
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TABLE r1 AS
+            SELECT w.dst AS id, {reset_dst} + {d} *
+                   (SUM(CAST(round(({init_src}) * w.wt * {s}) AS BIGINT)) / {s}) AS rank
+            FROM w GROUP BY w.dst"""
+    )
+    for i in range(2, max_iter + 1):
+        con.execute(
+            f"""CREATE TABLE r{i} AS
+                SELECT w.dst AS id, {reset_dst} + {d} *
+                       (SUM(CAST(round(COALESCE(p.rank, {absent_src}) * w.wt * {s}) AS BIGINT)) / {s}) AS rank
+                FROM w LEFT JOIN r{i - 1} p ON w.src = p.id GROUP BY w.dst"""
+        )
+        con.execute(f"DROP TABLE r{i - 1}")
+    last = f"r{max_iter}"
+    if seeds is None:
+        absent_final = r
+        extra = f"SELECT src AS id, {r} AS rank FROM sources WHERE src NOT IN (SELECT id FROM {last})"
+    else:
+        lst = ", ".join(f"'{x}'" for x in seeds)
+        extra = (
+            f"SELECT src AS id, CASE WHEN src IN ({lst}) THEN {r} ELSE CAST(0.0 AS DOUBLE) END AS rank "
+            f"FROM sources WHERE src NOT IN (SELECT id FROM {last})"
+        )
+    rows = con.execute(
+        f"""WITH allr AS (SELECT id, rank FROM {last} UNION ALL {extra})
+            SELECT id, ROUND(rank, 6) AS pagerank FROM allr
+            ORDER BY pagerank DESC, id LIMIT {k}"""
+    ).fetchall()
+    con.execute(f"DROP TABLE {last}")
+    con.execute("DROP TABLE w")
+    con.execute("DROP TABLE sources")
+    return rows
+
+
+SEGMENTED = {
+    "g4_pagerank_top100": (FWD_EDGES, None),
+    "g5_pagerank_cyclic_top100": (CYC_EDGES, None),
+    "g7_personalized_pagerank": (CYC_EDGES, "PPR_SEEDS"),
+}
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf = argv[0]
+    names = argv[1:] or ["g4_pagerank_top100"]
+
+    import __spark_entry__ as entrymod
+    from tools.verify_local import canon
+    from youtubeanalyzerproject_big_data__spark.session import get_spark
+
+    spark = get_spark("segmented-oracle")
+    qs = entrymod.queries()
+    records: dict[str, dict] = {}
+    tmp = tempfile.mkdtemp(prefix="segora_")
+    try:
+        con = duckdb.connect(os.path.join(tmp, "seg.duckdb"))  # on-disk: rank/edge tables may spill
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+        for name in names:
+            edges_sql, seeds_key = SEGMENTED[name]
+            seeds = getattr(entrymod, seeds_key) if seeds_key else None
+            t0 = time.time()
+            orows = _segmented_pagerank(con, edges_sql, seeds)
+            t_oracle = time.time() - t0
+            t0 = time.time()
+            sdf = qs[name](spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            t_spark = time.time() - t0
+            ok_rows = len(srows) == len(orows)
+            ok_vals = canon(srows, scols) == canon(orows, scols)
+            records[name] = {
+                "rows_match": ok_rows,
+                "schema_match": True,
+                "hash_match": ok_vals,
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+                "err": None,
+                "oracle": "segmented-iteration",
+                "t_spark_s": round(t_spark, 1),
+                "t_oracle_s": round(t_oracle, 1),
+            }
+            status = "ok  " if (ok_rows and ok_vals) else "FAIL"
+            print(f"{status} {name} (segmented oracle, spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
+    if not all(r["rows_match"] and r["hash_match"] for r in records.values()):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

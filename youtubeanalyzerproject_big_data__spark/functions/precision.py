@@ -67,11 +67,20 @@ def dec_avg(col: str | Column, alias: str, scale: int = 6) -> Column:
 
     New recipe, exact at every step: s = the 10^scale-scaled decimal sum
     as int64; r = |s| mod n (exact JVM long op); the integer quotient
-    (|s|-r)/n is recovered through one double division whose TRUE result
-    is an exact integer (error ~q*2^-53 << 0.5, so round() restores it
-    bit-exactly for |avg| < 4.5e15/10^scale -- ample); the half-up bump is
-    the integer test 2r >= n.  The final avg = q/10^scale is one exact
-    double op both engines perform identically.
+    (|s|-r)/n is recovered through DECIMAL division -- (|s|-r) is an exact
+    multiple of n, the true quotient is an integer, and Spark evaluates
+    decimal/decimal exactly before rounding to the result scale, so the
+    long cast is bit-exact for every |s| that fits int64; the half-up
+    bump is the integer test 2r >= n.  The final avg = q/10^scale is one
+    exact double op both engines perform identically.
+
+    (Historical: the first integer recipe recovered the quotient with
+    round((|s|-r)/n) through DOUBLE division.  The precision property
+    fuzz caught it 1 micro off at |s| ~ 4.2e16: past 2^53 the long ->
+    double conversion of (|s|-r) itself quantizes, so the division error
+    reaches ~n/2 micros and round() restores the wrong integer -- while
+    the DuckDB twin's native // stayed exact.  Reachable at 100 TB group
+    sums; hence the decimal division.)
 
     SQL twin (oracle `_davg`): same integers with DuckDB's native ``//``
     and ``%``.  Bounds: |scaled sum| must fit int64 (< 9.2e18).
@@ -82,7 +91,8 @@ def dec_avg(col: str | Column, alias: str, scale: int = 6) -> Column:
     n = F.count(c)
     s_abs = F.abs(s)
     r = F.pmod(s_abs, n)
-    q = F.round((s_abs - r) / n).cast("long") + (F.lit(2) * r >= n).cast("long")
+    dec38 = "decimal(38,0)"
+    q = ((s_abs - r).cast(dec38) / n.cast(dec38)).cast("long") + (F.lit(2) * r >= n).cast("long")
     return (F.when(s < 0, -q).otherwise(q).cast("double") / F.lit(float(p))).alias(alias)
 
 
