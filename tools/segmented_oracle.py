@@ -116,6 +116,99 @@ SEGMENTED = {
 }
 
 
+def _segmented_components(
+    con: duckdb.DuckDBPyConnection, pairs_sql: str, max_rounds: int = 30
+) -> None:
+    """Materialized min-label propagation with path compression -- the
+    segmented twin of d7/d15's recursive `reach` closure, whose
+    path-enumerating intermediate spilled DuckDB past temp disk at sf>=1
+    (FIXTURES.md).  Each round is two bounded joins on the PAIR-sized
+    graph (neighbor-min, then label-of-label hop), so convergence takes
+    O(log diameter) rounds and peak footprint is two label tables.
+    Leaves the result as table `lbl` (id -> component-min label,
+    self included at init, matching LEAST(doc_id, min reachable))."""
+    con.execute(f"CREATE OR REPLACE TABLE pr AS {pairs_sql}")
+    con.execute(
+        "CREATE OR REPLACE TABLE e AS "
+        "SELECT doc1 AS a, doc2 AS b FROM pr UNION SELECT doc2, doc1 FROM pr"
+    )
+    con.execute("CREATE OR REPLACE TABLE lbl AS SELECT DISTINCT a AS id, a AS lbl FROM e")
+    for _ in range(max_rounds):
+        con.execute(
+            """CREATE OR REPLACE TABLE lbl_n AS
+               SELECT id, MIN(lbl) AS lbl FROM (
+                 SELECT id, lbl FROM lbl
+                 UNION ALL
+                 SELECT e.a AS id, lbl.lbl FROM e JOIN lbl ON e.b = lbl.id
+               ) GROUP BY id"""
+        )
+        # path compression: hop once through the label (labels are node ids,
+        # so every label has a row)
+        con.execute(
+            """CREATE OR REPLACE TABLE lbl2 AS
+               SELECT x.id, LEAST(x.lbl, y.lbl) AS lbl
+               FROM lbl_n x JOIN lbl_n y ON x.lbl = y.id"""
+        )
+        changed = con.execute(
+            "SELECT COUNT(*) FROM lbl2 JOIN lbl USING (id) WHERE lbl2.lbl != lbl.lbl"
+        ).fetchone()[0]
+        con.execute("DROP TABLE lbl")
+        con.execute("ALTER TABLE lbl2 RENAME TO lbl")
+        con.execute("DROP TABLE lbl_n")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_rounds} rounds")
+    con.execute("DROP TABLE e")
+    con.execute("DROP TABLE pr")
+
+
+def _run_components_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
+    import __spark_entry__ as entrymod
+    from youtubeanalyzerproject_big_data__spark.operators import dedup
+
+    if name == "d7_dup_clusters":
+        pairs = (
+            f"WITH {entrymod._shingles_cte(dedup.DEFAULT_MAX_DF)} "
+            "SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8"
+        )
+        _segmented_components(con, pairs)
+        rows = con.execute(
+            """SELECT d.doc_id, CAST(COALESCE(lbl.lbl, d.doc_id) AS BIGINT) AS cluster_id
+               FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id"""
+        ).fetchall()
+    elif name == "d15_dedup_keep_best":
+        pairs = (
+            "SELECT doc1, doc2 FROM ("
+            + entrymod._minhash_lsh_oracle(16, 4, 0.8, max_bucket=dedup.DEFAULT_MAX_BUCKET)
+            + ")"
+        )
+        _segmented_components(con, pairs)
+        rows = con.execute(
+            """WITH m AS (SELECT lbl.id AS doc_id, lbl.lbl AS cluster_id, d.n_chars
+                          FROM lbl JOIN documents d ON lbl.id = d.doc_id),
+               rk AS (SELECT cluster_id, doc_id, n_chars,
+                             row_number() OVER (PARTITION BY cluster_id
+                                                ORDER BY n_chars DESC, doc_id) AS rn
+                      FROM m),
+               sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+                      FROM m GROUP BY cluster_id)
+               SELECT sz.cluster_id, sz.n_members, rk.doc_id AS canonical_id,
+                      CAST(rk.n_chars AS BIGINT) AS canonical_chars,
+                      CAST(sz.n_members - 1 AS BIGINT) AS n_removed
+               FROM sz JOIN rk ON sz.cluster_id = rk.cluster_id AND rk.rn = 1
+               WHERE sz.n_members >= 2
+               ORDER BY sz.cluster_id"""
+        ).fetchall()
+    else:
+        raise KeyError(name)
+    con.execute("DROP TABLE lbl")
+    return rows
+
+
+COMPONENT_QUERIES = ("d7_dup_clusters", "d15_dedup_keep_best")
+
+
 def main() -> None:
     argv = sys.argv[1:]
     json_out = None
@@ -136,11 +229,15 @@ def main() -> None:
     try:
         con = duckdb.connect(os.path.join(tmp, "seg.duckdb"))  # on-disk: rank/edge tables may spill
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
         for name in names:
-            edges_sql, seeds_key = SEGMENTED[name]
-            seeds = getattr(entrymod, seeds_key) if seeds_key else None
             t0 = time.time()
-            orows = _segmented_pagerank(con, edges_sql, seeds)
+            if name in COMPONENT_QUERIES:
+                orows = _run_components_query(con, name)
+            else:
+                edges_sql, seeds_key = SEGMENTED[name]
+                seeds = getattr(entrymod, seeds_key) if seeds_key else None
+                orows = _segmented_pagerank(con, edges_sql, seeds)
             t_oracle = time.time() - t0
             t0 = time.time()
             sdf = qs[name](spark, sf)
