@@ -32,6 +32,22 @@ Known deliberate costs (do NOT chase as regressions):
 - tpch_q1 carries ~0.2-0.3 s from r6's integer-exact dec_avg (pmod +
   exact-multiple division replacing the broken double ROUND on its three
   averages) -- the price of the e1 half-case fix, applied engine-wide.
+- t15/g6/a7 r6 drifts ADJUDICATED (r7, VERDICT r6 item 3), isolated 6-sample
+  runs after the standard warmup on an idle box:
+  - a7_order_parts_csv: NOISE.  Isolated min 1.209 s == r5's 1.159 s; the
+    1.48 s r6 median was session-neighbor contention.
+  - g6_triangle_census: ROOT-CAUSED, deliberate.  Isolated steady state
+    5.5-6.0 s vs r5's 4.18 s; the r6 auto-broadcast gate's e.count() is an
+    extra SERIAL action that materializes the distinct+cache before the
+    joins (the same work r5 fused lazily into the first join).  That count
+    is what keeps a 100x graph from aborting on the broadcast limit, its
+    output pre-populates the cache the algorithm needs anyway, and its
+    relative cost vanishes as the joins grow -- keep it.
+  - t15_pmi_collocations: ENVIRONMENT, not code.  No t15-path commit since
+    r5 (deps diffed: only session retainedStages=20000 changed, and a
+    direct A/B probe shows it costs nothing -- 2.24 s at 1000 vs 1.99 s at
+    20000); shuffle bytes identical to the committed record (2421930).
+    Today's isolated steady state 1.7-2.0 s vs r5's 1.20 s is the box band.
 - d3_minhash_lsh_pairs r5 drift ADJUDICATED (r6, VERDICT r5 item 3):
   isolated re-runs at sf0.1 after the standard warmup gave
   [7.44 cold, 2.95, 2.54, 2.35, 2.11, 2.29] -- steady state 2.1-2.5 s,
