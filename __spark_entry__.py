@@ -2802,13 +2802,16 @@ def q_lp1(spark: SparkSession, sf: str) -> DataFrame:
 def q_mm5(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash media near-dup pairs (multimodal.perceptual_hashes
     + phash_near_dup_pairs): aHash bits by exact-integer greater-than-mean
-    rule over the fake-decode samples, d4-style pigeonhole chunk blocking,
-    bit_count(xor) verify on candidates only -- the media-dedup twin of
-    SimHash, decode-kernel pluggable (fake/stdlib/auto)."""
+    rule over the fake-decode samples, d4-style pigeonhole chunk blocking
+    (60-bit hash -> 15-bit chunks so buckets stay sparse at 500k+ media;
+    the r7 sf10 sweep caught the former 32-bit/8-bit config going
+    quadratic exactly like d4 did), bucket cap 2000 mirrored in the
+    oracle, bit_count(xor) verify on candidates only -- the media-dedup
+    twin of SimHash, decode-kernel pluggable (fake/stdlib/auto)."""
     docs = load_table(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("blob"))
     media = multimodal.attach_media_metadata(docs, "doc_id", "blob", "image")
-    h = multimodal.perceptual_hashes(media, decode_stub="fake", n_bits=32)
-    return multimodal.phash_near_dup_pairs(h, n_bits=32, max_distance=3).orderBy("id1", "id2")
+    h = multimodal.perceptual_hashes(media, decode_stub="fake", n_bits=60)
+    return multimodal.phash_near_dup_pairs(h, n_bits=60, max_distance=3).orderBy("id1", "id2")
 
 
 _PAGERANK_EDGE_HANDLES: dict[tuple, DataFrame] = {}
@@ -9095,13 +9098,15 @@ def oracle_sql() -> dict[str, str]:
         # pHash replay: exact-integer aHash bits over the first 32 ascii
         # bytes (documents are pure ASCII, verified for mm2), chunk-blocked
         # candidates, bit_count(xor) verify.
+        # mm5: 60-bit aHash, 15-bit pigeonhole chunks, bucket cap 2000 --
+        # the d4 scale recipe, mirrored exactly from phash_near_dup_pairs.
         "mm5_phash_near_dups": """
             WITH b AS (SELECT doc_id, text,
-                              unnest(generate_series(1, least(strlen(text), 32))) AS i
+                              unnest(generate_series(1, least(strlen(text), 60))) AS i
                        FROM documents),
             v AS (SELECT doc_id, i,
                          CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS bv,
-                         CAST(least(strlen(text), 32) AS BIGINT) AS w
+                         CAST(least(strlen(text), 60) AS BIGINT) AS w
                   FROM b),
             tot AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS total FROM v GROUP BY doc_id),
             bits AS (SELECT v.doc_id,
@@ -9110,10 +9115,13 @@ def oracle_sql() -> dict[str, str]:
                      FROM v JOIN tot USING (doc_id) GROUP BY v.doc_id),
             ph AS (SELECT CAST(d.doc_id AS VARCHAR) AS media_id, COALESCE(bits.phash, 0) AS phash
                    FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id),
-            ch AS (SELECT media_id, phash, j AS ci, (phash >> CAST(8 * j AS INT)) & 255 AS cv
+            ch AS (SELECT media_id, phash, j AS ci, (phash >> CAST(15 * j AS INT)) & 32767 AS cv
                    FROM ph, generate_series(0, 3) AS t(j)),
+            okb AS (SELECT ci, cv FROM ch GROUP BY ci, cv
+                    HAVING COUNT(*) >= 2 AND COUNT(*) <= 2000),
+            chf AS (SELECT ch.* FROM ch JOIN okb USING (ci, cv)),
             cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, a.phash AS h1, b.phash AS h2
-                     FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id)
+                     FROM chf a JOIN chf b ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id)
             SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(h1, h2)) <= 3
             ORDER BY id1, id2

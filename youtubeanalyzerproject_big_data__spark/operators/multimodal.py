@@ -710,7 +710,11 @@ def perceptual_hashes(
 
 
 def phash_near_dup_pairs(
-    hashes: DataFrame, n_bits: int = 32, max_distance: int = 3, n_chunks: int = 4
+    hashes: DataFrame,
+    n_bits: int = 32,
+    max_distance: int = 3,
+    n_chunks: int = 4,
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """Near-duplicate media pairs by perceptual-hash Hamming distance --
     the media twin of d4's SimHash text dedup, same pigeonhole blocking:
@@ -719,15 +723,28 @@ def phash_near_dup_pairs(
     chunk, so candidates meet in (chunk_idx, chunk_value) buckets and the
     exact bit_count(xor) check runs on candidates only -- never O(n^2).
 
+    Scale (the d4 lesson, re-learned here by the sf10 sweep): candidate
+    volume is quadratic in bucket occupancy, so the per-chunk value space
+    must exceed the corpus -- 8-bit chunks over 500k hashes put ~2000 ids
+    in every one of the 1024 buckets (~2e9 pairs; the engine spilled 64 GB
+    of shuffle before being killed).  Size ``n_bits`` so chunk_bits =
+    n_bits/n_chunks keeps buckets sparse (60 bits -> 15-bit chunks for a
+    500k corpus; 128-bit/32-bit at 100 TB), with ``max_bucket`` as the
+    degenerate-bucket backstop (drop semantics, the _pairs_from_groups
+    convention, mirrored in the oracle).  The one-shuffle collect_set
+    blocking replaces the former chunk self-join, so pairs expand in-task
+    from each bucket instead of through a join.
+
     Returns (id1, id2, hamming) with id1 < id2, distance <= max_distance.
     """
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import _ordered_pairs
+
     if max_distance >= n_chunks:
         raise ValueError("pigeonhole blocking needs max_distance < n_chunks")
     chunk_bits = n_bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    chunks = hashes.select(
-        F.col("media_id"),
-        F.col("phash"),
+    blocked = hashes.select(
+        F.struct("media_id", "phash").alias("mp"),
         F.explode(
             F.array(
                 *[
@@ -739,21 +756,30 @@ def phash_near_dup_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("media_id", "phash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv")) & (F.col("a.media_id") < F.col("b.media_id")))
+    ).select(F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"), "mp")
+    groups = (
+        blocked.groupBy("ci", "cv")
+        .agg(F.sort_array(F.collect_set("mp")).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    if max_bucket is not None:
+        groups = groups.where(F.size("ms") <= max_bucket)
+    xor = F.col("h1").bitwiseXOR(F.col("h2"))
+    return (
+        groups.select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
         .select(
-            F.col("a.media_id").alias("id1"),
-            F.col("b.media_id").alias("id2"),
-            F.col("a.phash").alias("h1"),
-            F.col("b.phash").alias("h2"),
+            F.col("p.doc1.media_id").alias("id1"),
+            F.col("p.doc1.phash").alias("h1"),
+            F.col("p.doc2.media_id").alias("id2"),
+            F.col("p.doc2.phash").alias("h2"),
         )
+        # filter BEFORE the distinct so the dedup shuffle carries only
+        # true near-dups (the d4 shape)
+        .withColumn("hamming", F.bit_count(xor).cast("long"))
+        .where(F.col("hamming") <= max_distance)
+        .select("id1", "id2", "hamming")
         .distinct()
     )
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
-    return cand.select("id1", "id2", ham.alias("hamming")).where(F.col("hamming") <= max_distance)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
