@@ -177,6 +177,37 @@ def _run_components_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tup
             """SELECT d.doc_id, CAST(COALESCE(lbl.lbl, d.doc_id) AS BIGINT) AS cluster_id
                FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id"""
         ).fetchall()
+    elif name == "c1_corpus_curation":
+        # c1's one-shot oracle embeds the SAME recursive `reach` closure as
+        # d7 (pair stage: shingle-jaccard >= 0.8); on the 100x-tiled fixture
+        # the closure enumerates ~s^2 paths per s-sized clone group and was
+        # observed at 119 GB RSS with no output after 30 min at sf10.  Only
+        # the component stage is segmented; the token/langid tail is linear
+        # and replays verbatim from the one-shot SQL.
+        pairs = (
+            f"WITH {entrymod._shingles_cte(dedup.DEFAULT_MAX_DF)} "
+            "SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8"
+        )
+        _segmented_components(con, pairs)
+        rows = con.execute(
+            rf"""
+            WITH rep AS (
+              SELECT d.doc_id FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id
+              WHERE COALESCE(lbl.lbl, d.doc_id) = d.doc_id
+            ),
+            q AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                     ROUND((len(tk) - len(list_distinct(tk))) / greatest(len(tk), 1), 6) AS dup_token_ratio
+              FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+                    FROM documents)
+            ),
+            lng AS (SELECT doc_id, lang_pred FROM ({entrymod._lang_id_oracle()}))
+            SELECT q.doc_id, q.n_tokens, lng.lang_pred
+            FROM q JOIN lng ON q.doc_id = lng.doc_id
+            JOIN rep ON q.doc_id = rep.doc_id
+            WHERE lng.lang_pred = 'en' AND q.n_tokens >= 10 AND q.dup_token_ratio <= 0.6
+            """
+        ).fetchall()
     elif name == "d15_dedup_keep_best":
         pairs = (
             "SELECT doc1, doc2 FROM ("
@@ -206,7 +237,7 @@ def _run_components_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tup
     return rows
 
 
-COMPONENT_QUERIES = ("d7_dup_clusters", "d15_dedup_keep_best")
+COMPONENT_QUERIES = ("d7_dup_clusters", "d15_dedup_keep_best", "c1_corpus_curation")
 
 
 def main() -> None:

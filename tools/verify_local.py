@@ -74,6 +74,7 @@ def main() -> None:
             sdf = fn(spark, sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            t_spark = round(time.time() - t0, 1)
         except Exception as e:
             failures.append(name)
             records[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
@@ -84,20 +85,23 @@ def main() -> None:
         if name not in oracles:
             records[name] = {"rows_match": len(srows) > 0, "schema_match": None,
                              "hash_match": None, "spark_rows": len(srows),
-                             "oracle_rows": None, "err": None}
+                             "oracle_rows": None, "err": None, "t_spark_s": t_spark}
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"WARN {name}: zero rows")
             continue
+        t1 = time.time()
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            t_oracle = round(time.time() - t1, 1)
         except Exception as e:
             failures.append(name)
             records[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
                              "spark_rows": len(srows), "oracle_rows": None,
-                             "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}"}
+                             "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}",
+                             "t_spark_s": t_spark}
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         problems = []
@@ -116,7 +120,8 @@ def main() -> None:
                 problems.append(f"values differ, first diffs: {diff}")
         records[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
                          "hash_match": values_ok, "spark_rows": len(srows),
-                         "oracle_rows": len(orows), "err": None}
+                         "oracle_rows": len(orows), "err": None,
+                         "t_spark_s": t_spark, "t_oracle_s": t_oracle}
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(p[:400] for p in problems))
