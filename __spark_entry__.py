@@ -8581,8 +8581,8 @@ def oracle_sql() -> dict[str, str]:
             nu AS (SELECT CAST(SUM(c1) AS BIGINT) AS v FROM uc),
             np AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS v FROM pc),
             cand AS (SELECT pc.w1, pc.w2, pc.n_pairs,
-                            CAST(floor(ln(CAST(pc.n_pairs * nu.v * nu.v AS DOUBLE)
-                                          / CAST(np.v * a.c1 * b.c1 AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro
+                            CAST(floor(ln((CAST(pc.n_pairs AS DOUBLE) * CAST(nu.v AS DOUBLE) * CAST(nu.v AS DOUBLE))
+                                          / (CAST(np.v AS DOUBLE) * CAST(a.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_micro
                      FROM pc, nu, np
                      JOIN uc a ON pc.w1 = a.token
                      JOIN uc b ON pc.w2 = b.token

@@ -117,7 +117,7 @@ SEGMENTED = {
 
 
 def _segmented_components(
-    con: duckdb.DuckDBPyConnection, pairs_sql: str, max_rounds: int = 30
+    con: duckdb.DuckDBPyConnection, pairs_sql: str | None, max_rounds: int = 30
 ) -> None:
     """Materialized min-label propagation with path compression -- the
     segmented twin of d7/d15's recursive `reach` closure, whose
@@ -127,7 +127,8 @@ def _segmented_components(
     O(log diameter) rounds and peak footprint is two label tables.
     Leaves the result as table `lbl` (id -> component-min label,
     self included at init, matching LEAST(doc_id, min reachable))."""
-    con.execute(f"CREATE OR REPLACE TABLE pr AS {pairs_sql}")
+    if pairs_sql is not None:  # else: table `pr` was pre-materialized (batched pair stage)
+        con.execute(f"CREATE OR REPLACE TABLE pr AS {pairs_sql}")
     con.execute(
         "CREATE OR REPLACE TABLE e AS "
         "SELECT doc1 AS a, doc2 AS b FROM pr UNION SELECT doc2, doc1 FROM pr"
@@ -163,16 +164,73 @@ def _segmented_components(
     con.execute("DROP TABLE pr")
 
 
+def _segmented_jaccard_pairs(
+    con: duckdb.DuckDBPyConnection,
+    max_df: int | None,
+    threshold: float = 0.8,
+    n_batches: int = 16,
+) -> None:
+    """Batched twin of `_shingles_cte`'s `inter`/`jac` stages, leaving the
+    over-threshold pairs as table `pr`.
+
+    On the K=100-tiled fixture every document is a ~K-clone, so the one-shot
+    posting-list self-join emits ~sum_shingle C(df,2) intermediate rows --
+    measured past DuckDB's temp disk at sf10 (ENOSPC on the `CREATE TABLE pr`
+    pair stage).  Intersection counts are additive across disjoint shingle
+    partitions, so the self-join runs once per hash(shingle) batch with a
+    bounded intermediate, accumulating partial counts; sizes/threshold close
+    the Jaccard exactly as the one-shot SQL (same ROUND, same division)."""
+    shingle = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    con.execute(
+        rf"""CREATE OR REPLACE TABLE t_sh AS
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+        )
+        SELECT DISTINCT doc_id, {shingle} AS shingle FROM idx"""
+    )
+    con.execute("CREATE OR REPLACE TABLE t_sizes AS SELECT doc_id, COUNT(*) AS n FROM t_sh GROUP BY doc_id")
+    df_cut = f"HAVING COUNT(*) <= {max_df}" if max_df is not None else ""
+    con.execute(
+        f"""CREATE OR REPLACE TABLE t_shf AS
+        SELECT s.doc_id, s.shingle FROM t_sh s
+        JOIN (SELECT shingle FROM t_sh GROUP BY shingle {df_cut}) c USING (shingle)"""
+    )
+    con.execute("DROP TABLE t_sh")
+    con.execute("CREATE OR REPLACE TABLE t_acc (doc1 BIGINT, doc2 BIGINT, n_common BIGINT)")
+    for b in range(n_batches):
+        con.execute(
+            f"""INSERT INTO t_acc
+            SELECT a.doc_id AS doc1, b2.doc_id AS doc2, COUNT(*) AS n_common
+            FROM t_shf a JOIN t_shf b2
+              ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
+            WHERE hash(a.shingle) % {n_batches} = {b}
+            GROUP BY 1, 2"""
+        )
+    con.execute("DROP TABLE t_shf")
+    con.execute(
+        f"""CREATE OR REPLACE TABLE pr AS
+        SELECT doc1, doc2 FROM (
+          SELECT doc1, doc2, SUM(n_common) AS n_common FROM t_acc GROUP BY 1, 2
+        ) i
+        JOIN t_sizes s1 ON i.doc1 = s1.doc_id
+        JOIN t_sizes s2 ON i.doc2 = s2.doc_id
+        WHERE ROUND(n_common / (s1.n + s2.n - n_common), 6) >= {threshold}"""
+    )
+    con.execute("DROP TABLE t_acc")
+    con.execute("DROP TABLE t_sizes")
+
+
 def _run_components_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
     import __spark_entry__ as entrymod
     from youtubeanalyzerproject_big_data__spark.operators import dedup
 
     if name == "d7_dup_clusters":
-        pairs = (
-            f"WITH {entrymod._shingles_cte(dedup.DEFAULT_MAX_DF)} "
-            "SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8"
-        )
-        _segmented_components(con, pairs)
+        _segmented_jaccard_pairs(con, dedup.DEFAULT_MAX_DF, threshold=0.8)
+        _segmented_components(con, None)
         rows = con.execute(
             """SELECT d.doc_id, CAST(COALESCE(lbl.lbl, d.doc_id) AS BIGINT) AS cluster_id
                FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id"""
@@ -181,14 +239,12 @@ def _run_components_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tup
         # c1's one-shot oracle embeds the SAME recursive `reach` closure as
         # d7 (pair stage: shingle-jaccard >= 0.8); on the 100x-tiled fixture
         # the closure enumerates ~s^2 paths per s-sized clone group and was
-        # observed at 119 GB RSS with no output after 30 min at sf10.  Only
-        # the component stage is segmented; the token/langid tail is linear
-        # and replays verbatim from the one-shot SQL.
-        pairs = (
-            f"WITH {entrymod._shingles_cte(dedup.DEFAULT_MAX_DF)} "
-            "SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8"
-        )
-        _segmented_components(con, pairs)
+        # observed at 119 GB RSS with no output after 30 min at sf10.  The
+        # pair stage is batched (_segmented_jaccard_pairs), the component
+        # stage label-propagated; the token/langid tail is linear and
+        # replays verbatim from the one-shot SQL.
+        _segmented_jaccard_pairs(con, dedup.DEFAULT_MAX_DF, threshold=0.8)
+        _segmented_components(con, None)
         rows = con.execute(
             rf"""
             WITH rep AS (
@@ -259,6 +315,9 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="segora_")
     try:
         con = duckdb.connect(os.path.join(tmp, "seg.duckdb"))  # on-disk: rank/edge tables may spill
+        mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
         con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
         for name in names:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -60,6 +61,12 @@ def main() -> None:
     records: dict[str, dict] = {}
     spark = get_spark("verify-local")
     con = duckdb.connect()
+    # At tiled-fixture scales the oracle must share the box with a large
+    # Spark heap; DuckDB's default budget (80% of RAM) would let the two
+    # engines force the OOM killer. Opt-in via env for scale replays.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 

@@ -611,13 +611,14 @@ def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5, k: int = 
     pair/token totals are scalars.  The final cut is TakeOrdered top-k with
     a (pmi desc, w1, w2) deterministic tiebreak.
 
-    Cross-engine determinism: the PMI argument is a quotient of two EXACT
-    int64 products (c_ab * Nu^2) / (Np * c_a * c_b) -- both < 2^53 at any
-    tested SF -- so ln() sees the identical correctly-rounded double in
-    Spark and the oracle; the result is integer-quantized
+    Cross-engine determinism: every FACTOR of the PMI argument (c_ab, Nu,
+    Np, c_a, c_b) is an exact int64 < 2^53, so its int->double conversion
+    is exact; the quotient is then built in doubles with one IEEE-correct
+    rounding per multiply/divide, in the same left-to-right association the
+    oracle SQL spells out -- bit-identical across engines at any SF.  (The
+    earlier int64-product form, c_ab * Nu^2 as a long, overflowed at the
+    sf10 replay where it reaches ~5.6e21.)  The result is integer-quantized
     (floor(ln * 1e6), the t8 recipe, same documented libm-ulp residual).
-    At corpora where the products would leave exact-double range, switch
-    the argument to log-sum form (documented trade: three ln calls).
 
     Returns (w1, w2, n_pairs, pmi_micro, pmi).
     """
@@ -654,9 +655,16 @@ def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5, k: int = 
         .join(F.broadcast(uni.select(F.col("token").alias("w1"), F.col("c1").alias("ca"))), "w1")
         .join(F.broadcast(uni.select(F.col("token").alias("w2"), F.col("c1").alias("cb"))), "w2")
     )
-    arg = (F.col("n_pairs") * F.lit(int(n_uni) * int(n_uni))).cast("double") / (
-        F.lit(int(n_pairs_total)) * F.col("ca") * F.col("cb")
-    ).cast("double")
+    # Each factor is an exact int64 < 2^53, converted to double EXACTLY and
+    # multiplied in doubles (one correct rounding per op, identical in every
+    # IEEE engine).  Multiplying in int64 first overflowed at the sf10
+    # replay: c_ab * Nu^2 reaches ~5.6e21 there (ANSI ARITHMETIC_OVERFLOW).
+    # The oracle twin mirrors the same cast-then-multiply shape and
+    # left-to-right association, so arg stays bit-identical cross-engine.
+    nu_d, np_d = F.lit(float(n_uni)), F.lit(float(n_pairs_total))
+    arg = (F.col("n_pairs").cast("double") * nu_d * nu_d) / (
+        np_d * F.col("ca").cast("double") * F.col("cb").cast("double")
+    )
     pmi_micro = F.floor(F.log(arg) * 1e6).cast("long")
     result = (
         cand.select("w1", "w2", "n_pairs", pmi_micro.alias("pmi_micro"))
