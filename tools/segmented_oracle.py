@@ -116,8 +116,20 @@ SEGMENTED = {
 }
 
 
+def _table_exists(con: duckdb.DuckDBPyConnection, name: str) -> bool:
+    return (
+        con.execute(
+            "SELECT COUNT(*) FROM information_schema.tables WHERE table_name = ?", [name]
+        ).fetchone()[0]
+        > 0
+    )
+
+
 def _segmented_components(
-    con: duckdb.DuckDBPyConnection, pairs_sql: str | None, max_rounds: int = 30
+    con: duckdb.DuckDBPyConnection,
+    pairs_table: str = "pr",
+    out: str = "lbl",
+    max_rounds: int = 30,
 ) -> None:
     """Materialized min-label propagation with path compression -- the
     segmented twin of d7/d15's recursive `reach` closure, whose
@@ -125,22 +137,23 @@ def _segmented_components(
     (FIXTURES.md).  Each round is two bounded joins on the PAIR-sized
     graph (neighbor-min, then label-of-label hop), so convergence takes
     O(log diameter) rounds and peak footprint is two label tables.
-    Leaves the result as table `lbl` (id -> component-min label,
-    self included at init, matching LEAST(doc_id, min reachable))."""
-    if pairs_sql is not None:  # else: table `pr` was pre-materialized (batched pair stage)
-        con.execute(f"CREATE OR REPLACE TABLE pr AS {pairs_sql}")
+    Leaves the result as table ``out`` (id -> component-min label,
+    self included at init, matching LEAST(doc_id, min reachable));
+    memoized per run so queries sharing a pair set share the labels."""
+    if _table_exists(con, out):
+        return
     con.execute(
-        "CREATE OR REPLACE TABLE e AS "
-        "SELECT doc1 AS a, doc2 AS b FROM pr UNION SELECT doc2, doc1 FROM pr"
+        f"CREATE OR REPLACE TABLE e AS "
+        f"SELECT doc1 AS a, doc2 AS b FROM {pairs_table} UNION SELECT doc2, doc1 FROM {pairs_table}"
     )
-    con.execute("CREATE OR REPLACE TABLE lbl AS SELECT DISTINCT a AS id, a AS lbl FROM e")
+    con.execute("CREATE OR REPLACE TABLE lbl_w AS SELECT DISTINCT a AS id, a AS lbl FROM e")
     for _ in range(max_rounds):
         con.execute(
             """CREATE OR REPLACE TABLE lbl_n AS
                SELECT id, MIN(lbl) AS lbl FROM (
-                 SELECT id, lbl FROM lbl
+                 SELECT id, lbl FROM lbl_w
                  UNION ALL
-                 SELECT e.a AS id, lbl.lbl FROM e JOIN lbl ON e.b = lbl.id
+                 SELECT e.a AS id, lbl_w.lbl FROM e JOIN lbl_w ON e.b = lbl_w.id
                ) GROUP BY id"""
         )
         # path compression: hop once through the label (labels are node ids,
@@ -151,105 +164,234 @@ def _segmented_components(
                FROM lbl_n x JOIN lbl_n y ON x.lbl = y.id"""
         )
         changed = con.execute(
-            "SELECT COUNT(*) FROM lbl2 JOIN lbl USING (id) WHERE lbl2.lbl != lbl.lbl"
+            "SELECT COUNT(*) FROM lbl2 JOIN lbl_w USING (id) WHERE lbl2.lbl != lbl_w.lbl"
         ).fetchone()[0]
-        con.execute("DROP TABLE lbl")
-        con.execute("ALTER TABLE lbl2 RENAME TO lbl")
+        con.execute("DROP TABLE lbl_w")
+        con.execute("ALTER TABLE lbl2 RENAME TO lbl_w")
         con.execute("DROP TABLE lbl_n")
         if changed == 0:
             break
     else:
         raise RuntimeError(f"components did not converge in {max_rounds} rounds")
     con.execute("DROP TABLE e")
-    con.execute("DROP TABLE pr")
+    con.execute(f"ALTER TABLE lbl_w RENAME TO {out}")
 
 
-def _segmented_jaccard_pairs(
-    con: duckdb.DuckDBPyConnection,
-    max_df: int | None,
-    threshold: float = 0.8,
-    n_batches: int = 16,
+SHINGLE_SQL = r"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+  FROM {source}
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+)
+SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx"""
+
+
+def _mat_shingles(con: duckdb.DuckDBPyConnection, p: str = "t", source: str = "documents") -> None:
+    """{p}_sh (distinct doc_id/shingle, the `sh` CTE verbatim) + {p}_sizes."""
+    if _table_exists(con, f"{p}_sh"):
+        return
+    con.execute(f"CREATE TABLE {p}_sh AS {SHINGLE_SQL.format(source=source)}")
+    con.execute(f"CREATE TABLE {p}_sizes AS SELECT doc_id, COUNT(*) AS n FROM {p}_sh GROUP BY doc_id")
+
+
+def _mat_pair_counts(
+    con: duckdb.DuckDBPyConnection, max_df: int | None, p: str = "t", n_batches: int = 24
 ) -> None:
-    """Batched twin of `_shingles_cte`'s `inter`/`jac` stages, leaving the
-    over-threshold pairs as table `pr`.
+    """{p}_int: the `inter` CTE (pairwise shared-shingle counts over the
+    max_df-capped postings), computed BATCHED by hash(shingle).
 
     On the K=100-tiled fixture every document is a ~K-clone, so the one-shot
-    posting-list self-join emits ~sum_shingle C(df,2) intermediate rows --
-    measured past DuckDB's temp disk at sf10 (ENOSPC on the `CREATE TABLE pr`
-    pair stage).  Intersection counts are additive across disjoint shingle
-    partitions, so the self-join runs once per hash(shingle) batch with a
-    bounded intermediate, accumulating partial counts; sizes/threshold close
-    the Jaccard exactly as the one-shot SQL (same ROUND, same division)."""
-    shingle = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
-    con.execute(
-        rf"""CREATE OR REPLACE TABLE t_sh AS
-        WITH toks AS (
-          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
-          FROM documents
-        ),
-        idx AS (
-          SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+    posting-list self-join emits ~sum_shingle C(df,2) intermediate rows
+    (~5e9 at sf10) -- measured past DuckDB's temp disk (ENOSPC).
+    Intersection counts are additive across disjoint shingle partitions, so
+    the self-join runs once per batch with a bounded intermediate and the
+    partial counts are summed -- identical to the one-shot `inter`."""
+    if _table_exists(con, f"{p}_int"):
+        return
+    _mat_shingles(con, p)
+    post = f"{p}_sh"
+    if max_df is not None:
+        post = f"{p}_shf"
+        con.execute(
+            f"""CREATE TABLE {post} AS
+            SELECT s.doc_id, s.shingle FROM {p}_sh s
+            JOIN (SELECT shingle FROM {p}_sh GROUP BY shingle HAVING COUNT(*) <= {max_df}) c USING (shingle)"""
         )
-        SELECT DISTINCT doc_id, {shingle} AS shingle FROM idx"""
-    )
-    con.execute("CREATE OR REPLACE TABLE t_sizes AS SELECT doc_id, COUNT(*) AS n FROM t_sh GROUP BY doc_id")
-    df_cut = f"HAVING COUNT(*) <= {max_df}" if max_df is not None else ""
-    con.execute(
-        f"""CREATE OR REPLACE TABLE t_shf AS
-        SELECT s.doc_id, s.shingle FROM t_sh s
-        JOIN (SELECT shingle FROM t_sh GROUP BY shingle {df_cut}) c USING (shingle)"""
-    )
-    con.execute("DROP TABLE t_sh")
-    con.execute("CREATE OR REPLACE TABLE t_acc (doc1 BIGINT, doc2 BIGINT, n_common BIGINT)")
+    con.execute(f"CREATE TABLE {p}_acc (doc1 BIGINT, doc2 BIGINT, n_common BIGINT)")
     for b in range(n_batches):
         con.execute(
-            f"""INSERT INTO t_acc
+            f"""INSERT INTO {p}_acc
             SELECT a.doc_id AS doc1, b2.doc_id AS doc2, COUNT(*) AS n_common
-            FROM t_shf a JOIN t_shf b2
+            FROM {post} a JOIN {post} b2
               ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
             WHERE hash(a.shingle) % {n_batches} = {b}
             GROUP BY 1, 2"""
         )
-    con.execute("DROP TABLE t_shf")
     con.execute(
-        f"""CREATE OR REPLACE TABLE pr AS
-        SELECT doc1, doc2 FROM (
-          SELECT doc1, doc2, SUM(n_common) AS n_common FROM t_acc GROUP BY 1, 2
-        ) i
-        JOIN t_sizes s1 ON i.doc1 = s1.doc_id
-        JOIN t_sizes s2 ON i.doc2 = s2.doc_id
-        WHERE ROUND(n_common / (s1.n + s2.n - n_common), 6) >= {threshold}"""
+        f"CREATE TABLE {p}_int AS SELECT doc1, doc2, CAST(SUM(n_common) AS BIGINT) AS n_common "
+        f"FROM {p}_acc GROUP BY 1, 2"
     )
-    con.execute("DROP TABLE t_acc")
-    con.execute("DROP TABLE t_sizes")
+    con.execute(f"DROP TABLE {p}_acc")
+    if max_df is not None:
+        con.execute(f"DROP TABLE {post}")
 
 
-def _run_components_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
+def _mat_jac(con: duckdb.DuckDBPyConnection, max_df: int | None, p: str = "t") -> None:
+    """{p}_jac: the `jac` CTE (rounded Jaccard for every co-occurring pair)."""
+    if _table_exists(con, f"{p}_jac"):
+        return
+    _mat_pair_counts(con, max_df, p)
+    con.execute(
+        f"""CREATE TABLE {p}_jac AS
+        SELECT i.doc1, i.doc2, ROUND(i.n_common / (s1.n + s2.n - i.n_common), 6) AS jaccard
+        FROM {p}_int i
+        JOIN {p}_sizes s1 ON i.doc1 = s1.doc_id
+        JOIN {p}_sizes s2 ON i.doc2 = s2.doc_id"""
+    )
+
+
+def _mat_lsh_pairs(
+    con: duckdb.DuckDBPyConnection,
+    p: str = "t",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+    n_batches: int = 8,
+) -> None:
+    """{p}_lshpr: the `_minhash_lsh_oracle` result (band-bucket candidates,
+    exact-Jaccard verified >= threshold), with BOTH quadratic stages bounded:
+    candidate expansion batched by hash(band signature), and the exact
+    verification joining only CANDIDATE pairs against the uncapped postings,
+    batched by hash(doc1) -- the one-shot form verifies against the full
+    uncapped all-pairs `jac`, which ENOSPC'd DuckDB at sf10."""
+    if _table_exists(con, f"{p}_lshpr"):
+        return
+    from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_lane_sql
+
+    _mat_shingles(con, p)
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"MIN({md5_int32_lane_sql('shingle', j // 4, j % 4)}) AS h{j}" for j in range(num_hashes)
+    )
+    con.execute(f"CREATE TABLE {p}_sig AS SELECT doc_id, {mins} FROM {p}_sh GROUP BY doc_id")
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', {', '.join(f'h{b * rpb + r}' for r in range(rpb))}) AS sig "
+        f"FROM {p}_sig"
+        for b in range(bands)
+    )
+    con.execute(f"CREATE TABLE {p}_bands AS {band_selects}")
+    con.execute(
+        f"CREATE TABLE {p}_bok AS SELECT band, sig FROM {p}_bands "
+        f"GROUP BY band, sig HAVING COUNT(*) <= {max_bucket}"
+    )
+    con.execute(f"CREATE TABLE {p}_cand (doc1 BIGINT, doc2 BIGINT)")
+    for b in range(n_batches):
+        con.execute(
+            f"""INSERT INTO {p}_cand
+            SELECT DISTINCT a.doc_id, b2.doc_id
+            FROM {p}_bands a
+            JOIN {p}_bok k ON a.band = k.band AND a.sig = k.sig
+            JOIN {p}_bands b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+            WHERE hash(a.sig) % {n_batches} = {b}"""
+        )
+    con.execute(f"CREATE TABLE {p}_candd AS SELECT DISTINCT doc1, doc2 FROM {p}_cand")
+    for t in ("sig", "bands", "bok", "cand"):
+        con.execute(f"DROP TABLE {p}_{t}")
+    con.execute(f"CREATE TABLE {p}_cacc (doc1 BIGINT, doc2 BIGINT, n_common BIGINT)")
+    for b in range(n_batches):
+        con.execute(
+            f"""INSERT INTO {p}_cacc
+            SELECT c.doc1, c.doc2, COUNT(*) AS n_common
+            FROM {p}_candd c
+            JOIN {p}_sh a ON a.doc_id = c.doc1
+            JOIN {p}_sh b2 ON b2.doc_id = c.doc2 AND b2.shingle = a.shingle
+            WHERE hash(c.doc1) % {n_batches} = {b}
+            GROUP BY 1, 2"""
+        )
+    con.execute(
+        f"""CREATE TABLE {p}_lshpr AS
+        SELECT doc1, doc2, jaccard FROM (
+          SELECT i.doc1, i.doc2,
+                 ROUND(i.n_common / (s1.n + s2.n - i.n_common), 6) AS jaccard
+          FROM (SELECT doc1, doc2, CAST(SUM(n_common) AS BIGINT) AS n_common
+                FROM {p}_cacc GROUP BY 1, 2) i
+          JOIN {p}_sizes s1 ON i.doc1 = s1.doc_id
+          JOIN {p}_sizes s2 ON i.doc2 = s2.doc_id)
+        WHERE jaccard >= {threshold}"""
+    )
+    con.execute(f"DROP TABLE {p}_cacc")
+    con.execute(f"DROP TABLE {p}_candd")
+
+
+def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
+    """Segmented replays for the document dedup family.  Stages are
+    memoized as tables inside the run's on-disk database, so queries
+    sharing a pair set (d2/d12/d7/c1 the capped-Jaccard stage, d3/d15 the
+    LSH stage) pay for it once."""
     import __spark_entry__ as entrymod
     from youtubeanalyzerproject_big_data__spark.operators import dedup
 
-    if name == "d7_dup_clusters":
-        _segmented_jaccard_pairs(con, dedup.DEFAULT_MAX_DF, threshold=0.8)
-        _segmented_components(con, None)
-        rows = con.execute(
-            """SELECT d.doc_id, CAST(COALESCE(lbl.lbl, d.doc_id) AS BIGINT) AS cluster_id
-               FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id"""
+    if name == "d2_ngram_jaccard_pairs":
+        _mat_jac(con, dedup.DEFAULT_MAX_DF)
+        return con.execute("SELECT doc1, doc2, jaccard FROM t_jac WHERE jaccard >= 0.8").fetchall()
+    if name == "d12_containment_pairs":
+        _mat_pair_counts(con, dedup.DEFAULT_MAX_DF)
+        return con.execute(
+            """WITH b AS (
+                 SELECT doc1, doc2, n_common, s1.n AS n1, s2.n AS n2
+                 FROM t_int JOIN t_sizes s1 ON doc1 = s1.doc_id JOIN t_sizes s2 ON doc2 = s2.doc_id)
+               SELECT contained_id, container_id, containment FROM (
+                 SELECT doc1 AS contained_id, doc2 AS container_id, ROUND(n_common / n1, 6) AS containment FROM b
+                 UNION ALL
+                 SELECT doc2 AS contained_id, doc1 AS container_id, ROUND(n_common / n2, 6) AS containment FROM b)
+               WHERE containment >= 0.9
+               ORDER BY contained_id, container_id"""
         ).fetchall()
-    elif name == "c1_corpus_curation":
+    if name == "d3_minhash_lsh_pairs":
+        _mat_lsh_pairs(con, max_bucket=dedup.DEFAULT_MAX_BUCKET)
+        return con.execute("SELECT doc1, doc2, jaccard FROM t_lshpr").fetchall()
+    if name == "dr1_dedup_recall":
+        # Both legs run on the deterministic md5 sample, truth UNCAPPED
+        # (max_df=None) exactly as the one-shot SQL; only the evaluation
+        # order is segmented.
+        _mat_shingles(con, p="s", source=entrymod._DR1_SAMPLE_SQL)
+        _mat_jac(con, None, p="s")
+        _mat_lsh_pairs(con, p="s", max_bucket=2000, n_batches=16)
+        return con.execute(
+            """WITH tru AS (SELECT doc1, doc2 FROM s_jac WHERE jaccard >= 0.8),
+               t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tru),
+               f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM tru
+                     WHERE EXISTS (SELECT 1 FROM s_lshpr l WHERE l.doc1 = tru.doc1 AND l.doc2 = tru.doc2))
+               SELECT t.n_true, f.n_found,
+                      CAST(CASE WHEN t.n_true = 0 THEN -1
+                                ELSE (1000000 * f.n_found) // t.n_true END AS BIGINT) AS recall_ppm
+               FROM t, f"""
+        ).fetchall()
+    if name == "d7_dup_clusters":
+        _mat_jac(con, dedup.DEFAULT_MAX_DF)
+        con.execute("CREATE OR REPLACE TABLE pr_cap AS SELECT doc1, doc2 FROM t_jac WHERE jaccard >= 0.8")
+        _segmented_components(con, "pr_cap", out="lbl_cap")
+        return con.execute(
+            """SELECT d.doc_id, CAST(COALESCE(l.lbl, d.doc_id) AS BIGINT) AS cluster_id
+               FROM documents d LEFT JOIN lbl_cap l ON d.doc_id = l.id"""
+        ).fetchall()
+    if name == "c1_corpus_curation":
         # c1's one-shot oracle embeds the SAME recursive `reach` closure as
         # d7 (pair stage: shingle-jaccard >= 0.8); on the 100x-tiled fixture
         # the closure enumerates ~s^2 paths per s-sized clone group and was
         # observed at 119 GB RSS with no output after 30 min at sf10.  The
-        # pair stage is batched (_segmented_jaccard_pairs), the component
-        # stage label-propagated; the token/langid tail is linear and
-        # replays verbatim from the one-shot SQL.
-        _segmented_jaccard_pairs(con, dedup.DEFAULT_MAX_DF, threshold=0.8)
-        _segmented_components(con, None)
-        rows = con.execute(
+        # pair stage is batched, the component stage label-propagated; the
+        # token/langid tail is linear and replays verbatim.
+        _mat_jac(con, dedup.DEFAULT_MAX_DF)
+        con.execute("CREATE OR REPLACE TABLE pr_cap AS SELECT doc1, doc2 FROM t_jac WHERE jaccard >= 0.8")
+        _segmented_components(con, "pr_cap", out="lbl_cap")
+        return con.execute(
             rf"""
             WITH rep AS (
-              SELECT d.doc_id FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id
-              WHERE COALESCE(lbl.lbl, d.doc_id) = d.doc_id
+              SELECT d.doc_id FROM documents d LEFT JOIN lbl_cap l ON d.doc_id = l.id
+              WHERE COALESCE(l.lbl, d.doc_id) = d.doc_id
             ),
             q AS (
               SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -264,16 +406,12 @@ def _run_components_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tup
             WHERE lng.lang_pred = 'en' AND q.n_tokens >= 10 AND q.dup_token_ratio <= 0.6
             """
         ).fetchall()
-    elif name == "d15_dedup_keep_best":
-        pairs = (
-            "SELECT doc1, doc2 FROM ("
-            + entrymod._minhash_lsh_oracle(16, 4, 0.8, max_bucket=dedup.DEFAULT_MAX_BUCKET)
-            + ")"
-        )
-        _segmented_components(con, pairs)
-        rows = con.execute(
-            """WITH m AS (SELECT lbl.id AS doc_id, lbl.lbl AS cluster_id, d.n_chars
-                          FROM lbl JOIN documents d ON lbl.id = d.doc_id),
+    if name == "d15_dedup_keep_best":
+        _mat_lsh_pairs(con, max_bucket=dedup.DEFAULT_MAX_BUCKET)
+        _segmented_components(con, "t_lshpr", out="lbl_lsh")
+        return con.execute(
+            """WITH m AS (SELECT l.id AS doc_id, l.lbl AS cluster_id, d.n_chars
+                          FROM lbl_lsh l JOIN documents d ON l.id = d.doc_id),
                rk AS (SELECT cluster_id, doc_id, n_chars,
                              row_number() OVER (PARTITION BY cluster_id
                                                 ORDER BY n_chars DESC, doc_id) AS rn
@@ -287,13 +425,18 @@ def _run_components_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tup
                WHERE sz.n_members >= 2
                ORDER BY sz.cluster_id"""
         ).fetchall()
-    else:
-        raise KeyError(name)
-    con.execute("DROP TABLE lbl")
-    return rows
+    raise KeyError(name)
 
 
-COMPONENT_QUERIES = ("d7_dup_clusters", "d15_dedup_keep_best", "c1_corpus_curation")
+COMPONENT_QUERIES = (
+    "d7_dup_clusters",
+    "d15_dedup_keep_best",
+    "c1_corpus_curation",
+    "d2_ngram_jaccard_pairs",
+    "d12_containment_pairs",
+    "d3_minhash_lsh_pairs",
+    "dr1_dedup_recall",
+)
 
 
 def main() -> None:
@@ -323,7 +466,7 @@ def main() -> None:
         for name in names:
             t0 = time.time()
             if name in COMPONENT_QUERIES:
-                orows = _run_components_query(con, name)
+                orows = _run_doc_query(con, name)
             else:
                 edges_sql, seeds_key = SEGMENTED[name]
                 seeds = getattr(entrymod, seeds_key) if seeds_key else None
