@@ -195,60 +195,65 @@ def _mat_shingles(con: duckdb.DuckDBPyConnection, p: str = "t", source: str = "d
     con.execute(f"CREATE TABLE {p}_sizes AS SELECT doc_id, COUNT(*) AS n FROM {p}_sh GROUP BY doc_id")
 
 
-def _mat_pair_counts(
-    con: duckdb.DuckDBPyConnection, max_df: int | None, p: str = "t", n_batches: int = 24
+def _mat_thresh_pairs(
+    con: duckdb.DuckDBPyConnection,
+    max_df: int | None,
+    predicates: dict[str, str],
+    p: str = "t",
+    n_batches: int = 24,
 ) -> None:
-    """{p}_int: the `inter` CTE (pairwise shared-shingle counts over the
-    max_df-capped postings), computed BATCHED by hash(shingle).
+    """Threshold-filtered pair tables from the `inter`/`jac` stage, computed
+    BATCHED by hash(doc1) with the filter applied INSIDE each batch.
 
     On the K=100-tiled fixture every document is a ~K-clone, so the one-shot
     posting-list self-join emits ~sum_shingle C(df,2) intermediate rows
-    (~5e9 at sf10) -- measured past DuckDB's temp disk (ENOSPC).
-    Intersection counts are additive across disjoint shingle partitions, so
-    the self-join runs once per batch with a bounded intermediate and the
-    partial counts are summed -- identical to the one-shot `inter`."""
-    if _table_exists(con, f"{p}_int"):
+    (measured 5.2e9 capped / 1.4e10 uncapped at sf10) and even the DISTINCT
+    co-occurring pair set is ~1e9 rows -- storing either form ENOSPC'd
+    DuckDB temp.  Partitioning by hash(doc1) puts every pair in EXACTLY one
+    batch (no cross-batch merge needed), and each per-batch count table is
+    joined to sizes and filtered by the requested predicates immediately,
+    so nothing pair-multiplicity-sized is ever materialized.
+
+    ``predicates``: out_table -> boolean SQL over (doc1, doc2, n_common,
+    n1, n2).  Each out table keeps all five columns so tails can rebuild
+    the exact one-shot expressions (jaccard / containment)."""
+    todo = {t: e for t, e in predicates.items() if not _table_exists(con, t)}
+    if not todo:
         return
     _mat_shingles(con, p)
     post = f"{p}_sh"
     if max_df is not None:
         post = f"{p}_shf"
-        con.execute(
-            f"""CREATE TABLE {post} AS
-            SELECT s.doc_id, s.shingle FROM {p}_sh s
-            JOIN (SELECT shingle FROM {p}_sh GROUP BY shingle HAVING COUNT(*) <= {max_df}) c USING (shingle)"""
-        )
-    con.execute(f"CREATE TABLE {p}_acc (doc1 BIGINT, doc2 BIGINT, n_common BIGINT)")
+        if not _table_exists(con, post):
+            con.execute(
+                f"""CREATE TABLE {post} AS
+                SELECT s.doc_id, s.shingle FROM {p}_sh s
+                JOIN (SELECT shingle FROM {p}_sh GROUP BY shingle HAVING COUNT(*) <= {max_df}) c USING (shingle)"""
+            )
+    for out in todo:
+        con.execute(f"CREATE TABLE {out} (doc1 BIGINT, doc2 BIGINT, n_common BIGINT, n1 BIGINT, n2 BIGINT)")
     for b in range(n_batches):
         con.execute(
-            f"""INSERT INTO {p}_acc
-            SELECT a.doc_id AS doc1, b2.doc_id AS doc2, COUNT(*) AS n_common
-            FROM {post} a JOIN {post} b2
-              ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
-            WHERE hash(a.shingle) % {n_batches} = {b}
-            GROUP BY 1, 2"""
+            f"""CREATE OR REPLACE TABLE {p}_batch AS
+            SELECT i.doc1, i.doc2, i.n_common, s1.n AS n1, s2.n AS n2
+            FROM (
+              SELECT a.doc_id AS doc1, b2.doc_id AS doc2, COUNT(*) AS n_common
+              FROM {post} a JOIN {post} b2
+                ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
+              WHERE hash(a.doc_id) % {n_batches} = {b}
+              GROUP BY 1, 2
+            ) i
+            JOIN {p}_sizes s1 ON i.doc1 = s1.doc_id
+            JOIN {p}_sizes s2 ON i.doc2 = s2.doc_id"""
         )
-    con.execute(
-        f"CREATE TABLE {p}_int AS SELECT doc1, doc2, CAST(SUM(n_common) AS BIGINT) AS n_common "
-        f"FROM {p}_acc GROUP BY 1, 2"
-    )
-    con.execute(f"DROP TABLE {p}_acc")
-    if max_df is not None:
-        con.execute(f"DROP TABLE {post}")
+        for out, pred in todo.items():
+            con.execute(f"INSERT INTO {out} SELECT * FROM {p}_batch WHERE {pred}")
+    con.execute(f"DROP TABLE {p}_batch")
 
 
-def _mat_jac(con: duckdb.DuckDBPyConnection, max_df: int | None, p: str = "t") -> None:
-    """{p}_jac: the `jac` CTE (rounded Jaccard for every co-occurring pair)."""
-    if _table_exists(con, f"{p}_jac"):
-        return
-    _mat_pair_counts(con, max_df, p)
-    con.execute(
-        f"""CREATE TABLE {p}_jac AS
-        SELECT i.doc1, i.doc2, ROUND(i.n_common / (s1.n + s2.n - i.n_common), 6) AS jaccard
-        FROM {p}_int i
-        JOIN {p}_sizes s1 ON i.doc1 = s1.doc_id
-        JOIN {p}_sizes s2 ON i.doc2 = s2.doc_id"""
-    )
+# The exact one-shot `jac`/containment expressions over the five kept columns.
+JAC_EXPR = "ROUND(n_common / (n1 + n2 - n_common), 6)"
+CONT_ANY = f"ROUND(n_common / n1, 6) >= 0.9 OR ROUND(n_common / n2, 6) >= 0.9"
 
 
 def _mat_lsh_pairs(
@@ -333,19 +338,18 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
     import __spark_entry__ as entrymod
     from youtubeanalyzerproject_big_data__spark.operators import dedup
 
+    capped_preds = {"t_jac08": f"{JAC_EXPR} >= 0.8", "t_cont09": CONT_ANY}
+
     if name == "d2_ngram_jaccard_pairs":
-        _mat_jac(con, dedup.DEFAULT_MAX_DF)
-        return con.execute("SELECT doc1, doc2, jaccard FROM t_jac WHERE jaccard >= 0.8").fetchall()
+        _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
+        return con.execute(f"SELECT doc1, doc2, {JAC_EXPR} AS jaccard FROM t_jac08").fetchall()
     if name == "d12_containment_pairs":
-        _mat_pair_counts(con, dedup.DEFAULT_MAX_DF)
+        _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
         return con.execute(
-            """WITH b AS (
-                 SELECT doc1, doc2, n_common, s1.n AS n1, s2.n AS n2
-                 FROM t_int JOIN t_sizes s1 ON doc1 = s1.doc_id JOIN t_sizes s2 ON doc2 = s2.doc_id)
-               SELECT contained_id, container_id, containment FROM (
-                 SELECT doc1 AS contained_id, doc2 AS container_id, ROUND(n_common / n1, 6) AS containment FROM b
+            """SELECT contained_id, container_id, containment FROM (
+                 SELECT doc1 AS contained_id, doc2 AS container_id, ROUND(n_common / n1, 6) AS containment FROM t_cont09
                  UNION ALL
-                 SELECT doc2 AS contained_id, doc1 AS container_id, ROUND(n_common / n2, 6) AS containment FROM b)
+                 SELECT doc2 AS contained_id, doc1 AS container_id, ROUND(n_common / n2, 6) AS containment FROM t_cont09)
                WHERE containment >= 0.9
                ORDER BY contained_id, container_id"""
         ).fetchall()
@@ -357,10 +361,10 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
         # (max_df=None) exactly as the one-shot SQL; only the evaluation
         # order is segmented.
         _mat_shingles(con, p="s", source=entrymod._DR1_SAMPLE_SQL)
-        _mat_jac(con, None, p="s")
+        _mat_thresh_pairs(con, None, {"s_jac08": f"{JAC_EXPR} >= 0.8"}, p="s", n_batches=32)
         _mat_lsh_pairs(con, p="s", max_bucket=2000, n_batches=16)
         return con.execute(
-            """WITH tru AS (SELECT doc1, doc2 FROM s_jac WHERE jaccard >= 0.8),
+            """WITH tru AS (SELECT doc1, doc2 FROM s_jac08),
                t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tru),
                f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM tru
                      WHERE EXISTS (SELECT 1 FROM s_lshpr l WHERE l.doc1 = tru.doc1 AND l.doc2 = tru.doc2))
@@ -370,9 +374,8 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
                FROM t, f"""
         ).fetchall()
     if name == "d7_dup_clusters":
-        _mat_jac(con, dedup.DEFAULT_MAX_DF)
-        con.execute("CREATE OR REPLACE TABLE pr_cap AS SELECT doc1, doc2 FROM t_jac WHERE jaccard >= 0.8")
-        _segmented_components(con, "pr_cap", out="lbl_cap")
+        _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
+        _segmented_components(con, "t_jac08", out="lbl_cap")
         return con.execute(
             """SELECT d.doc_id, CAST(COALESCE(l.lbl, d.doc_id) AS BIGINT) AS cluster_id
                FROM documents d LEFT JOIN lbl_cap l ON d.doc_id = l.id"""
@@ -384,9 +387,8 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
         # observed at 119 GB RSS with no output after 30 min at sf10.  The
         # pair stage is batched, the component stage label-propagated; the
         # token/langid tail is linear and replays verbatim.
-        _mat_jac(con, dedup.DEFAULT_MAX_DF)
-        con.execute("CREATE OR REPLACE TABLE pr_cap AS SELECT doc1, doc2 FROM t_jac WHERE jaccard >= 0.8")
-        _segmented_components(con, "pr_cap", out="lbl_cap")
+        _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
+        _segmented_components(con, "t_jac08", out="lbl_cap")
         return con.execute(
             rf"""
             WITH rep AS (
