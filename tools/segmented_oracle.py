@@ -493,7 +493,10 @@ def main() -> None:
                 "t_oracle_s": round(t_oracle, 1),
             }
             status = "ok  " if (ok_rows and ok_vals) else "FAIL"
-            print(f"{status} {name} (segmented oracle, spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)")
+            print(f"{status} {name} (segmented oracle, spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)", flush=True)
+            if json_out:  # incremental: a late crash keeps the finished rows
+                with open(json_out, "w") as f:
+                    json.dump(records, f, indent=1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     if json_out:
