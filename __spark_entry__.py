@@ -54,6 +54,7 @@ from youtubeanalyzerproject_big_data__spark.operators import quality as quality_
 from youtubeanalyzerproject_big_data__spark.operators.merge import scd2_history as merge_scd2
 from youtubeanalyzerproject_big_data__spark import serve
 from youtubeanalyzerproject_big_data__spark.streaming import events as ev
+from youtubeanalyzerproject_big_data__spark.session import scratch_dir as _scratch_dir
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB side)
@@ -780,7 +781,6 @@ def q_v1(spark: SparkSession, sf: str) -> DataFrame:
     contract) before the dir is removed, so repeated verify/bench runs
     leave no orphaned v1_cache_* directories behind."""
     import shutil
-    import tempfile
 
     _utc(spark)
     videos = load_events(spark, sf).select(
@@ -789,7 +789,7 @@ def q_v1(spark: SparkSession, sf: str) -> DataFrame:
         (F.unix_micros("ts") % 1000).cast("double").alias("length"),
         ((F.col("user_id") % 5) + 1).cast("double").alias("rate"),
     )
-    cache_dir = tempfile.mkdtemp(prefix="v1_cache_")
+    cache_dir = _scratch_dir("v1_cache_")
     try:
         svc = serve.QueryService(spark, videos, cache_dir)
         svc.serve("categorystats")  # miss: compute + materialize
@@ -1901,9 +1901,8 @@ def _drive_stream(
     cross-batch state.
     """
     import glob
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix=prefix)
+    base = _scratch_dir(prefix)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     if n_files > 1:
         assert order_col is not None
@@ -2066,7 +2065,6 @@ def q_se11(spark: SparkSession, sf: str) -> DataFrame:
     production crash-recovery contract, gate-checked instead of assumed."""
     import glob
     import shutil
-    import tempfile
 
     _utc(spark)
     # restart reads phase-A state snapshots, which ship no checksum files;
@@ -2075,7 +2073,7 @@ def q_se11(spark: SparkSession, sf: str) -> DataFrame:
     ck_prev = spark.conf.get(ck_key, None)
     spark.conf.set(ck_key, "false")
     e = load_events(spark, sf).select("user_id", "ts", "value")
-    base = tempfile.mkdtemp(prefix="se11_")
+    base = _scratch_dir("se11_")
     stage, src, sink, ckpt = (os.path.join(base, d) for d in ("stage", "src", "sink", "ckpt"))
     e.repartitionByRange(4, F.col("ts")).write.parquet(stage)
     parts = sorted(glob.glob(os.path.join(stage, "part-*")))
@@ -2999,12 +2997,11 @@ def q_l4(spark: SparkSession, sf: str) -> DataFrame:
     bits."""
     import glob as _glob
     import shutil
-    import tempfile
 
     from youtubeanalyzerproject_big_data__spark.io import compact_parquet
 
     docs = load_table(spark, sf, "documents")
-    tmp = tempfile.mkdtemp(prefix="l4_compact_")
+    tmp = _scratch_dir("l4_compact_")
     try:
         small, big = f"{tmp}/small", f"{tmp}/big"
         docs.repartition(64).write.mode("overwrite").parquet(small)
@@ -3052,13 +3049,12 @@ def q_l6(spark: SparkSession, sf: str) -> DataFrame:
     is value-matched by the oracle from the raw tables, proving the
     bucketed write+read lost nothing."""
     import shutil
-    import tempfile
 
     from youtubeanalyzerproject_big_data__spark.plans.inspect import executed_plan
 
     o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
-    tmp = tempfile.mkdtemp(prefix="l6_bucketed_")
+    tmp = _scratch_dir("l6_bucketed_")
     try:
         spark.sql("DROP TABLE IF EXISTS l6_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS l6_customer_bkt")
@@ -3107,14 +3103,13 @@ def q_l7(spark: SparkSession, sf: str) -> DataFrame:
     out of the row payload).  The aggregate off the pruned read is
     value-matched by the oracle from the raw table."""
     import shutil
-    import tempfile
 
     from youtubeanalyzerproject_big_data__spark.plans.inspect import executed_plan, scan_schemas
 
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-    tmp = tempfile.mkdtemp(prefix="l7_partitioned_")
+    tmp = _scratch_dir("l7_partitioned_")
     try:
         o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
         back = spark.read.parquet(tmp)
@@ -3177,12 +3172,11 @@ def q_v2(spark: SparkSession, sf: str) -> DataFrame:
     JSONL sink+source preserved every row and byte of the corpus -- the
     training-data interchange format, verified, not assumed."""
     import shutil
-    import tempfile
 
     from youtubeanalyzerproject_big_data__spark.io import read_jsonl, write_jsonl
 
     docs = load_table(spark, sf, "documents")
-    tmp = tempfile.mkdtemp(prefix="v2_jsonl_")
+    tmp = _scratch_dir("v2_jsonl_")
     try:
         write_jsonl(docs, tmp, n_files=8)
         back = read_jsonl(
@@ -3217,12 +3211,11 @@ def q_v4(spark: SparkSession, sf: str) -> DataFrame:
     hash match proves the CSV sink+source preserved every row and byte --
     the spreadsheet-facing interchange format, verified like v2's JSONL."""
     import shutil
-    import tempfile
 
     from youtubeanalyzerproject_big_data__spark.io import read_csv, write_csv
 
     docs = load_table(spark, sf, "documents")
-    tmp = tempfile.mkdtemp(prefix="v4_csv_")
+    tmp = _scratch_dir("v4_csv_")
     try:
         write_csv(docs, tmp, n_files=8)
         back = read_csv(
@@ -3257,12 +3250,11 @@ def q_v6(spark: SparkSession, sf: str) -> DataFrame:
     (JSONL v2, CSV v4, ORC v6, hive-partitioned parquet v5) with the
     Hive-ecosystem columnar format."""
     import shutil
-    import tempfile
 
     from youtubeanalyzerproject_big_data__spark.io import read_orc, write_orc
 
     docs = load_table(spark, sf, "documents")
-    tmp = tempfile.mkdtemp(prefix="v6_orc_")
+    tmp = _scratch_dir("v6_orc_")
     try:
         write_orc(docs, tmp, n_files=8)
         back = read_orc(
@@ -3299,12 +3291,11 @@ def q_v5(spark: SparkSession, sf: str) -> DataFrame:
     deterministic and (b) the export wrote and reads back every row --
     the ship-to-training handoff, audited."""
     import shutil
-    import tempfile
 
     from youtubeanalyzerproject_big_data__spark.io import export_sharded
 
     docs = load_table(spark, sf, "documents")
-    tmp = tempfile.mkdtemp(prefix="v5_export_")
+    tmp = _scratch_dir("v5_export_")
     try:
         staged = docs.withColumn(
             "shard", F.pmod(md5_int32(F.col("doc_id").cast("string"), seed="v5"), F.lit(8))
@@ -3348,10 +3339,9 @@ def q_v3(spark: SparkSession, sf: str) -> DataFrame:
     batch.  Per-lang aggregate off the merged read (sentinel-filled, per
     repo invariant) is value-matched from the raw table."""
     import shutil
-    import tempfile
 
     docs = load_table(spark, sf, "documents")
-    tmp = tempfile.mkdtemp(prefix="v3_evolve_")
+    tmp = _scratch_dir("v3_evolve_")
     try:
         even, odd = F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
         docs.where(even).select("doc_id", "text", "lang").write.parquet(f"{tmp}/b1")
@@ -3451,11 +3441,10 @@ def q_se10(spark: SparkSession, sf: str) -> DataFrame:
     arrival path."""
     import glob
     import shutil
-    import tempfile
 
     _utc(spark)
     e = load_events(spark, sf).select("event_id", "event_type", "ts", "value")
-    base = tempfile.mkdtemp(prefix="se10_")
+    base = _scratch_dir("se10_")
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     os.makedirs(src)
     t0 = int(time.time()) - 3600

@@ -1,11 +1,17 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import SparkSession
+
+from youtubeanalyzerproject_big_data__spark.session import SCRATCH_ROOT
 
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
+    spark_local = os.path.join(SCRATCH_ROOT, "spark-local")
+    os.makedirs(spark_local, exist_ok=True)
     s = (
         SparkSession.builder.appName("engine-tests")
         .master("local[4]")
@@ -13,6 +19,7 @@ def spark() -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", spark_local)
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

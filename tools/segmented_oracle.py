@@ -187,9 +187,30 @@ idx AS (
 SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx"""
 
 
+# Memoized stage tables are per-(connection, table) with their RESULT-DEFINING
+# params recorded; reusing a memo under different params is a hard error, not a
+# silent stale read (ADVICE r7: _mat_shingles ignored `source`, _mat_lsh_pairs
+# ignored num_hashes/bands/threshold/max_bucket -- dr1 only worked because it
+# pre-seeded 's_sh' in the right order).  Batch counts are excluded: they change
+# evaluation order only, never the result set.
+_MEMO_PARAMS: dict[tuple[int, str], tuple] = {}
+
+
+def _memoized(con: duckdb.DuckDBPyConnection, table: str, params: tuple) -> bool:
+    """True if ``table`` was already built on ``con``; asserts same params."""
+    key = (id(con), table)
+    if _table_exists(con, table):
+        prev = _MEMO_PARAMS.get(key)
+        if prev is not None and prev != params:
+            raise RuntimeError(f"memo table {table} built with params {prev}, requested {params}")
+        return True
+    _MEMO_PARAMS[key] = params
+    return False
+
+
 def _mat_shingles(con: duckdb.DuckDBPyConnection, p: str = "t", source: str = "documents") -> None:
     """{p}_sh (distinct doc_id/shingle, the `sh` CTE verbatim) + {p}_sizes."""
-    if _table_exists(con, f"{p}_sh"):
+    if _memoized(con, f"{p}_sh", (source,)):
         return
     con.execute(f"CREATE TABLE {p}_sh AS {SHINGLE_SQL.format(source=source)}")
     con.execute(f"CREATE TABLE {p}_sizes AS SELECT doc_id, COUNT(*) AS n FROM {p}_sh GROUP BY doc_id")
@@ -201,6 +222,7 @@ def _mat_thresh_pairs(
     predicates: dict[str, str],
     p: str = "t",
     n_batches: int = 24,
+    source: str = "documents",
 ) -> None:
     """Threshold-filtered pair tables from the `inter`/`jac` stage, computed
     BATCHED by hash(doc1) with the filter applied INSIDE each batch.
@@ -217,10 +239,10 @@ def _mat_thresh_pairs(
     ``predicates``: out_table -> boolean SQL over (doc1, doc2, n_common,
     n1, n2).  Each out table keeps all five columns so tails can rebuild
     the exact one-shot expressions (jaccard / containment)."""
-    todo = {t: e for t, e in predicates.items() if not _table_exists(con, t)}
+    todo = {t: e for t, e in predicates.items() if not _memoized(con, t, (source, max_df, e))}
     if not todo:
         return
-    _mat_shingles(con, p)
+    _mat_shingles(con, p, source=source)
     post = f"{p}_sh"
     if max_df is not None:
         post = f"{p}_shf"
@@ -253,7 +275,7 @@ def _mat_thresh_pairs(
 
 # The exact one-shot `jac`/containment expressions over the five kept columns.
 JAC_EXPR = "ROUND(n_common / (n1 + n2 - n_common), 6)"
-CONT_ANY = f"ROUND(n_common / n1, 6) >= 0.9 OR ROUND(n_common / n2, 6) >= 0.9"
+CONT_ANY = "ROUND(n_common / n1, 6) >= 0.9 OR ROUND(n_common / n2, 6) >= 0.9"
 
 
 def _mat_lsh_pairs(
@@ -264,6 +286,7 @@ def _mat_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int = 2000,
     n_batches: int = 8,
+    source: str = "documents",
 ) -> None:
     """{p}_lshpr: the `_minhash_lsh_oracle` result (band-bucket candidates,
     exact-Jaccard verified >= threshold), with BOTH quadratic stages bounded:
@@ -271,11 +294,11 @@ def _mat_lsh_pairs(
     verification joining only CANDIDATE pairs against the uncapped postings,
     batched by hash(doc1) -- the one-shot form verifies against the full
     uncapped all-pairs `jac`, which ENOSPC'd DuckDB at sf10."""
-    if _table_exists(con, f"{p}_lshpr"):
+    if _memoized(con, f"{p}_lshpr", (source, num_hashes, bands, threshold, max_bucket)):
         return
     from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32_lane_sql
 
-    _mat_shingles(con, p)
+    _mat_shingles(con, p, source=source)
     rpb = num_hashes // bands
     mins = ", ".join(
         f"MIN({md5_int32_lane_sql('shingle', j // 4, j % 4)}) AS h{j}" for j in range(num_hashes)
@@ -360,9 +383,9 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
         # Both legs run on the deterministic md5 sample, truth UNCAPPED
         # (max_df=None) exactly as the one-shot SQL; only the evaluation
         # order is segmented.
-        _mat_shingles(con, p="s", source=entrymod._DR1_SAMPLE_SQL)
-        _mat_thresh_pairs(con, None, {"s_jac08": f"{JAC_EXPR} >= 0.8"}, p="s", n_batches=32)
-        _mat_lsh_pairs(con, p="s", max_bucket=2000, n_batches=16)
+        sample_src = entrymod._DR1_SAMPLE_SQL
+        _mat_thresh_pairs(con, None, {"s_jac08": f"{JAC_EXPR} >= 0.8"}, p="s", n_batches=32, source=sample_src)
+        _mat_lsh_pairs(con, p="s", max_bucket=2000, n_batches=16, source=sample_src)
         return con.execute(
             """WITH tru AS (SELECT doc1, doc2 FROM s_jac08),
                t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tru),
@@ -457,7 +480,9 @@ def main() -> None:
     spark = get_spark("segmented-oracle")
     qs = entrymod.queries()
     records: dict[str, dict] = {}
-    tmp = tempfile.mkdtemp(prefix="segora_")
+    from youtubeanalyzerproject_big_data__spark.session import scratch_dir
+
+    tmp = scratch_dir("segora_")  # repo-local: DuckDB spill can reach tens of GB and must not race a /tmp sweep
     try:
         con = duckdb.connect(os.path.join(tmp, "seg.duckdb"))  # on-disk: rank/edge tables may spill
         mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")

@@ -10,10 +10,29 @@ broadcast demotion/promotion) replaces hand-scheduling.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# All engine scratch (Spark local dirs for shuffle/blockmgr spill, streaming
+# source/sink/checkpoint dirs, layout-query write-read dirs) lives under the
+# repo, NOT /tmp.  Round 7's post-round bench and verify both died with
+# FileNotFoundException on /tmp/blockmgr-*/NN/temp_shuffle_* -- Spark's
+# lazily-created shuffle subdirs vanished mid-write, the signature of an
+# external /tmp sweep racing a live JVM.  A repo-local scratch root is
+# outside any system tmp cleaner's reach; .tmp/ is gitignored.
+SCRATCH_ROOT = os.environ.get(
+    "SPARK_GRAFT_SCRATCH",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp"),
+)
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp under the repo-local scratch root (sweep-safe; caller cleans up)."""
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=SCRATCH_ROOT)
 
 # Streaming state-store backends.  'hdfs' (Spark's default) keeps state as
 # in-memory maps snapshotted to the checkpoint dir -- fine while every
@@ -48,9 +67,14 @@ def get_spark(
     state_store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
     if state_store is not None and state_store not in STATE_STORE_PROVIDERS:
         raise ValueError(f"unknown state_store {state_store!r}; pick from {sorted(STATE_STORE_PROVIDERS)}")
+    # spark.local.dir is read once at JVM start; pointing it at the repo-local
+    # scratch keeps blockmgr/shuffle temp out of /tmp (see SCRATCH_ROOT note).
+    spark_local = os.path.join(SCRATCH_ROOT, "spark-local")
+    os.makedirs(spark_local, exist_ok=True)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.local.dir", spark_local)
         # AQE: runtime coalescing of shuffle partitions, skew-join splitting,
         # sort-merge -> broadcast conversion when a side turns out small.
         .config("spark.sql.adaptive.enabled", "true")
