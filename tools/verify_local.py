@@ -70,6 +70,13 @@ def main() -> None:
     for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+    def _flush() -> None:
+        # incremental: a late crash in a multi-hour scale sweep keeps the
+        # finished rows (same contract as tools/segmented_oracle.py)
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(records, f, indent=1, sort_keys=True)
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -88,6 +95,7 @@ def main() -> None:
                              "spark_rows": None, "oracle_rows": None,
                              "err": f"spark: {type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            _flush()
             continue
         if name not in oracles:
             records[name] = {"rows_match": len(srows) > 0, "schema_match": None,
@@ -96,6 +104,7 @@ def main() -> None:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"WARN {name}: zero rows")
+            _flush()
             continue
         t1 = time.time()
         try:
@@ -110,6 +119,7 @@ def main() -> None:
                              "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}",
                              "t_spark_s": t_spark}
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            _flush()
             continue
         problems = []
         schema_ok = sorted(scols) == sorted(ocols)
@@ -134,9 +144,9 @@ def main() -> None:
             print(f"FAIL {name}: " + "; ".join(p[:400] for p in problems))
         else:
             print(f"ok   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+        _flush()
     if json_out:
-        with open(json_out, "w") as f:
-            json.dump(records, f, indent=1, sort_keys=True)
+        _flush()
         print(f"wrote {json_out} ({len(records)} queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
 
