@@ -504,7 +504,11 @@ def test_minhash_candidates_meet_in_buckets_not_crossjoin(spark):
         for line in plan.splitlines():
             if "Exchange" in line:
                 assert "text#" not in line, line
-        assert plan.count("BroadcastHashJoin") >= 1  # pair verification joins broadcast
+        # Pair-verification joins are pinned to shuffle-hash building on the
+        # doc-keyed side: the static planner's estimate for the candidate
+        # side is unreliable (it broadcast a ~1e9-row pair table at sf10),
+        # so neither side may be broadcast here.
+        assert plan.count("ShuffledHashJoin") >= 2
     finally:
         spark.catalog.clearCache()
 

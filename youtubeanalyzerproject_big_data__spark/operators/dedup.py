@@ -133,9 +133,16 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     O(candidates), not O(all overlapping pairs).
     """
     sets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
+    # shuffle_hash on the per-doc side: the static planner's size estimate
+    # for a deep post-explode aggregate is garbage, and at sf10 it chose to
+    # BROADCAST the candidate-pair side (~1e9 rows) -- the driver-side
+    # broadcast collect blew spark.driver.maxResultSize (round-8 catch, d2's
+    # twin shape).  Pinning SHJ with the build on the doc-keyed side never
+    # ships anything to the driver, sorts nothing, and stays valid at any
+    # scale (build bytes per partition shrink as partitions grow).
     return (
-        pairs.join(sets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("h1")), "doc1")
-        .join(sets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("h2")), "doc2")
+        pairs.join(sets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("h1")).hint("shuffle_hash"), "doc1")
+        .join(sets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("h2")).hint("shuffle_hash"), "doc2")
         .withColumn("n_common", F.size(F.array_intersect("h1", "h2")))
         .withColumn(
             "jaccard",
@@ -178,8 +185,13 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     result = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
-        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
+        # shuffle_hash on the sizes side: static stats undercount `inter`
+        # (a post-explode aggregate) so badly that at sf10 the planner
+        # BROADCAST the ~1e9-row pair table -- the broadcast collect blew
+        # spark.driver.maxResultSize (round-8 sf10 catch).  SHJ building on
+        # the doc-count side is driver-safe and sort-free at every scale.
+        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")).hint("shuffle_hash"), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")).hint("shuffle_hash"), "doc2")
         .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
@@ -888,9 +900,11 @@ def containment_pairs(
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # shuffle_hash for the same reason as ngram_jaccard_pairs: never let the
+    # static planner broadcast the pair-count side off a bogus estimate.
     both = inter.join(
-        sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1"
-    ).join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
+        sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")).hint("shuffle_hash"), "doc1"
+    ).join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")).hint("shuffle_hash"), "doc2")
     fwd = both.select(
         F.col("doc1").alias("contained_id"),
         F.col("doc2").alias("container_id"),
