@@ -24,6 +24,7 @@ All stages are built-in Catalyst expressions; no Python UDFs.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -173,7 +174,12 @@ def ngram_jaccard_pairs(
     stop-shingles are missed -- the documented trade-off; the driver oracle
     mirrors the same cut, and None restores the exact path.
     """
-    sh = _hashed_shingles(df, id_col, text_col, n).cache()
+    # MEMORY_ONLY, not cache(): the corpus-shingle table is ~100x the doc
+    # table; MEMORY_AND_DISK's spill wrote ~25 GB at the sf10 replay and
+    # starved the same disk the shuffle needs. Evicted partitions recompute
+    # (CPU) instead of spilling (disk) -- the right trade on shuffle-bound
+    # scratch at every scale.
+    sh = _hashed_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     groups = sh.groupBy("sh").agg(F.sort_array(F.collect_set("doc_id")).alias("ds")).where(F.size("ds") >= 2)
     if max_df is not None:
@@ -252,7 +258,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # Shingle once (CPU-heavy), reuse for both the signature path and the
     # exact-verification sets.
-    sh_rows = _shingles(df, id_col, text_col, n).cache()
+    # MEMORY_ONLY: same disk-spill rationale as ngram_jaccard_pairs.
+    sh_rows = _shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_ONLY)
     sigs = _minhash_sigs_from_shingles(sh_rows, num_hashes)
 
     band_rows = sigs.select(
@@ -889,7 +896,12 @@ def containment_pairs(
     qualifying pair separately since containment is directional:
     (contained_id, container_id, containment).
     """
-    sh = _hashed_shingles(df, id_col, text_col, n).cache()
+    # MEMORY_ONLY, not cache(): the corpus-shingle table is ~100x the doc
+    # table; MEMORY_AND_DISK's spill wrote ~25 GB at the sf10 replay and
+    # starved the same disk the shuffle needs. Evicted partitions recompute
+    # (CPU) instead of spilling (disk) -- the right trade on shuffle-bound
+    # scratch at every scale.
+    sh = _hashed_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     groups = sh.groupBy("sh").agg(F.sort_array(F.collect_set("doc_id")).alias("ds")).where(F.size("ds") >= 2)
     if max_df is not None:

@@ -96,6 +96,12 @@ def get_spark(
         # contract) get their buffer eaten by them, so keep stdout clean.
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Escape hatch for scale replays: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    # (e.g. spark.io.compression.codec=zstd to shrink the sf10 shuffle
+    # footprint on a disk-tight box). Builder-time only.
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     if state_store is not None:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", STATE_STORE_PROVIDERS[state_store])
