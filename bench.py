@@ -32,6 +32,15 @@ Known deliberate costs (do NOT chase as regressions):
 - tpch_q1 carries ~0.2-0.3 s from r6's integer-exact dec_avg (pmod +
   exact-multiple division replacing the broken double ROUND on its three
   averages) -- the price of the e1 half-case fix, applied engine-wide.
+- d2/d12 carry ~0.5-1 s at sf0.1 from the r8 `hint("shuffle_hash")` pin on
+  the doc-stat side of the pair-verification joins: Catalyst's static size
+  estimate for the post-explode aggregate is unreliable and at sf10 it chose
+  to BROADCAST a ~1e9-row pair table (driver maxResultSize abort).  The pin
+  trades a small local-scale cost for not aborting at 100x -- keep it.
+- The r8 clean record's `contended` flags (d2, g10, g8, s4, s8, tpch_q12)
+  were recorded on an IDLE box: each shows a monotone warm-up ramp or one
+  cold first sample (e.g. s4 [12.9, 2.1, 1.3]), i.e. per-run JIT/page-cache
+  variance tripping the median/min heuristic, not a neighbor process.
 - t15/g6/a7 r6 drifts ADJUDICATED (r7, VERDICT r6 item 3), isolated 6-sample
   runs after the standard warmup on an idle box:
   - a7_order_parts_csv: NOISE.  Isolated min 1.209 s == r5's 1.159 s; the
