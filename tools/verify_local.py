@@ -67,6 +67,12 @@ def main() -> None:
     mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+        # An in-memory DuckDB has no temp_directory, so a capped budget
+        # would make over-limit operators ERROR instead of spilling; point
+        # spill at the repo-local scratch (sweep-safe, same as Spark's).
+        from youtubeanalyzerproject_big_data__spark.session import scratch_dir
+
+        con.execute(f"SET temp_directory='{scratch_dir('verora_')}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
