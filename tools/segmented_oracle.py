@@ -522,6 +522,13 @@ def main() -> None:
             if json_out:  # incremental: a late crash keeps the finished rows
                 with open(json_out, "w") as f:
                     json.dump(records, f, indent=1)
+            # Reap finished stages' shuffle files (a single sf10 dedup query
+            # writes ~40 GB of blockmgr data; without a GC nudge it persists
+            # until session exit and the 4-query run can exhaust the disk).
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     if json_out:
