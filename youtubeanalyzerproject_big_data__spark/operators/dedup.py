@@ -153,6 +153,117 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def _capped_intersections(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(doc1 < doc2, n_common, n1, n2) for every pair sharing >= 1 surviving
+    shingle under the ``max_df`` stop-shingle cut -- the shared pair stage of
+    ngram_jaccard_pairs (d2) and containment_pairs (d12).
+
+    EXACT-DUPLICATE COLLAPSE FIRST: byte-identical documents have identical
+    shingle sets, so every shingle/intersection quantity is a function of the
+    distinct CONTENT only.  The corpus is collapsed to one representative per
+    md5(text) (the d1 grouping precedent; the digest never reaches results),
+    the inverted index runs over distinct contents with the doc-level
+    document frequency recovered as sum(multiplicity), and qualifying
+    content pairs are expanded back to doc pairs through the member lists at
+    the very end.  On a duplicate-heavy corpus this removes the dominant
+    cost wholesale: the round-8 sf10 replay (every doc a ~100-clone) died at
+    >75 GB of pair-stage shuffle because Sum_sh C(df,2) ~ 5e9 intermediate
+    rows carried 100x100 clone fan-out that the collapsed index never
+    materializes -- post-collapse the expansion emits only the final result
+    rows.  Real web corpora are 20-50% exact clones, so this is the 100 TB
+    shape, not a fixture special-case; a clone-free corpus pays one extra
+    digest groupBy (narrow 128-bit keys).
+
+    Semantics are unchanged (the driver oracles, which compute on the
+    uncollapsed table, stay hash-exact):
+
+      * doc-level df(sh) = sum of clone-group sizes over contents with sh,
+        so the 2 <= df <= max_df window is evaluated on DOC counts;
+      * cross-content candidates come from in-group pair expansion exactly
+        as before (content lists are <= df long, so groups stay bounded);
+      * same-content doc pairs share every surviving shingle of the content,
+        so each surviving shingle of a content with multiplicity >= 2 emits
+        one (c, c) self-candidate -- the groupBy(c1, c2).count() multiplicity
+        argument then yields their intersection too;
+      * n1/n2 are FULL shingle-set sizes (denominators exact under the cap,
+        as before), directional: n1 belongs to doc1 after the doc-id
+        ordering swap, which containment (asymmetric) relies on.
+
+    Returns the pair DataFrame plus the handles persisted while building it
+    (caller materializes, then unpersists them).
+    """
+    keyed = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    members = keyed.select(F.md5("_text").alias("cid"), "doc_id")
+    # one row per distinct content: multiplicity + a representative text
+    # (identical within the group, so max() is deterministic)
+    cids = keyed.groupBy(F.md5("_text").alias("cid")).agg(
+        F.count(F.lit(1)).alias("m"), F.max("_text").alias("_text")
+    )
+    # MEMORY_ONLY, not cache(): the shingle table is ~100x the content
+    # table; MEMORY_AND_DISK's spill wrote ~25 GB at the sf10 replay and
+    # starved the same disk the shuffle needs. Evicted partitions recompute
+    # (CPU) instead of spilling (disk) -- the right trade on shuffle-bound
+    # scratch at every scale.
+    sh = _hashed_shingles(cids, "cid", "_text", n).persist(StorageLevel.MEMORY_ONLY)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    groups = (
+        sh.join(cids.select(F.col("cid").alias("doc_id"), "m").hint("shuffle_hash"), "doc_id")
+        .groupBy("sh")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("doc_id").alias("c"), F.col("m").alias("m")))).alias("cs"),
+            F.sum("m").alias("dfd"),
+        )
+        .where(F.col("dfd") >= 2)
+    )
+    if max_df is not None:
+        groups = groups.where(F.col("dfd") <= max_df)
+    cross = (
+        groups.select(F.explode(_ordered_pairs(F.transform("cs", lambda x: x["c"]))).alias("p"))
+        .select(F.col("p.doc1").alias("c1"), F.col("p.doc2").alias("c2"))
+    )
+    selfs = (
+        groups.select(F.explode(F.filter("cs", lambda x: x["m"] >= 2)).alias("s"))
+        .select(F.col("s.c").alias("c1"), F.col("s.c").alias("c2"))
+    )
+    inter = cross.unionByName(selfs).groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("n_common"))
+    # shuffle_hash on the sizes side: static stats undercount `inter`
+    # (a post-explode aggregate) so badly that at sf10 the planner
+    # BROADCAST the pair table -- the broadcast collect blew
+    # spark.driver.maxResultSize (round-8 sf10 catch).  SHJ building on
+    # the doc-count side is driver-safe and sort-free at every scale.
+    pairs_c = (
+        inter.join(sizes.select(F.col("doc_id").alias("c1"), F.col("n_sh").alias("n1")).hint("shuffle_hash"), "c1")
+        .join(sizes.select(F.col("doc_id").alias("c2"), F.col("n_sh").alias("n2")).hint("shuffle_hash"), "c2")
+        .persist(StorageLevel.MEMORY_ONLY)  # branched into cross/self expansion below
+    )
+    mem1 = members.select(F.col("cid").alias("c1"), F.col("doc_id").alias("d1"))
+    mem2 = members.select(F.col("cid").alias("c2"), F.col("doc_id").alias("d2"))
+    cross_docs = (
+        pairs_c.where(F.col("c1") != F.col("c2"))
+        .join(mem1.hint("shuffle_hash"), "c1")
+        .join(mem2.hint("shuffle_hash"), "c2")
+        .select(
+            F.least("d1", "d2").alias("doc1"),
+            F.greatest("d1", "d2").alias("doc2"),
+            "n_common",
+            # keep sizes attached to the doc-id-ordered pair (containment is
+            # directional, so n1 must stay doc1's full set size)
+            F.when(F.col("d1") <= F.col("d2"), F.col("n1")).otherwise(F.col("n2")).alias("n1"),
+            F.when(F.col("d1") <= F.col("d2"), F.col("n2")).otherwise(F.col("n1")).alias("n2"),
+        )
+    )
+    self_docs = (
+        pairs_c.where(F.col("c1") == F.col("c2"))
+        .join(mem1.hint("shuffle_hash"), "c1")
+        .join(mem2.withColumnRenamed("c2", "c1").hint("shuffle_hash"), "c1")
+        .where(F.col("d1") < F.col("d2"))
+        .select(F.col("d1").alias("doc1"), F.col("d2").alias("doc2"), "n_common", "n1", "n2")
+    )
+    return cross_docs.unionByName(self_docs), [sh, pairs_c]
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8, max_df: int | None = DEFAULT_MAX_DF
 ) -> DataFrame:
@@ -164,7 +275,9 @@ def ngram_jaccard_pairs(
     pair is exactly |A intersect B| -- so one groupBy(doc1, doc2).count()
     yields the intersection and |A u B| = n1 + n2 - inter closes the
     Jaccard.  Shingles that appear in a single doc emit nothing, so the
-    non-shared majority of the index costs nothing.
+    non-shared majority of the index costs nothing.  The index runs over
+    DISTINCT CONTENTS with doc pairs recovered at the end -- see
+    _capped_intersections for the exact-duplicate collapse.
 
     ``max_df`` (default finite) is the standard stop-shingle frequency cut:
     a shingle shared by d docs expands to d*(d-1)/2 pairs in one group, so
@@ -174,31 +287,9 @@ def ngram_jaccard_pairs(
     stop-shingles are missed -- the documented trade-off; the driver oracle
     mirrors the same cut, and None restores the exact path.
     """
-    # MEMORY_ONLY, not cache(): the corpus-shingle table is ~100x the doc
-    # table; MEMORY_AND_DISK's spill wrote ~25 GB at the sf10 replay and
-    # starved the same disk the shuffle needs. Evicted partitions recompute
-    # (CPU) instead of spilling (disk) -- the right trade on shuffle-bound
-    # scratch at every scale.
-    sh = _hashed_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_ONLY)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    groups = sh.groupBy("sh").agg(F.sort_array(F.collect_set("doc_id")).alias("ds")).where(F.size("ds") >= 2)
-    if max_df is not None:
-        groups = groups.where(F.size("ds") <= max_df)
-    inter = (
-        groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
-        .select("p.doc1", "p.doc2")
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs, handles = _capped_intersections(df, id_col, text_col, n, max_df)
     result = (
-        # shuffle_hash on the sizes side: static stats undercount `inter`
-        # (a post-explode aggregate) so badly that at sf10 the planner
-        # BROADCAST the ~1e9-row pair table -- the broadcast collect blew
-        # spark.driver.maxResultSize (round-8 sf10 catch).  SHJ building on
-        # the doc-count side is driver-safe and sort-free at every scale.
-        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")).hint("shuffle_hash"), "doc1")
-        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")).hint("shuffle_hash"), "doc2")
-        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
+        pairs.withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
         # Pin the (threshold-bounded) pairs, then release the big cached
@@ -206,7 +297,8 @@ def ngram_jaccard_pairs(
         # x shingle rows of executor storage (pattern: pagerank:169).
         .localCheckpoint(eager=True)
     )
-    sh.unpersist()
+    for h in handles:
+        h.unpersist()
     return result
 
 
@@ -891,32 +983,13 @@ def containment_pairs(
     (Broder 1997's containment, the other resemblance measure).
 
     Same inverted-index engine as ngram_jaccard_pairs (one
-    groupBy(shingle) pair expansion, multiplicity = intersection, max_df
-    stop-shingle cut mirrored by the oracle); emits BOTH directions of a
-    qualifying pair separately since containment is directional:
-    (contained_id, container_id, containment).
+    groupBy(shingle) pair expansion over DISTINCT CONTENTS -- see
+    _capped_intersections for the exact-duplicate collapse -- multiplicity =
+    intersection, max_df stop-shingle cut mirrored by the oracle); emits
+    BOTH directions of a qualifying pair separately since containment is
+    directional: (contained_id, container_id, containment).
     """
-    # MEMORY_ONLY, not cache(): the corpus-shingle table is ~100x the doc
-    # table; MEMORY_AND_DISK's spill wrote ~25 GB at the sf10 replay and
-    # starved the same disk the shuffle needs. Evicted partitions recompute
-    # (CPU) instead of spilling (disk) -- the right trade on shuffle-bound
-    # scratch at every scale.
-    sh = _hashed_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_ONLY)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    groups = sh.groupBy("sh").agg(F.sort_array(F.collect_set("doc_id")).alias("ds")).where(F.size("ds") >= 2)
-    if max_df is not None:
-        groups = groups.where(F.size("ds") <= max_df)
-    inter = (
-        groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
-        .select("p.doc1", "p.doc2")
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # shuffle_hash for the same reason as ngram_jaccard_pairs: never let the
-    # static planner broadcast the pair-count side off a bogus estimate.
-    both = inter.join(
-        sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")).hint("shuffle_hash"), "doc1"
-    ).join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")).hint("shuffle_hash"), "doc2")
+    both, handles = _capped_intersections(df, id_col, text_col, n, max_df)
     fwd = both.select(
         F.col("doc1").alias("contained_id"),
         F.col("doc2").alias("container_id"),
@@ -932,7 +1005,8 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .localCheckpoint(eager=True)  # bounded pairs; release the shingle cache
     )
-    sh.unpersist()
+    for h in handles:
+        h.unpersist()
     return result
 
 
