@@ -50,11 +50,83 @@ def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(tuple(c(r[i]) for i in order) for r in rows)
 
 
+def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
+    """Order-insensitive equality proof that never materializes the result
+    driver-side: both engines reduce the result set to (row_count, sum of
+    two independent md5-derived 32-bit row hashes) and only the three
+    scalars cross the engine boundary.
+
+    The row hash is md5 of the '|'-joined column values in sorted-column
+    order (functions/hashing.py lanes; exact-integer sums -- decimal(38,0)
+    Spark-side, HUGEINT oracle-side).  Restricted to integer/string output
+    schemas, where CAST AS VARCHAR is bit-identical across engines (floats
+    and timestamps would need per-type canonicalization).  This is the
+    compare for results too big to collect (the canon() path held ~60 GB of
+    Python tuples for a 100M-row result at sf10); a multiset mismatch needs
+    simultaneous collisions of both 32-bit lane SUMS -- vanishing for
+    non-adversarial engine divergence, and any count difference is exact.
+    """
+    from youtubeanalyzerproject_big_data__spark.functions.hashing import (
+        md5_int32_lane_sql,
+        md5_int32_lanes,
+    )
+
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "compare": "digest-sum"}
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf)
+        scols = sorted(sdf.columns)
+        bad = [f.name for f in sdf.schema.fields
+               if f.dataType.simpleString() not in ("int", "bigint", "smallint", "tinyint", "string")]
+        if bad:
+            rec["err"] = f"digest compare needs int/string columns, got {bad}"
+            return rec
+        from pyspark.sql import functions as F
+
+        rowstr = F.concat_ws("|", *[F.col(c).cast("string") for c in scols])
+        lanes = md5_int32_lanes(rowstr, "vcmp", 2)
+        srow = sdf.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lanes[0].cast("decimal(38,0)")).alias("h0"),
+            F.sum(lanes[1].cast("decimal(38,0)")).alias("h1"),
+        ).collect()[0]
+        rec["spark_rows"] = srow["n"]
+        rec["t_spark_s"] = round(time.time() - t0, 1)
+    except Exception as e:  # noqa: BLE001
+        rec["err"] = f"spark: {type(e).__name__}: {str(e)[:200]}"
+        return rec
+    t1 = time.time()
+    try:
+        ocols = sorted(d[0] for d in con.execute(f"SELECT * FROM ({oracle}) LIMIT 0").description)
+        rec["schema_match"] = ocols == scols
+        s = "concat_ws('|', " + ", ".join(f"CAST({c} AS VARCHAR)" for c in ocols) + ")"
+        orow = con.execute(
+            f"SELECT COUNT(*) AS n, SUM(CAST({md5_int32_lane_sql(s, 'vcmp', 0)} AS HUGEINT)) AS h0, "
+            f"SUM(CAST({md5_int32_lane_sql(s, 'vcmp', 1)} AS HUGEINT)) AS h1 FROM ({oracle})"
+        ).fetchone()
+        rec["oracle_rows"] = orow[0]
+        rec["t_oracle_s"] = round(time.time() - t1, 1)
+    except Exception as e:  # noqa: BLE001
+        rec["err"] = f"duckdb: {type(e).__name__}: {str(e)[:200]}"
+        return rec
+    rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+    svals = (None if srow["h0"] is None else int(srow["h0"]), None if srow["h1"] is None else int(srow["h1"]))
+    ovals = (None if orow[1] is None else int(orow[1]), None if orow[2] is None else int(orow[2]))
+    rec["hash_match"] = rec["rows_match"] and rec["schema_match"] and svals == ovals
+    return rec
+
+
 def main() -> None:
     argv = sys.argv[1:]
     json_out = None
     if argv and argv[0] == "--json":
         json_out = argv[1]
+        argv = argv[2:]
+    digest_only: set[str] = set()
+    if argv and argv[0] == "--digest":
+        digest_only = set(argv[1].split(","))
         argv = argv[2:]
     sf = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
@@ -82,12 +154,34 @@ def main() -> None:
         if json_out:
             with open(json_out, "w") as f:
                 json.dump(records, f, indent=1, sort_keys=True)
+        # Shuffle files live until ContextCleaner sees their dependencies
+        # GC'd; in a one-session 100+-query sweep at sf10 they piled up to
+        # ~50 GB of blockmgr dirs and would exhaust the disk before the
+        # sweep ends. Force a JVM GC between queries so finished stages'
+        # shuffle data is reaped while the next query runs.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in digest_only:
+            rec = _digest_compare(spark, con, sf, name, qs[name], oracles[name])
+            records[name] = rec
+            if rec["err"] or not rec["hash_match"]:
+                failures.append(name)
+                print(f"FAIL {name}: digest compare: {rec['err'] or 'mismatch'} {rec}")
+            else:
+                print(
+                    f"ok   {name}: digest-sum ({rec['spark_rows']} rows, "
+                    f"spark {rec['t_spark_s']}s, oracle {rec['t_oracle_s']}s)"
+                )
+            _flush()
             continue
         t0 = time.time()
         try:
