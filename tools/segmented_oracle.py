@@ -116,6 +116,42 @@ SEGMENTED = {
 }
 
 
+def _segmented_kcore(con: duckdb.DuckDBPyConnection, k: int, rounds: int) -> list[tuple]:
+    """Round-materialized twin of _kcore_oracle_sql: the one-shot form keeps
+    all `rounds` MATERIALIZED edge CTEs alive at once and its ENOSPC'd DuckDB
+    temp at sf10 (>78 GB); here each round is one CREATE TABLE with the
+    predecessor dropped, so peak footprint is two edge tables regardless of
+    round count.  Identical round semantics (degree->=k survivor filter,
+    edges among survivors); rounds after the fixpoint are no-ops, so the
+    early exit when the survivor edge count stops changing returns exactly
+    the unrolled form's result."""
+    con.execute(
+        """CREATE OR REPLACE TABLE kc_e0 AS
+           SELECT DISTINCT x.l_partkey AS v, y.l_partkey AS u
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey != y.l_partkey"""
+    )
+    prev, n_prev = "kc_e0", con.execute("SELECT COUNT(*) FROM kc_e0").fetchone()[0]
+    for i in range(1, rounds + 1):
+        con.execute(f"CREATE OR REPLACE TABLE kc_g AS SELECT v FROM {prev} GROUP BY v HAVING COUNT(*) >= {k}")
+        con.execute(
+            f"""CREATE OR REPLACE TABLE kc_e{i} AS
+                SELECT e.v, e.u FROM {prev} e JOIN kc_g a ON e.v = a.v JOIN kc_g b ON e.u = b.v"""
+        )
+        con.execute(f"DROP TABLE {prev}")
+        con.execute("DROP TABLE kc_g")
+        prev = f"kc_e{i}"
+        n = con.execute(f"SELECT COUNT(*) FROM {prev}").fetchone()[0]
+        if n == n_prev:
+            break  # fixpoint: remaining unrolled rounds are identity
+        n_prev = n
+    rows = con.execute(
+        f"SELECT v AS part, CAST(COUNT(*) AS BIGINT) AS core_degree FROM {prev} GROUP BY v ORDER BY core_degree DESC, part"
+    ).fetchall()
+    con.execute(f"DROP TABLE {prev}")
+    return rows
+
+
 def _table_exists(con: duckdb.DuckDBPyConnection, name: str) -> bool:
     return (
         con.execute(
@@ -494,6 +530,8 @@ def main() -> None:
             t0 = time.time()
             if name in COMPONENT_QUERIES:
                 orows = _run_doc_query(con, name)
+            elif name == "g13_kcore":
+                orows = _segmented_kcore(con, entrymod.G13_CORE_K, entrymod.G13_CORE_ROUNDS)
             else:
                 edges_sql, seeds_key = SEGMENTED[name]
                 seeds = getattr(entrymod, seeds_key) if seeds_key else None
