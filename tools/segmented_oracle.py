@@ -152,6 +152,45 @@ def _segmented_kcore(con: duckdb.DuckDBPyConnection, k: int, rounds: int) -> lis
     return rows
 
 
+def _segmented_triangles(con: duckdb.DuckDBPyConnection, n_batches: int = 16) -> list[tuple]:
+    """Stage-materialized twin of the g6 one-shot oracle, which pipelines
+    DISTINCT-edge build + degree orientation + wedge self-join + closure
+    probe in one query and ENOSPC'd DuckDB temp at sf10 (>70 GB).  Here the
+    edge and oriented-edge tables land once, and the wedge/triangle counts
+    accumulate over disjoint hash(center)%B batches -- both counts partition
+    exactly by the wedge's center vertex u, so per-batch counts are additive
+    and no batch ever materializes the full wedge set."""
+    con.execute(
+        """CREATE OR REPLACE TABLE tc_e AS
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
+    )
+    n_edges = con.execute("SELECT COUNT(*) FROM tc_e").fetchone()[0]
+    con.execute(
+        """CREATE OR REPLACE TABLE tc_o AS
+           WITH deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+                        FROM (SELECT a AS v FROM tc_e UNION ALL SELECT b AS v FROM tc_e) GROUP BY v)
+           SELECT CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+                  CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.a < e.b) THEN e.b ELSE e.a END AS w
+           FROM tc_e e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v"""
+    )
+    n_wedges = n_triangles = 0
+    for b in range(n_batches):
+        r = con.execute(
+            f"""SELECT COUNT(*), COUNT(ec.a)
+                FROM (SELECT o1.w AS a, o2.w AS b
+                      FROM tc_o o1 JOIN tc_o o2 ON o1.u = o2.u AND o1.w < o2.w
+                      WHERE hash(o1.u) % {n_batches} = {b}) w
+                LEFT JOIN tc_e ec ON w.a = ec.a AND w.b = ec.b"""
+        ).fetchone()
+        n_wedges += r[0]
+        n_triangles += r[1]
+    con.execute("DROP TABLE tc_o")
+    con.execute("DROP TABLE tc_e")
+    return [(n_edges, n_wedges, n_triangles)]
+
+
 def _table_exists(con: duckdb.DuckDBPyConnection, name: str) -> bool:
     return (
         con.execute(
@@ -532,6 +571,8 @@ def main() -> None:
                 orows = _run_doc_query(con, name)
             elif name == "g13_kcore":
                 orows = _segmented_kcore(con, entrymod.G13_CORE_K, entrymod.G13_CORE_ROUNDS)
+            elif name == "g6_triangle_census":
+                orows = _segmented_triangles(con)
             else:
                 edges_sql, seeds_key = SEGMENTED[name]
                 seeds = getattr(entrymod, seeds_key) if seeds_key else None
