@@ -152,8 +152,12 @@ def main() -> None:
         # incremental: a late crash in a multi-hour scale sweep keeps the
         # finished rows (same contract as tools/segmented_oracle.py)
         if json_out:
-            with open(json_out, "w") as f:
+            # write-then-rename: a crash mid-dump (seen: MemoryError during
+            # a starved sweep) must not truncate the already-banked records
+            tmp_path = json_out + ".tmp"
+            with open(tmp_path, "w") as f:
                 json.dump(records, f, indent=1, sort_keys=True)
+            os.replace(tmp_path, json_out)
         # Shuffle files live until ContextCleaner sees their dependencies
         # GC'd; in a one-session 100+-query sweep at sf10 they piled up to
         # ~50 GB of blockmgr dirs and would exhaust the disk before the
