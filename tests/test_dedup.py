@@ -463,3 +463,102 @@ def test_sorted_neighborhood_candidate_count_is_skew_proof(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = sorted_neighborhood_pairs(df, "doc_id", "text", window=3, max_distance=64).collect()
     assert 0 < len(out) <= 2 * 40
+
+
+def _shingle_sets(docs, n=3):
+    """Per-doc shingle sets via the engine's own shingler -- the pair-stage
+    tests below verify _capped_intersections' COMBINATORICS (collapse,
+    expansion, swap, df window) against plain Python set arithmetic, with
+    tokenization held fixed (covered by test_arrow_shingler_matches_catalyst)."""
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import _shingles
+
+    out: dict[int, set[str]] = {}
+    for r in _shingles(docs, "doc_id", "text", n).collect():
+        out.setdefault(r["doc_id"], set()).add(r["shingle"])
+    return out
+
+
+def _capped(docs, max_df):
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import _capped_intersections
+
+    pairs, handles = _capped_intersections(docs, "doc_id", "text", 3, max_df)
+    rows = {(r["doc1"], r["doc2"]): (r["n_common"], r["n1"], r["n2"]) for r in pairs.collect()}
+    for h in handles:
+        h.unpersist()
+    return rows
+
+
+def test_capped_intersections_clone_group_emits_all_self_pairs(spark):
+    """Exact-duplicate collapse, self-pair branch: a 3-clone content group
+    must emit all C(3,2) doc pairs with n_common == n1 == n2 (jaccard 1.0),
+    recovered purely from the multiplicity -- the clones share one collapsed
+    content row, so no cross-content candidate ever exists for them."""
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, t), (2, t), (3, t), (9, "completely disjoint vocabulary sentence about storage engines here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingle_sets(docs)
+    got = _capped(docs, None)
+    n = len(sh[1])
+    assert n == 6  # 8 tokens -> 6 trigram shingles
+    assert {(1, 2), (1, 3), (2, 3)} == set(got)  # doc 9 shares nothing
+    for p in [(1, 2), (1, 3), (2, 3)]:
+        assert got[p] == (n, n, n)
+
+
+def test_capped_intersections_directional_sizes_survive_id_swap(spark):
+    """Containment direction: n1 must be doc1's FULL shingle-set size after
+    the least/greatest doc-id ordering, in BOTH md5-vs-doc-id orderings.
+    Content pairs are expanded from (c1, c2) sorted by md5(text); doc ids
+    are assigned at runtime so pair A agrees with the md5 order (no swap)
+    and pair B opposes it (swap branch) -- deterministic coverage of both."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    exc_a = "alpha beta gamma delta epsilon"  # 3 shingles, all inside long_a
+    long_b = "one two three four five six seven eight nine ten"
+    exc_b = "one two three four five"
+    # pair A: md5-smaller content gets the SMALLER doc id (expansion order
+    # agrees with doc-id order); pair B: md5-smaller content gets the
+    # LARGER doc id (the when(d1<=d2) swap must fire).
+    a_first, a_second = (long_a, exc_a) if md5(long_a) < md5(exc_a) else (exc_a, long_a)
+    b_first, b_second = (long_b, exc_b) if md5(long_b) < md5(exc_b) else (exc_b, long_b)
+    rows = [(1, a_first), (2, a_second), (4, b_first), (3, b_second)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingle_sets(docs)
+    got = _capped(docs, None)
+    assert set(got) == {(1, 2), (3, 4)}
+    for d1, d2 in got:
+        n_common, n1, n2 = got[(d1, d2)]
+        assert n1 == len(sh[d1]) and n2 == len(sh[d2]), (d1, d2)
+        assert n_common == len(sh[d1] & sh[d2]) == 3
+    # sizes are genuinely asymmetric (excerpt 3 vs long 8), so the n1/n2
+    # direction check above is not vacuous in either branch
+    for p in got:
+        assert sorted(got[p][1:]) == [3, 8]
+
+
+def test_capped_intersections_df_window_counts_docs_not_contents(spark):
+    """The 2 <= df <= max_df stop-shingle window is evaluated on DOC counts
+    (sum of clone multiplicities), not distinct-content counts: a shingle in
+    2 contents whose clone fan-out totals 4 docs must be dropped at
+    max_df=3, removing the cross pair entirely while the clone self-pairs
+    keep their remaining shingles (denominators stay FULL set sizes)."""
+    x = "red green blue yellow purple orange"  # 4 shingles
+    y = "cyan magenta red green blue"  # 3 shingles; shares exactly 'red green blue'
+    rows = [(11, x), (12, x), (13, x), (14, y)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingle_sets(docs)
+    assert len(sh[11]) == 4 and len(sh[14]) == 3 and len(sh[11] & sh[14]) == 1
+    # uncapped: cross pairs exist, carried by the one shared shingle (df=4)
+    uncapped = _capped(docs, None)
+    assert uncapped[(11, 14)] == (1, 4, 3)
+    assert uncapped[(11, 12)] == (4, 4, 4)
+    # max_df=3: the shared shingle's DOC df is 3+1=4 > 3 -> dropped; the
+    # X-only shingles sit at doc-df 3 (clone multiplicity alone) and survive
+    capped = _capped(docs, 3)
+    assert set(capped) == {(11, 12), (11, 13), (12, 13)}
+    for p in capped:
+        # the dropped stop-shingle leaves the intersection (3 of 4) but the
+        # denominators stay FULL set sizes -- caps cut n_common, never n1/n2
+        assert capped[p] == (3, 4, 4)

@@ -513,6 +513,37 @@ def test_minhash_candidates_meet_in_buckets_not_crossjoin(spark):
         spark.catalog.clearCache()
 
 
+def test_ngram_pair_stage_joins_are_shuffle_hash_not_broadcast(spark):
+    """d2/d12: every join in the capped-intersection pair stage is pinned
+    shuffle_hash.  The static planner's size estimate for the post-explode
+    pair aggregate is garbage -- at sf10 it chose to BROADCAST the ~1e9-row
+    pair table and the driver-side collect blew spark.driver.maxResultSize
+    (round-8 catch).  Gate: NO broadcast join of any kind may appear in the
+    live pair-stage plan, and the pinned ShuffledHashJoins must be there, so
+    a Spark upgrade or hint change can't silently revert the fix."""
+    from youtubeanalyzerproject_big_data__spark.io import load_table
+    from youtubeanalyzerproject_big_data__spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for fn in (ngram_jaccard_pairs, containment_pairs):
+        df = fn(docs, "doc_id", "text", checkpoint=False)
+        try:
+            plan = _plan(df)
+            assert plan.count("BroadcastHashJoin") == 0, fn.__name__
+            assert plan.count("BroadcastNestedLoopJoin") == 0, fn.__name__
+            assert plan.count("CartesianProduct") == 0, fn.__name__
+            # 7 pinned joins: doc-level df recovery, 2 size attachments,
+            # 4 member expansions (cross + self branches)
+            assert plan.count("ShuffledHashJoin") >= 5, (
+                f"{fn.__name__}: {plan.count('ShuffledHashJoin')} SHJ"
+            )
+        finally:
+            spark.catalog.clearCache()
+
+
 def test_semantic_dedup_pairs_are_cell_bounded(spark):
     """d10: pair generation must be a single equi-join keyed on the
     k-means cell (narrow int key) -- no cartesian, at most one sort-merge

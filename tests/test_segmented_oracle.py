@@ -108,3 +108,53 @@ class TestSegmentedPagerankEquivalence:
             rank.setdefault(s, reset)
         want = {k: round(v, 6) for k, v in rank.items()}
         assert got == pytest.approx(want)
+
+
+class TestSegmentedWedgeOracles:
+    """g6/g9/g10 share the landed tc_e/tc_deg/tc_o graph; each segmented
+    twin must be RESULT-identical to the committed one-shot oracle SQL
+    (pulled from entrymod, so drift in either side fails here)."""
+
+    @pytest.fixture()
+    def licon(self):
+        c = duckdb.connect()
+        # co-purchase fixture with a clique, shared triangles, a seed part
+        # (l_partkey % 1000 == 1 -> 1 and 1001), degree ties (orientation
+        # tiebreak), and a degree-1 vertex (excluded from g9's w CTE).
+        orders = {
+            1: [1, 2, 3, 4],
+            2: [3, 4, 5],
+            3: [5, 6],
+            4: [1001, 2, 7],
+            5: [7, 8, 9, 10],
+            6: [9, 10, 11],
+            7: [2, 5],
+        }
+        rows = [(o, p) for o, ps in orders.items() for p in ps]
+        c.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)")
+        c.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+        yield c
+        c.close()
+
+    def test_g6_triangle_census_matches_oneshot(self, licon):
+        import __spark_entry__ as entrymod
+
+        got = seg._segmented_triangles(licon, n_batches=4)
+        want = licon.execute(entrymod.oracle_sql()["g6_triangle_census"]).fetchall()
+        assert got == want
+
+    def test_g10_clustering_matches_oneshot(self, licon):
+        import __spark_entry__ as entrymod
+
+        got = seg._segmented_clustering_topk(licon, n_batches=4)
+        want = licon.execute(entrymod.oracle_sql()["g10_clustering_coefficient"]).fetchall()
+        assert got == want
+        assert len(got) > 1  # non-vacuous: several vertices carry triangles
+
+    def test_g9_adamic_adar_matches_oneshot(self, licon):
+        import __spark_entry__ as entrymod
+
+        got = seg._segmented_adamic_adar(licon, n_batches=4)
+        want = licon.execute(entrymod.oracle_sql()["g9_adamic_adar"]).fetchall()
+        assert got == want
+        assert len(got) > 1 and {r[0] for r in got} == {1, 1001}  # both seeds ranked

@@ -1,0 +1,86 @@
+"""Unit tests for tools/verify_local.py's digest-sum compare.
+
+The row encoding must be INJECTIVE (ADVICE r8): the old '|'-join made
+('a|b','c') and ('a','b|c') indistinguishable in BOTH engines (a
+false-PASS shape), and concat_ws silently skipped NULLs.  The
+length-prefixed encoding has to separate those, agree across engines on
+values containing the old separator / the new prefix syntax, and keep
+NULL distinct from every literal string.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tools.verify_local import _digest_compare
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+def test_digest_compare_separates_shifted_column_boundaries(spark, con):
+    # same bytes, different column split: identical under the old '|'-join
+    fn = lambda s, sf: s.createDataFrame([("a|b", "c")], "x string, y string")  # noqa: E731
+    rec = _digest_compare(spark, con, "", "t", fn, "SELECT 'a' AS x, 'b|c' AS y")
+    assert rec["err"] is None and rec["rows_match"] and rec["schema_match"]
+    assert not rec["hash_match"]
+
+
+def test_digest_compare_matches_on_hostile_values(spark, con):
+    # pipes, colons, empty strings, NULLs, literal 'N', digit:payload lookalikes
+    rows = [("a|b", "c"), (None, "x:y"), ("", None), ("N", "3:abc"), ("0:", "1:N")]
+    fn = lambda s, sf: s.createDataFrame(rows, "x string, y string")  # noqa: E731
+    oracle = (
+        "SELECT * FROM (VALUES ('a|b','c'), (NULL,'x:y'), ('',NULL), "
+        "('N','3:abc'), ('0:','1:N')) t(x, y)"
+    )
+    rec = _digest_compare(spark, con, "", "t", fn, oracle)
+    assert rec["err"] is None and rec["hash_match"], rec
+
+
+def test_digest_compare_null_is_not_the_letter_n(spark, con):
+    fn = lambda s, sf: s.createDataFrame([(None, "c")], "x string, y string")  # noqa: E731
+    rec = _digest_compare(spark, con, "", "t", fn, "SELECT 'N' AS x, 'c' AS y")
+    assert rec["err"] is None and not rec["hash_match"]
+
+
+def test_digest_compare_empty_string_is_not_null(spark, con):
+    fn = lambda s, sf: s.createDataFrame([("", "c")], "x string, y string")  # noqa: E731
+    rec = _digest_compare(spark, con, "", "t", fn, "SELECT NULL AS x, 'c' AS y")
+    assert rec["err"] is None and not rec["hash_match"]
+
+
+def test_digest_compare_int_schema_still_matches(spark, con):
+    # g12's real shape: integer-only columns
+    fn = lambda s, sf: s.createDataFrame([(1, 20), (3, 40)], "a int, b int")  # noqa: E731
+    rec = _digest_compare(spark, con, "", "t", fn, "SELECT * FROM (VALUES (1,20),(3,40)) t(a,b)")
+    assert rec["err"] is None and rec["hash_match"], rec
+
+
+def test_digest_compare_rejects_float_schema(spark, con):
+    fn = lambda s, sf: s.createDataFrame([(1.5,)], "a double")  # noqa: E731
+    rec = _digest_compare(spark, con, "", "t", fn, "SELECT 1.5 AS a")
+    assert rec["err"] and "int/string" in rec["err"]
+
+
+def test_scratch_floor_guard(monkeypatch):
+    """The sweep reap assertion: warn band prints, hard floor raises,
+    healthy volume is a no-op (VERDICT r8 item 7)."""
+    import time as _time
+
+    import youtubeanalyzerproject_big_data__spark.session as sess
+    from tools.verify_local import _assert_scratch_bounded
+
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    monkeypatch.setattr(sess, "scratch_free_gb", lambda: 2.0)
+    with pytest.raises(RuntimeError, match="critically low"):
+        _assert_scratch_bounded(None, warn_gb=15)
+    monkeypatch.setattr(sess, "scratch_free_gb", lambda: 10.0)
+    _assert_scratch_bounded(None, warn_gb=15)  # warn band: no raise
+    monkeypatch.setattr(sess, "scratch_free_gb", lambda: 100.0)
+    _assert_scratch_bounded(None, warn_gb=15)  # healthy

@@ -152,6 +152,33 @@ def _segmented_kcore(con: duckdb.DuckDBPyConnection, k: int, rounds: int) -> lis
     return rows
 
 
+def _mat_copurchase_graph(con: duckdb.DuckDBPyConnection) -> None:
+    """tc_e (DISTINCT canonical co-purchase edges, a < b), tc_deg, and tc_o
+    (degree-ordered orientation, the g6 one-shot's `o` CTE verbatim) --
+    landed once per run and shared by g6/g9/g10's segmented twins.  All
+    three are edge/vertex-sized; the quadratic wedge work happens in the
+    per-query batches, never here."""
+    if _table_exists(con, "tc_o"):
+        return
+    con.execute(
+        """CREATE OR REPLACE TABLE tc_e AS
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TABLE tc_deg AS
+           SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM tc_e UNION ALL SELECT b AS v FROM tc_e) GROUP BY v"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TABLE tc_o AS
+           SELECT CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+                  CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.a < e.b) THEN e.b ELSE e.a END AS w
+           FROM tc_e e JOIN tc_deg d1 ON e.a = d1.v JOIN tc_deg d2 ON e.b = d2.v"""
+    )
+
+
 def _segmented_triangles(con: duckdb.DuckDBPyConnection, n_batches: int = 16) -> list[tuple]:
     """Stage-materialized twin of the g6 one-shot oracle, which pipelines
     DISTINCT-edge build + degree orientation + wedge self-join + closure
@@ -160,21 +187,8 @@ def _segmented_triangles(con: duckdb.DuckDBPyConnection, n_batches: int = 16) ->
     accumulate over disjoint hash(center)%B batches -- both counts partition
     exactly by the wedge's center vertex u, so per-batch counts are additive
     and no batch ever materializes the full wedge set."""
-    con.execute(
-        """CREATE OR REPLACE TABLE tc_e AS
-           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-           FROM lineitem x JOIN lineitem y
-             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
-    )
+    _mat_copurchase_graph(con)
     n_edges = con.execute("SELECT COUNT(*) FROM tc_e").fetchone()[0]
-    con.execute(
-        """CREATE OR REPLACE TABLE tc_o AS
-           WITH deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
-                        FROM (SELECT a AS v FROM tc_e UNION ALL SELECT b AS v FROM tc_e) GROUP BY v)
-           SELECT CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
-                  CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.a < e.b) THEN e.b ELSE e.a END AS w
-           FROM tc_e e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v"""
-    )
     n_wedges = n_triangles = 0
     for b in range(n_batches):
         r = con.execute(
@@ -186,9 +200,96 @@ def _segmented_triangles(con: duckdb.DuckDBPyConnection, n_batches: int = 16) ->
         ).fetchone()
         n_wedges += r[0]
         n_triangles += r[1]
-    con.execute("DROP TABLE tc_o")
-    con.execute("DROP TABLE tc_e")
     return [(n_edges, n_wedges, n_triangles)]
+
+
+def _segmented_clustering_topk(con: duckdb.DuckDBPyConnection, k: int = 20, n_batches: int = 16) -> list[tuple]:
+    """Batch-materialized twin of the g10 one-shot oracle, whose global
+    3-way triangle-enumeration join (`tri`) ENOSPC'd DuckDB temp at sf10
+    (>54 GB, the g6 wedge-scale class).  Per-vertex triangle counts are
+    accumulated over disjoint hash(center u)%B batches of the oriented
+    wedge enumeration: the degree orientation is a total order, so every
+    triangle closes EXACTLY ONE wedge (at its orientation-min vertex) and
+    contributes +1 to each of its three corners there -- per-batch
+    (v, count) partials are therefore additive and exactly reproduce the
+    one-shot `pv` CTE.  The tail (degree join, d>=2 filter, floor-micro
+    coefficient, top-k by (n_triangles desc, v)) is the one-shot SQL
+    verbatim over the accumulated counts."""
+    _mat_copurchase_graph(con)
+    con.execute("CREATE OR REPLACE TABLE cc_pv (v BIGINT, c BIGINT)")
+    for b in range(n_batches):
+        con.execute(
+            f"""INSERT INTO cc_pv
+                WITH closed AS (
+                  SELECT o1.u AS u, o1.w AS a, o2.w AS b
+                  FROM tc_o o1 JOIN tc_o o2 ON o1.u = o2.u AND o1.w < o2.w
+                  JOIN tc_e ec ON o1.w = ec.a AND o2.w = ec.b
+                  WHERE hash(o1.u) % {n_batches} = {b})
+                SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                  SELECT u AS v FROM closed
+                  UNION ALL SELECT a FROM closed
+                  UNION ALL SELECT b FROM closed)
+                GROUP BY v"""
+        )
+    rows = con.execute(
+        f"""WITH pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS n_triangles FROM cc_pv GROUP BY v)
+            SELECT pv.v, deg.d, pv.n_triangles,
+                   CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) AS coef_micro,
+                   ROUND(CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) / 1e6, 6) AS clustering_coef
+            FROM pv JOIN tc_deg deg ON pv.v = deg.v
+            WHERE deg.d >= 2
+            ORDER BY pv.n_triangles DESC, pv.v LIMIT {k}"""
+    ).fetchall()
+    con.execute("DROP TABLE cc_pv")
+    return rows
+
+
+def _segmented_adamic_adar(con: duckdb.DuckDBPyConnection, k: int = 5, n_batches: int = 16) -> list[tuple]:
+    """Batch-materialized twin of the g9 one-shot oracle (ENOSPC'd DuckDB
+    temp at sf10): the candidate -> score -> new-link -> per-seed-rank
+    pipeline partitions EXACTLY by the seed s (no stage mixes seeds), so it
+    runs per hash(seed)%B batch against the once-landed adjacency and
+    weight tables, with each batch's rank<=k survivors appended.  The CTE
+    bodies are the one-shot SQL verbatim with only the seed-hash predicate
+    added; adjacency/weights/seeds are the one-shot's adj/w/seeds CTEs
+    landed as tables."""
+    _mat_copurchase_graph(con)
+    con.execute("CREATE OR REPLACE TABLE aa_adj AS SELECT a AS v, b AS n FROM tc_e UNION ALL SELECT b, a FROM tc_e")
+    con.execute(
+        """CREATE OR REPLACE TABLE aa_w AS
+           SELECT v AS z, CAST(floor(1e6 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_micro
+           FROM aa_adj GROUP BY v HAVING COUNT(*) >= 2"""
+    )
+    con.execute(
+        "CREATE OR REPLACE TABLE aa_seeds AS SELECT DISTINCT l_partkey AS s FROM lineitem WHERE l_partkey % 1000 = 1"
+    )
+    con.execute(
+        "CREATE OR REPLACE TABLE aa_out (src BIGINT, dst BIGINT, rank BIGINT, n_common BIGINT, aa_micro BIGINT)"
+    )
+    for b in range(n_batches):
+        con.execute(
+            f"""INSERT INTO aa_out
+                WITH sadj AS (SELECT s.s, a.n AS z FROM aa_adj a JOIN aa_seeds s ON a.v = s.s
+                              WHERE hash(s.s) % {n_batches} = {b}),
+                cand AS (SELECT sa.s, a2.n AS y, w.w_micro
+                         FROM sadj sa JOIN aa_adj a2 ON sa.z = a2.v JOIN aa_w w ON w.z = sa.z
+                         WHERE a2.n != sa.s),
+                sc AS (SELECT s, y, CAST(COUNT(*) AS BIGINT) AS n_common, CAST(SUM(w_micro) AS BIGINT) AS aa_micro
+                       FROM cand GROUP BY s, y),
+                nl AS (SELECT sc.* FROM sc LEFT JOIN aa_adj adj ON adj.v = sc.s AND adj.n = sc.y
+                       WHERE adj.v IS NULL),
+                rk AS (SELECT s, y, n_common, aa_micro,
+                              CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY aa_micro DESC, y) AS BIGINT) AS rank
+                       FROM nl)
+                SELECT s, y, rank, n_common, aa_micro FROM rk WHERE rank <= {k}"""
+        )
+    rows = con.execute(
+        "SELECT src, dst, rank, n_common, aa_micro, ROUND(aa_micro / 1e6, 6) AS aa_score "
+        "FROM aa_out ORDER BY src, rank"
+    ).fetchall()
+    for t in ("aa_out", "aa_seeds", "aa_w", "aa_adj"):
+        con.execute(f"DROP TABLE {t}")
+    return rows
 
 
 def _table_exists(con: duckdb.DuckDBPyConnection, name: str) -> bool:
@@ -573,6 +674,10 @@ def main() -> None:
                 orows = _segmented_kcore(con, entrymod.G13_CORE_K, entrymod.G13_CORE_ROUNDS)
             elif name == "g6_triangle_census":
                 orows = _segmented_triangles(con)
+            elif name == "g9_adamic_adar":
+                orows = _segmented_adamic_adar(con)
+            elif name == "g10_clustering_coefficient":
+                orows = _segmented_clustering_topk(con)
             else:
                 edges_sql, seeds_key = SEGMENTED[name]
                 seeds = getattr(entrymod, seeds_key) if seeds_key else None
@@ -608,6 +713,9 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
+            from tools.verify_local import _assert_scratch_bounded
+
+            _assert_scratch_bounded(spark)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     if json_out:

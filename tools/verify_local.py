@@ -56,15 +56,19 @@ def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
     two independent md5-derived 32-bit row hashes) and only the three
     scalars cross the engine boundary.
 
-    The row hash is md5 of the '|'-joined column values in sorted-column
+    The row hash is md5 of an INJECTIVE row encoding in sorted-column
     order (functions/hashing.py lanes; exact-integer sums -- decimal(38,0)
-    Spark-side, HUGEINT oracle-side).  Restricted to integer/string output
-    schemas, where CAST AS VARCHAR is bit-identical across engines (floats
-    and timestamps would need per-type canonicalization).  This is the
-    compare for results too big to collect (the canon() path held ~60 GB of
-    Python tuples for a 100M-row result at sf10); a multiset mismatch needs
-    simultaneous collisions of both 32-bit lane SUMS -- vanishing for
-    non-adversarial engine divergence, and any count difference is exact.
+    Spark-side, HUGEINT oracle-side): each value is length-prefixed
+    (``len(v) ':' v``, NULL -> ``N``) so column boundaries are always
+    decodable -- a bare '|' join is ambiguous ( ('a|b','c') vs ('a','b|c') )
+    and silently skips NULLs (ADVICE r8).  Restricted to integer/string
+    output schemas, where CAST AS VARCHAR is bit-identical across engines
+    (floats and timestamps would need per-type canonicalization).  This is
+    the compare for results too big to collect (the canon() path held
+    ~60 GB of Python tuples for a 100M-row result at sf10); a multiset
+    mismatch needs simultaneous collisions of both 32-bit lane SUMS --
+    vanishing for non-adversarial engine divergence, and any count
+    difference is exact.
     """
     from youtubeanalyzerproject_big_data__spark.functions.hashing import (
         md5_int32_lane_sql,
@@ -85,7 +89,16 @@ def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
             return rec
         from pyspark.sql import functions as F
 
-        rowstr = F.concat_ws("|", *[F.col(c).cast("string") for c in scols])
+        # injective per-value encoding: "<charlen>:<value>" (NULL -> "N");
+        # self-delimiting, so values containing ':' or any separator byte
+        # can never shift a column boundary
+        def _enc(c):
+            s = F.col(c).cast("string")
+            return F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+
+        rowstr = F.concat(*[_enc(c) for c in scols])
         lanes = md5_int32_lanes(rowstr, "vcmp", 2)
         srow = sdf.select(
             F.count(F.lit(1)).alias("n"),
@@ -101,7 +114,13 @@ def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
     try:
         ocols = sorted(d[0] for d in con.execute(f"SELECT * FROM ({oracle}) LIMIT 0").description)
         rec["schema_match"] = ocols == scols
-        s = "concat_ws('|', " + ", ".join(f"CAST({c} AS VARCHAR)" for c in ocols) + ")"
+        # DuckDB's concat() SKIPS NULL args (unlike Spark's, which nulls the
+        # row), so NULL is handled by an explicit CASE on both sides
+        parts = [
+            f"CASE WHEN {c} IS NULL THEN 'N' ELSE concat(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR), ':', CAST({c} AS VARCHAR)) END"
+            for c in ocols
+        ]
+        s = "concat(" + ", ".join(parts) + ")"
         orow = con.execute(
             f"SELECT COUNT(*) AS n, SUM(CAST({md5_int32_lane_sql(s, 'vcmp', 0)} AS HUGEINT)) AS h0, "
             f"SUM(CAST({md5_int32_lane_sql(s, 'vcmp', 1)} AS HUGEINT)) AS h1 FROM ({oracle})"
@@ -118,21 +137,55 @@ def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
     return rec
 
 
+def _assert_scratch_bounded(spark, warn_gb: float | None = None) -> None:
+    """Reap assertion for scale sweeps (VERDICT r8 item 7): the between-query
+    JVM GC must actually keep the repo-local scratch bounded.  Free space on
+    the scratch volume is checked after each query; below the warn floor
+    (env SPARK_GRAFT_MIN_FREE_GB, default 15) it waits out one GC cycle and
+    warns loudly, and below a third of the floor the sweep ABORTS cleanly --
+    records are flushed incrementally, so a clean stop loses nothing, while
+    an ENOSPC mid-shuffle can starve concurrent work (the r8 d2 lesson)."""
+    from youtubeanalyzerproject_big_data__spark.session import scratch_free_gb
+
+    if warn_gb is None:
+        warn_gb = float(os.environ.get("SPARK_GRAFT_MIN_FREE_GB", "15"))
+    try:
+        free = scratch_free_gb()
+        if free >= warn_gb:
+            return
+        time.sleep(5)  # let the GC-triggered shuffle cleanup land
+        free = scratch_free_gb()
+    except OSError:
+        return
+    if free < warn_gb / 3:
+        raise RuntimeError(
+            f"scratch volume critically low: {free:.1f} GB free < {warn_gb / 3:.1f} GB hard floor -- aborting sweep"
+        )
+    if free < warn_gb:
+        print(f"WARN scratch volume low: {free:.1f} GB free < {warn_gb:.0f} GB floor", flush=True)
+
+
 def main() -> None:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
     digest_only: set[str] = set()
-    if argv and argv[0] == "--digest":
-        digest_only = set(argv[1].split(","))
-        argv = argv[2:]
+    # order-independent flag parsing (ADVICE r8: `--digest x --json y` used
+    # to silently treat '--json' as the dataset path)
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json" and len(argv) >= 2:
+            json_out = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--digest" and len(argv) >= 2:
+            digest_only = set(argv[1].split(","))
+            argv = argv[2:]
+        else:
+            sys.exit(f"unknown or incomplete flag: {argv[0]} (known: --json OUT, --digest a,b,c)")
     sf = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
     records: dict[str, dict] = {}
     spark = get_spark("verify-local")
     con = duckdb.connect()
+    oracle_scratch = None
     # At tiled-fixture scales the oracle must share the box with a large
     # Spark heap; DuckDB's default budget (80% of RAM) would let the two
     # engines force the OOM killer. Opt-in via env for scale replays.
@@ -144,7 +197,14 @@ def main() -> None:
         # spill at the repo-local scratch (sweep-safe, same as Spark's).
         from youtubeanalyzerproject_big_data__spark.session import scratch_dir
 
-        con.execute(f"SET temp_directory='{scratch_dir('verora_')}'")
+        oracle_scratch = scratch_dir("verora_")
+        con.execute(f"SET temp_directory='{oracle_scratch}'")
+        # scratch_dir's contract: caller cleans up. atexit covers crash
+        # exits too -- verora_* dirs accumulated across sweeps (ADVICE r8).
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, oracle_scratch, ignore_errors=True)
     for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
@@ -167,10 +227,19 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+        _assert_scratch_bounded(spark)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    # a typo in --digest or the positional name list must FAIL loudly, not
+    # silently run nothing (ADVICE r8)
+    for nm in sorted((digest_only | only) - set(qs)):
+        failures.append(nm)
+        records[nm] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                       "spark_rows": None, "oracle_rows": None,
+                       "err": "unknown query name (not in queries())"}
+        print(f"FAIL {nm}: not in queries() -- typo?")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -252,6 +321,8 @@ def main() -> None:
     if json_out:
         _flush()
         print(f"wrote {json_out} ({len(records)} queries)")
+    if oracle_scratch:
+        con.close()  # release temp files before the atexit rmtree
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
 
 

@@ -265,7 +265,13 @@ def _capped_intersections(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8, max_df: int | None = DEFAULT_MAX_DF
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = DEFAULT_MAX_DF,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (doc1 < doc2, jaccard >= t).
 
@@ -292,13 +298,16 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
+    )
+    if checkpoint:
         # Pin the (threshold-bounded) pairs, then release the big cached
         # shingle table -- a long-lived session must not accumulate corpus
         # x shingle rows of executor storage (pattern: pagerank:169).
-        .localCheckpoint(eager=True)
-    )
-    for h in handles:
-        h.unpersist()
+        # checkpoint=False -> live plan for plan-shape tests; caller owns
+        # the shingle cache cleanup.
+        result = result.localCheckpoint(eager=True)
+        for h in handles:
+            h.unpersist()
     return result
 
 
@@ -973,7 +982,13 @@ def segment_dedup(
 
 
 def containment_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.9, max_df: int | None = DEFAULT_MAX_DF
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = DEFAULT_MAX_DF,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: shingle containment
     C(A in B) = |A & B| / |A| >= threshold -- catches quotes, excerpts,
@@ -1000,13 +1015,13 @@ def containment_pairs(
         F.col("doc1").alias("container_id"),
         F.round(F.col("n_common") / F.col("n2"), 6).alias("containment"),
     )
-    result = (
-        fwd.unionByName(rev)
-        .where(F.col("containment") >= threshold)
-        .localCheckpoint(eager=True)  # bounded pairs; release the shingle cache
-    )
-    for h in handles:
-        h.unpersist()
+    result = fwd.unionByName(rev).where(F.col("containment") >= threshold)
+    if checkpoint:
+        # bounded pairs; release the shingle cache (checkpoint=False ->
+        # live plan for plan-shape tests; caller owns the cache cleanup)
+        result = result.localCheckpoint(eager=True)
+        for h in handles:
+            h.unpersist()
     return result
 
 

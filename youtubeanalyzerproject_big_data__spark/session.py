@@ -34,6 +34,16 @@ def scratch_dir(prefix: str) -> str:
     os.makedirs(SCRATCH_ROOT, exist_ok=True)
     return tempfile.mkdtemp(prefix=prefix, dir=SCRATCH_ROOT)
 
+
+def scratch_free_gb() -> float:
+    """Free space (GB) on the volume holding the scratch root -- the cheap,
+    truthful bound signal for multi-hour scale sweeps (walking the blockmgr
+    tree itself costs minutes at sf10)."""
+    import shutil
+
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    return shutil.disk_usage(SCRATCH_ROOT).free / 1e9
+
 # Streaming state-store backends.  'hdfs' (Spark's default) keeps state as
 # in-memory maps snapshotted to the checkpoint dir -- fine while every
 # executor's keys fit in heap.  'rocksdb' spills state to local SSD with
