@@ -65,6 +65,15 @@ Known deliberate costs (do NOT chase as regressions):
   commit existed and none was needed.  The first post-warmup sample
   carries ~0.5 s of codegen/broadcast warm-up, so single-sample d3
   numbers overstate it.
+- s8_hybrid_rrf r8 drift (1.04 -> 1.47 s vs r6) ADJUDICATED (r9, VERDICT
+  r8 item 6): isolated 6-sample run at sf0.1 gave [6.73 cold, 1.95, 1.70,
+  1.47, 1.43, 1.35] with per-run shuffle write EXACTLY 324129 bytes --
+  bit-identical to the r6 AND r8 committed records, so the plan and work
+  are unchanged (no s8-path commit exists either).  NOISE: s8 is a
+  sub-second, fixed-overhead-dominated query (driver planning + 32-task
+  scheduling + two broadcasts) whose steady state depends on how warmed
+  the session is; r6's 0.93 min came 100+ queries into a bench session.
+  Historical records with the same 324129 bytes span 0.93-3.0 s.
 """
 
 from __future__ import annotations
