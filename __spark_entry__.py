@@ -34,7 +34,13 @@ from youtubeanalyzerproject_big_data__spark.functions.hashing import (
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize as textfns_normalize
 from youtubeanalyzerproject_big_data__spark.functions import zorder as zorder_fns
 from youtubeanalyzerproject_big_data__spark.functions.zorder import hilbert_sql_2d
-from youtubeanalyzerproject_big_data__spark.functions.precision import DEC, dec_avg, dec_sum, dec_sum_col
+from youtubeanalyzerproject_big_data__spark.functions.precision import (
+    DEC,
+    dec_avg,
+    dec_sum,
+    dec_sum_col,
+    dec_sum_round,
+)
 from youtubeanalyzerproject_big_data__spark.io import load_events, load_table
 from youtubeanalyzerproject_big_data__spark.operators import (
     aggregates as agg,
@@ -81,6 +87,20 @@ def _davg(col_expr: str, scale: int = 6) -> str:
     n = f"COUNT({col_expr})"
     q = f"((ABS({s}) - ABS({s}) % {n}) // {n} + CASE WHEN 2 * (ABS({s}) % {n}) >= {n} THEN 1 ELSE 0 END)"
     return f"(CAST(CASE WHEN {s} < 0 THEN -{q} ELSE {q} END AS DOUBLE) / {p}.0)"
+
+
+def _dsum_round(col_expr: str, scale: int) -> str:
+    # Twin of precision.dec_sum_round: HALF-UP at scale < 6 decided on
+    # exact int64 micros (ROUND(double, scale) is ulp-fragile once the
+    # scaled product's ulp reaches ~0.5 -- q5's revenue at the sf30
+    # replay, the round-9 catch).  % on BIGINT is exact in DuckDB.
+    q = 10 ** (6 - scale)
+    a = f"(ABS(CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) * 1000000 AS BIGINT)) + {q // 2})"
+    m = f"CAST(SUM(CAST({col_expr} AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+    return (
+        f"(CAST(CASE WHEN {m} < 0 THEN -({a} - {a} % {q}) ELSE ({a} - {a} % {q}) END"
+        f" AS DOUBLE) / 1000000)"
+    )
 
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -406,7 +426,7 @@ def q_q3(spark: SparkSession, sf: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(dec_sum_col(rev), 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(dec_sum_round(rev, 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
     return df.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
 
@@ -426,7 +446,7 @@ def q_q5(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(dec_sum_col(rev), 4).alias("revenue"),
+            dec_sum_round(rev, 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
             F.countDistinct("c_custkey").alias("n_customers"),
         )
@@ -1705,8 +1725,10 @@ def q_sk1(spark: SparkSession, sf: str) -> DataFrame:
         [F.count(F.lit(1)).alias("_c"), F.sum(F.col("value").cast(DEC)).alias("_s")],
         [
             F.sum("_c").cast("long").alias("n"),
-            # micro-materialized double (dec_sum_col recipe) before the round
-            F.round((F.sum("_s") * 1_000_000).cast("long").cast("double") / F.lit(1_000_000.0), 6).alias("sum_value"),
+            # micro-materialized double (dec_sum_col recipe); NO ROUND(x, 6)
+            # re-round on top -- it is an identity at gate scale but
+            # ulp-fragile once |sum|*1e6 nears 2^53 (the q5 sf30 lesson)
+            ((F.sum("_s") * 1_000_000).cast("long").cast("double") / F.lit(1_000_000.0)).alias("sum_value"),
         ],
         num_salts=16,
     )
@@ -5843,7 +5865,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sk1_salted_event_stats": f"""
             SELECT event_type, COUNT(*) AS n,
-                   ROUND({_dsum("value")}, 6) AS sum_value
+                   {_dsum("value")} AS sum_value
             FROM events GROUP BY event_type
         """,
         # Oracle = the UNSALTED join: proves salted_join is plan-only.
@@ -6337,14 +6359,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "q3_revenue_by_customer": f"""
-            SELECT c_custkey, c_name, ROUND({_dsum(_REV)}, 4) AS revenue, COUNT(*) AS n_lines
+            SELECT c_custkey, c_name, {_dsum_round(_REV, 4)} AS revenue, COUNT(*) AS n_lines
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                           JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "q5_revenue_by_nation": f"""
-            SELECT r_name, n_name, ROUND({_dsum(_REV)}, 4) AS revenue,
+            SELECT r_name, n_name, {_dsum_round(_REV, 4)} AS revenue,
                    COUNT(*) AS n_lines, COUNT(DISTINCT c_custkey) AS n_customers
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                           JOIN customer ON o_custkey = c_custkey
@@ -7833,7 +7855,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
                    r_score, f_score, m_score,
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
-                   ROUND(CAST(SUM(mon_micros) AS DOUBLE) / 1000000, 6) AS monetary_total
+                   (CAST(CAST(SUM(mon_micros) AS BIGINT) AS DOUBLE) / 1000000) AS monetary_total
             FROM s GROUP BY 1, 2, 3, 4 ORDER BY segment
         """,
         "dq3_fact_reconciliation": """

@@ -270,3 +270,69 @@ def test_davg_spark_exact_past_double_mantissa(spark):
             for r in df.select((F.col("v").cast("decimal(18,6)") * P6).cast("long").alias("m")).collect()
         ]
         assert got == model_davg(cast_ms), f"s={s_target} n={n}"
+
+
+def model_dsum_round(micros_sum: int, scale: int) -> float:
+    """precision.dec_sum_round contract: half-up at `scale` on exact int64
+    micros (add half, strip remainder), then double / 1e6."""
+    q = 10 ** (6 - scale)
+    a = abs(micros_sum) + q // 2
+    r = a - a % q
+    return float(-r if micros_sum < 0 else r) / 1e6
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(min_value=-(4 * 10**17), max_value=4 * 10**17),  # micro sum
+    st.integers(min_value=0, max_value=5),  # scale
+    st.integers(min_value=0, max_value=3),  # tail style
+)
+def test_dsum_round_model_matches_duckdb(m, scale, style):
+    """The integer half-up round agrees with the _dsum_round SQL twin,
+    with tails engineered onto exact half / just-below / just-above the
+    round boundary -- where ROUND(double, scale) diverged between engines
+    at |sum| ~ 3.5e11 (q5, sf30 replay, the round-9 catch)."""
+    q = 10 ** (6 - scale)
+    m = (m // q) * q + {0: 0, 1: q // 2, 2: q // 2 - 1, 3: q // 2 + 1}[style]
+    con = duckdb.connect()
+    a = f"(ABS(CAST({m} AS BIGINT)) + {q // 2})"
+    got = con.execute(
+        f"SELECT CAST(CASE WHEN {m} < 0 THEN -({a} - {a} % {q}) ELSE ({a} - {a} % {q}) END"
+        f" AS DOUBLE) / 1000000 AS v"
+    ).fetchone()[0]
+    assert got == model_dsum_round(m, scale)
+
+
+def test_dsum_round_spark_matches_model_and_oracle(spark):
+    """dec_sum_round's Spark expression reproduces the model at the exact
+    q5-failure shape: |sum| ~ 3.5e11 with a .4200-micros tail, where
+    F.round(dec_sum_col, 4) and DuckDB ROUND disagreed by one output ulp,
+    plus halves, negatives, and every scale 0-5 at mixed magnitudes."""
+    import duckdb
+
+    from youtubeanalyzerproject_big_data__spark.functions.precision import dec_sum_round
+
+    cases = [
+        (346765105317_420000, 4),  # the sf30 q5 group, verbatim micros
+        (346765105317_420050, 4),
+        (-346765105317_420050, 4),
+        (123_450000, 4), (123_455000, 4), (-123_455000, 4),
+        (899999999999_999999, 0), (5 * 10**17 + 500000, 0),  # |value| < 1e12 input-cast cap
+        (7, 5), (-7, 5), (50, 5), (49, 5),
+    ]
+    rows = [(i, m / 1e6) for i, (m, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    con = duckdb.connect()
+    for i, (m, scale) in enumerate(cases):
+        got = (
+            df.where(F.col("i") == i)
+            .groupBy()
+            .agg(dec_sum_round("v", scale).alias("r"))
+            .collect()[0]["r"]
+        )
+        # the double input quantizes m; recover the decimal(18,6) micros the
+        # way both engines' input cast does, then apply the integer model
+        eff = con.execute(
+            f"SELECT CAST(CAST(CAST({m / 1e6!r} AS DOUBLE) AS DECIMAL(28,6)) * 1000000 AS BIGINT)"
+        ).fetchone()[0]
+        assert got == model_dsum_round(int(eff), scale), (i, m, scale, got)

@@ -54,6 +54,35 @@ def dec_sum(col: str | Column, alias: str) -> Column:
     return dec_sum_col(col).alias(alias)
 
 
+def dec_sum_round(col: str | Column, scale: int) -> Column:
+    """dec_sum_col with the output HALF-UP rounded to ``scale`` < 6 decimals,
+    decided entirely in INTEGER micro space -- never ROUND(double, scale).
+
+    Why: at |sum| ~ 3.5e11 a double's ulp is ~6e-5, so the 4th decimal sits
+    at the precision limit and Spark's round (exact-BigDecimal HALF_UP of
+    the double's true value) and DuckDB's (scale-multiply of the double,
+    whose product can land ON a half) disagree by one output ulp.  First
+    hit: q5's revenue at the sf30 replay (.4200 vs .4201) -- the round-9
+    fourth-decade catch, same family as e1's dec_avg (sf1) and tpch_q1's
+    dec_sum (sf10).  Here the half-up decision runs on exact int64 micros
+    (add half, strip pmod remainder -- no doubles anywhere near the
+    decision, honoring the 2^53 lesson), and only the final
+    int64 -> double / 1e6 materialization -- IEEE-correctly-rounded in
+    both engines -- touches floating point.
+
+    SQL twin: ``__spark_entry__._dsum_round``.
+    """
+    if not 0 <= scale < 6:
+        raise ValueError("dec_sum_round is for scale < 6; use dec_sum at scale 6")
+    c = F.col(col) if isinstance(col, str) else col
+    m = (F.sum(c.cast(DEC)) * 1_000_000).cast("long")
+    q = 10 ** (6 - scale)
+    a = F.abs(m) + F.lit(q // 2)
+    rounded_abs = a - F.pmod(a, F.lit(q))
+    rounded = F.when(m < 0, -rounded_abs).otherwise(rounded_abs)
+    return rounded.cast("double") / F.lit(1_000_000.0)
+
+
 def dec_avg(col: str | Column, alias: str, scale: int = 6) -> Column:
     """Deterministic AVG, HALF-UP at ``scale`` decimals via ALL-INTEGER
     arithmetic -- no double division anywhere near the rounding decision.

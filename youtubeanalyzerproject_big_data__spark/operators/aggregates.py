@@ -369,7 +369,9 @@ def rfm_segments(
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.round((F.sum("mon_micros") / F.lit(1_000_000)).cast("double"), 6).alias("monetary_total"),
+            # int64 micros -> double / 1e6, the dec_sum materialization: a
+            # ROUND(double, 6) on top is ulp-fragile at scale (q5 sf30 lesson)
+            (F.sum("mon_micros").cast("long").cast("double") / F.lit(1_000_000.0)).alias("monetary_total"),
         )
         .withColumn(
             "segment",
