@@ -535,8 +535,12 @@ def test_ngram_pair_stage_joins_are_shuffle_hash_not_broadcast(spark):
             assert plan.count("BroadcastHashJoin") == 0, fn.__name__
             assert plan.count("BroadcastNestedLoopJoin") == 0, fn.__name__
             assert plan.count("CartesianProduct") == 0, fn.__name__
-            # 7 pinned joins: doc-level df recovery, 2 size attachments,
-            # 4 member expansions (cross + self branches)
+            # 7 joins are pinned shuffle_hash in the source (doc-level df
+            # recovery, 2 size attachments, 4 member expansions), but the
+            # plan STRING duplicates reused subtrees (measured 30/60
+            # occurrences live), so an exact count is meaningless here.
+            # The real gate is the zero-broadcast asserts above; the >= 5
+            # floor only proves the hint isn't being dropped wholesale.
             assert plan.count("ShuffledHashJoin") >= 5, (
                 f"{fn.__name__}: {plan.count('ShuffledHashJoin')} SHJ"
             )

@@ -155,7 +155,10 @@ def _assert_scratch_bounded(spark, warn_gb: float | None = None) -> None:
             return
         time.sleep(5)  # let the GC-triggered shuffle cleanup land
         free = scratch_free_gb()
-    except OSError:
+    except OSError as e:
+        # a dead guard must be visible in the sweep log, not a silent no-op
+        # for a multi-hour sweep (ADVICE r9: scratch root removed mid-run)
+        print(f"WARN disk guard disabled: scratch_free_gb failed ({e})", flush=True)
         return
     if free < warn_gb / 3:
         raise RuntimeError(
@@ -324,6 +327,10 @@ def main() -> None:
     if oracle_scratch:
         con.close()  # release temp files before the atexit rmtree
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    if failures:
+        # callers keying on exit status (CI, && chains) must see the failure,
+        # same contract as segmented_oracle.main (ADVICE r9)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -292,6 +292,12 @@ def ngram_jaccard_pairs(
     denominators stay exact), so pairs whose overlap is carried entirely by
     stop-shingles are missed -- the documented trade-off; the driver oracle
     mirrors the same cut, and None restores the exact path.
+
+    ``checkpoint=False`` is TEST-ONLY (plan-shape inspection): it returns
+    the live plan WITHOUT unpersisting the internal shingle caches, so a
+    long-lived session would leak corpus-sized executor storage (the test
+    harness clears the catalog cache after each assertion).  Production
+    callers must keep the default.
     """
     pairs, handles = _capped_intersections(df, id_col, text_col, n, max_df)
     result = (
@@ -355,6 +361,9 @@ def minhash_lsh_pairs(
     overlapping pairs.  ``max_bucket`` drops degenerate band buckets (a
     boilerplate signature shared corpus-wide would expand quadratically in
     one task); verification sets stay exact.  Returns (doc1, doc2, jaccard).
+
+    ``checkpoint=False`` is TEST-ONLY (plan inspection; leaks the shingle
+    cache by design) -- see ngram_jaccard_pairs.
     """
     rows_per_band = num_hashes // bands
     # Shingle once (CPU-heavy), reuse for both the signature path and the
@@ -1003,6 +1012,9 @@ def containment_pairs(
     intersection, max_df stop-shingle cut mirrored by the oracle); emits
     BOTH directions of a qualifying pair separately since containment is
     directional: (contained_id, container_id, containment).
+
+    ``checkpoint=False`` is TEST-ONLY (plan inspection; leaks the shingle
+    cache by design) -- see ngram_jaccard_pairs.
     """
     both, handles = _capped_intersections(df, id_col, text_col, n, max_df)
     fwd = both.select(
