@@ -62,10 +62,36 @@ def test_digest_compare_int_schema_still_matches(spark, con):
     assert rec["err"] is None and rec["hash_match"], rec
 
 
-def test_digest_compare_rejects_float_schema(spark, con):
-    fn = lambda s, sf: s.createDataFrame([(1.5,)], "a double")  # noqa: E731
-    rec = _digest_compare(spark, con, "", "t", fn, "SELECT 1.5 AS a")
-    assert rec["err"] and "int/string" in rec["err"]
+def test_digest_compare_float_micro_lane_matches(spark, con):
+    # round-6 doubles (every contract float output) encode as
+    # floor(x*1e6+0.5) micros -- bit-identical IEEE ops in both engines;
+    # includes a negative, a NULL, and a dyadic exact half (67/128)
+    rows = [(1, 0.823529), (2, -0.5), (3, None), (4, 0.523438), (5, 0.0)]
+    fn = lambda s, sf: s.createDataFrame(rows, "id int, v double")  # noqa: E731
+    oracle = (
+        "SELECT * FROM (VALUES (1, 0.823529), (2, -0.5), (3, NULL), "
+        "(4, 0.523438), (5, 0.0)) t(id, v)"
+    )
+    rec = _digest_compare(spark, con, "", "t", fn, oracle)
+    assert rec["err"] is None and rec["hash_match"], rec
+
+
+def test_digest_compare_float_micro_lane_detects_ulp_at_output_precision(spark, con):
+    # the lane is injective at the contract's own ROUND(x, 6) precision:
+    # a 1e-6 divergence (one output ulp, the q5/e1 bug class) must mismatch
+    fn = lambda s, sf: s.createDataFrame([(1, 0.823529)], "id int, v double")  # noqa: E731
+    rec = _digest_compare(spark, con, "", "t", fn, "SELECT 1 AS id, 0.823530 AS v")
+    assert rec["err"] is None and not rec["hash_match"], rec
+
+
+def test_digest_compare_rejects_timestamp_schema(spark, con):
+    import datetime
+
+    fn = lambda s, sf: s.createDataFrame(  # noqa: E731
+        [(datetime.datetime(2024, 1, 1),)], "a timestamp"
+    )
+    rec = _digest_compare(spark, con, "", "t", fn, "SELECT TIMESTAMP '2024-01-01' AS a")
+    assert rec["err"] and "int/string/double" in rec["err"]
 
 
 def test_scratch_floor_guard(monkeypatch):

@@ -15,6 +15,14 @@ the engine result exactly like tools/verify_local.py.
 Usage:
     python tools/segmented_oracle.py <sf_dir> [g4_pagerank_top100 g5_pagerank_cyclic_top100 g7_personalized_pagerank]
     python tools/segmented_oracle.py --json out.json fixtures/sf10 g4_pagerank_top100
+    python tools/segmented_oracle.py --digest d3_minhash_lsh_pairs fixtures/sf30 d3_minhash_lsh_pairs
+
+``--digest a,b,c`` switches those queries (doc family only) to the
+verify_local digest-sum compare: both engines reduce the result to
+(count, two exact md5-lane sums over the injective length-prefixed row
+encoding; doubles as floor(x*1e6+0.5) micros) and only scalars cross the
+engine boundary -- the compare for results too big to collect (d3's sf30
+pair set is ~246M rows; collect-canon would hold tens of GB driver-side).
 """
 
 from __future__ import annotations
@@ -529,11 +537,14 @@ def _mat_lsh_pairs(
     con.execute(f"DROP TABLE {p}_candd")
 
 
-def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
-    """Segmented replays for the document dedup family.  Stages are
-    memoized as tables inside the run's on-disk database, so queries
-    sharing a pair set (d2/d12/d7/c1 the capped-Jaccard stage, d3/d15 the
-    LSH stage) pay for it once."""
+def _doc_query_sql(con: duckdb.DuckDBPyConnection, name: str) -> str:
+    """Segmented replays for the document dedup family: builds the memoized
+    stage tables on ``con`` (queries sharing a pair set pay once -- d2/d12/
+    d7/c1 the capped-Jaccard stage, d3/d15 the LSH stage), then returns the
+    FINAL SELECT as a string.  Callers either fetchall() it (collect-canon
+    compare) or aggregate it into the digest-sum scalars without ever
+    materializing the result (d3's sf30 pair set is ~246M rows -- VERDICT
+    r9 item 1)."""
     import __spark_entry__ as entrymod
     from youtubeanalyzerproject_big_data__spark.operators import dedup
 
@@ -541,20 +552,18 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
 
     if name == "d2_ngram_jaccard_pairs":
         _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
-        return con.execute(f"SELECT doc1, doc2, {JAC_EXPR} AS jaccard FROM t_jac08").fetchall()
+        return f"SELECT doc1, doc2, {JAC_EXPR} AS jaccard FROM t_jac08"
     if name == "d12_containment_pairs":
         _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
-        return con.execute(
-            """SELECT contained_id, container_id, containment FROM (
+        return """SELECT contained_id, container_id, containment FROM (
                  SELECT doc1 AS contained_id, doc2 AS container_id, ROUND(n_common / n1, 6) AS containment FROM t_cont09
                  UNION ALL
                  SELECT doc2 AS contained_id, doc1 AS container_id, ROUND(n_common / n2, 6) AS containment FROM t_cont09)
                WHERE containment >= 0.9
                ORDER BY contained_id, container_id"""
-        ).fetchall()
     if name == "d3_minhash_lsh_pairs":
         _mat_lsh_pairs(con, max_bucket=dedup.DEFAULT_MAX_BUCKET)
-        return con.execute("SELECT doc1, doc2, jaccard FROM t_lshpr").fetchall()
+        return "SELECT doc1, doc2, jaccard FROM t_lshpr"
     if name == "dr1_dedup_recall":
         # Both legs run on the deterministic md5 sample, truth UNCAPPED
         # (max_df=None) exactly as the one-shot SQL; only the evaluation
@@ -562,8 +571,7 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
         sample_src = entrymod._DR1_SAMPLE_SQL
         _mat_thresh_pairs(con, None, {"s_jac08": f"{JAC_EXPR} >= 0.8"}, p="s", n_batches=32, source=sample_src)
         _mat_lsh_pairs(con, p="s", max_bucket=2000, n_batches=16, source=sample_src)
-        return con.execute(
-            """WITH tru AS (SELECT doc1, doc2 FROM s_jac08),
+        return """WITH tru AS (SELECT doc1, doc2 FROM s_jac08),
                t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tru),
                f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM tru
                      WHERE EXISTS (SELECT 1 FROM s_lshpr l WHERE l.doc1 = tru.doc1 AND l.doc2 = tru.doc2))
@@ -571,14 +579,11 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
                       CAST(CASE WHEN t.n_true = 0 THEN -1
                                 ELSE (1000000 * f.n_found) // t.n_true END AS BIGINT) AS recall_ppm
                FROM t, f"""
-        ).fetchall()
     if name == "d7_dup_clusters":
         _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
         _segmented_components(con, "t_jac08", out="lbl_cap")
-        return con.execute(
-            """SELECT d.doc_id, CAST(COALESCE(l.lbl, d.doc_id) AS BIGINT) AS cluster_id
-               FROM documents d LEFT JOIN lbl_cap l ON d.doc_id = l.id"""
-        ).fetchall()
+        return ("SELECT d.doc_id, CAST(COALESCE(l.lbl, d.doc_id) AS BIGINT) AS cluster_id "
+                "FROM documents d LEFT JOIN lbl_cap l ON d.doc_id = l.id")
     if name == "c1_corpus_curation":
         # c1's one-shot oracle embeds the SAME recursive `reach` closure as
         # d7 (pair stage: shingle-jaccard >= 0.8); on the 100x-tiled fixture
@@ -588,8 +593,7 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
         # token/langid tail is linear and replays verbatim.
         _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
         _segmented_components(con, "t_jac08", out="lbl_cap")
-        return con.execute(
-            rf"""
+        return rf"""
             WITH rep AS (
               SELECT d.doc_id FROM documents d LEFT JOIN lbl_cap l ON d.doc_id = l.id
               WHERE COALESCE(l.lbl, d.doc_id) = d.doc_id
@@ -606,12 +610,10 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
             JOIN rep ON q.doc_id = rep.doc_id
             WHERE lng.lang_pred = 'en' AND q.n_tokens >= 10 AND q.dup_token_ratio <= 0.6
             """
-        ).fetchall()
     if name == "d15_dedup_keep_best":
         _mat_lsh_pairs(con, max_bucket=dedup.DEFAULT_MAX_BUCKET)
         _segmented_components(con, "t_lshpr", out="lbl_lsh")
-        return con.execute(
-            """WITH m AS (SELECT l.id AS doc_id, l.lbl AS cluster_id, d.n_chars
+        return """WITH m AS (SELECT l.id AS doc_id, l.lbl AS cluster_id, d.n_chars
                           FROM lbl_lsh l JOIN documents d ON l.id = d.doc_id),
                rk AS (SELECT cluster_id, doc_id, n_chars,
                              row_number() OVER (PARTITION BY cluster_id
@@ -625,7 +627,6 @@ def _run_doc_query(con: duckdb.DuckDBPyConnection, name: str) -> list[tuple]:
                FROM sz JOIN rk ON sz.cluster_id = rk.cluster_id AND rk.rn = 1
                WHERE sz.n_members >= 2
                ORDER BY sz.cluster_id"""
-        ).fetchall()
     raise KeyError(name)
 
 
@@ -643,14 +644,30 @@ COMPONENT_QUERIES = (
 def main() -> None:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    digest_only: set[str] = set()
+    # order-independent flag parsing, same contract as tools/verify_local.py
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json" and len(argv) >= 2:
+            json_out = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--digest" and len(argv) >= 2:
+            digest_only = set(argv[1].split(","))
+            argv = argv[2:]
+        else:
+            sys.exit(f"unknown or incomplete flag: {argv[0]} (known: --json OUT, --digest a,b,c)")
     sf = argv[0]
     names = argv[1:] or ["g4_pagerank_top100"]
+    # digest mode aggregates the oracle's final SELECT SQL-side, so it is
+    # only wired for the doc family (the others return Python row lists);
+    # an unsupported name must fail loudly, not silently collect-canon
+    bad_digest = digest_only - set(COMPONENT_QUERIES)
+    if bad_digest:
+        sys.exit(f"--digest supports only the doc family {COMPONENT_QUERIES}, got {sorted(bad_digest)}")
+    for nm in digest_only - set(names):
+        names.append(nm)
 
     import __spark_entry__ as entrymod
-    from tools.verify_local import canon
+    from tools.verify_local import _digest_compare, canon
     from youtubeanalyzerproject_big_data__spark.session import get_spark
 
     spark = get_spark("segmented-oracle")
@@ -666,10 +683,46 @@ def main() -> None:
             con.execute(f"SET memory_limit='{mem}'")
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
         con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        def _post_query() -> None:
+            # Reap finished stages' shuffle files (a single sf10 dedup query
+            # writes ~40 GB of blockmgr data; without a GC nudge it persists
+            # until session exit and the 4-query run can exhaust the disk).
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            from tools.verify_local import _assert_scratch_bounded
+
+            _assert_scratch_bounded(spark)
+
         for name in names:
             t0 = time.time()
             if name in COMPONENT_QUERIES:
-                orows = _run_doc_query(con, name)
+                final_sql = _doc_query_sql(con, name)
+                if name in digest_only:
+                    # Result too big to collect-canon (d3's sf30 pair set is
+                    # ~246M rows): both engines reduce to (count, two exact
+                    # md5-lane sums) over the injective row encoding and only
+                    # scalars cross the boundary -- the verify_local --digest
+                    # contract, run against the stage tables on this con.
+                    t_stage = time.time() - t0
+                    rec = _digest_compare(spark, con, sf, name, qs[name], final_sql)
+                    rec["oracle"] = "segmented-iteration"
+                    rec["t_oracle_s"] = round(rec.get("t_oracle_s", 0.0) + t_stage, 1)
+                    records[name] = rec
+                    status = "ok  " if (rec["hash_match"] and not rec["err"]) else "FAIL"
+                    print(
+                        f"{status} {name} (segmented digest-sum, {rec['spark_rows']} rows, "
+                        f"spark {rec.get('t_spark_s')}s, oracle {rec.get('t_oracle_s')}s"
+                        + (f", err={rec['err']}" if rec["err"] else "") + ")",
+                        flush=True,
+                    )
+                    if json_out:
+                        with open(json_out, "w") as f:
+                            json.dump(records, f, indent=1)
+                    _post_query()
+                    continue
+                orows = con.execute(final_sql).fetchall()
             elif name == "g13_kcore":
                 orows = _segmented_kcore(con, entrymod.G13_CORE_K, entrymod.G13_CORE_ROUNDS)
             elif name == "g6_triangle_census":
@@ -706,16 +759,7 @@ def main() -> None:
             if json_out:  # incremental: a late crash keeps the finished rows
                 with open(json_out, "w") as f:
                     json.dump(records, f, indent=1)
-            # Reap finished stages' shuffle files (a single sf10 dedup query
-            # writes ~40 GB of blockmgr data; without a GC nudge it persists
-            # until session exit and the 4-query run can exhaust the disk).
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
-            from tools.verify_local import _assert_scratch_bounded
-
-            _assert_scratch_bounded(spark)
+            _post_query()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     if json_out:

@@ -61,9 +61,15 @@ def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
     Spark-side, HUGEINT oracle-side): each value is length-prefixed
     (``len(v) ':' v``, NULL -> ``N``) so column boundaries are always
     decodable -- a bare '|' join is ambiguous ( ('a|b','c') vs ('a','b|c') )
-    and silently skips NULLs (ADVICE r8).  Restricted to integer/string
-    output schemas, where CAST AS VARCHAR is bit-identical across engines
-    (floats and timestamps would need per-type canonicalization).  This is
+    and silently skips NULLs (ADVICE r8).  Integer/string columns encode
+    via CAST AS VARCHAR (bit-identical across engines); double/float
+    columns encode as int64 MICROS via ``floor(double(x) * 1e6 + 0.5)`` --
+    the pure-IEEE recipe every engine computes bit-for-bit (CLAUDE.md
+    float->micro invariant).  All contract float outputs are ROUND(x, 6)
+    values, so the micro encoding is injective at the output's own
+    precision; the quantization is the same one canon()'s round(v, 9)
+    already applies, just engine-side.  Timestamps stay unsupported
+    (would need tz-pinned epoch canonicalization).  This is
     the compare for results too big to collect (the canon() path held
     ~60 GB of Python tuples for a 100M-row result at sf10); a multiset
     mismatch needs simultaneous collisions of both 32-bit lane SUMS --
@@ -82,10 +88,16 @@ def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
     try:
         sdf = fn(spark, sf)
         scols = sorted(sdf.columns)
-        bad = [f.name for f in sdf.schema.fields
-               if f.dataType.simpleString() not in ("int", "bigint", "smallint", "tinyint", "string")]
+        kinds: dict[str, str] = {}
+        for f in sdf.schema.fields:
+            t = f.dataType.simpleString()
+            if t in ("int", "bigint", "smallint", "tinyint", "string"):
+                kinds[f.name] = "str"
+            elif t in ("double", "float"):
+                kinds[f.name] = "micro"
+        bad = [c for c in scols if c not in kinds]
         if bad:
-            rec["err"] = f"digest compare needs int/string columns, got {bad}"
+            rec["err"] = f"digest compare needs int/string/double columns, got {bad}"
             return rec
         from pyspark.sql import functions as F
 
@@ -93,7 +105,10 @@ def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
         # self-delimiting, so values containing ':' or any separator byte
         # can never shift a column boundary
         def _enc(c):
-            s = F.col(c).cast("string")
+            if kinds[c] == "micro":
+                s = F.floor(F.col(c).cast("double") * F.lit(1e6) + F.lit(0.5)).cast("string")
+            else:
+                s = F.col(c).cast("string")
             return F.when(s.isNull(), F.lit("N")).otherwise(
                 F.concat(F.length(s).cast("string"), F.lit(":"), s)
             )
@@ -116,10 +131,17 @@ def _digest_compare(spark, con, sf: str, name: str, fn, oracle: str) -> dict:
         rec["schema_match"] = ocols == scols
         # DuckDB's concat() SKIPS NULL args (unlike Spark's, which nulls the
         # row), so NULL is handled by an explicit CASE on both sides
-        parts = [
-            f"CASE WHEN {c} IS NULL THEN 'N' ELSE concat(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR), ':', CAST({c} AS VARCHAR)) END"
-            for c in ocols
-        ]
+        def _oenc(c):
+            if kinds.get(c) == "micro":
+                v = f"CAST(floor(CAST({c} AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+            else:
+                v = c
+            return (
+                f"CASE WHEN {c} IS NULL THEN 'N' ELSE "
+                f"concat(CAST(length(CAST({v} AS VARCHAR)) AS VARCHAR), ':', CAST({v} AS VARCHAR)) END"
+            )
+
+        parts = [_oenc(c) for c in ocols]
         s = "concat(" + ", ".join(parts) + ")"
         orow = con.execute(
             f"SELECT COUNT(*) AS n, SUM(CAST({md5_int32_lane_sql(s, 'vcmp', 0)} AS HUGEINT)) AS h0, "
