@@ -94,6 +94,64 @@ def test_digest_compare_rejects_timestamp_schema(spark, con):
     assert rec["err"] and "int/string/double" in rec["err"]
 
 
+class _FakeSC:
+    def __init__(self):
+        self.calls = []
+
+    def cancelAllJobs(self):
+        self.calls.append("cancel")
+
+
+class _FakeSpark:
+    def __init__(self):
+        self.sparkContext = _FakeSC()
+
+
+class _FakeCon:
+    def __init__(self, log):
+        self._log = log
+
+    def interrupt(self):
+        self._log.append("interrupt")
+
+
+def test_disk_watchdog_fires_below_hard_floor(monkeypatch):
+    """Mid-query guard (VERDICT r9 item 4): below the hard floor the
+    watchdog must cancel Spark jobs AND interrupt the oracle, and the
+    evidence must be visible in err_prefix for the per-query record."""
+    import time as _time
+
+    import youtubeanalyzerproject_big_data__spark.session as sess
+    from tools.verify_local import _DiskWatchdog
+
+    monkeypatch.setattr(sess, "scratch_free_gb", lambda: 1.0)
+    fake = _FakeSpark()
+    log: list[str] = []
+    with _DiskWatchdog(fake, _FakeCon(log), poll_s=0.02, hard_gb=5.0) as wd:
+        deadline = _time.time() + 2.0
+        while not wd.evidence and _time.time() < deadline:
+            _time.sleep(0.02)
+    assert wd.evidence["free_gb"] == 1.0
+    assert fake.sparkContext.calls == ["cancel"]
+    assert log == ["interrupt"]
+    assert "disk-guard" in wd.err_prefix() and "1.0 GB free" in wd.err_prefix()
+
+
+def test_disk_watchdog_quiet_on_healthy_volume(monkeypatch):
+    import time as _time
+
+    import youtubeanalyzerproject_big_data__spark.session as sess
+    from tools.verify_local import _DiskWatchdog
+
+    monkeypatch.setattr(sess, "scratch_free_gb", lambda: 500.0)
+    fake = _FakeSpark()
+    with _DiskWatchdog(fake, None, poll_s=0.02, hard_gb=5.0) as wd:
+        _time.sleep(0.2)
+    assert not wd.evidence
+    assert fake.sparkContext.calls == []
+    assert wd.err_prefix() == ""
+
+
 def test_scratch_floor_guard(monkeypatch):
     """The sweep reap assertion: warn band prints, hard floor raises,
     healthy volume is a no-op (VERDICT r8 item 7)."""

@@ -695,7 +695,8 @@ def main() -> None:
 
             _assert_scratch_bounded(spark)
 
-        for name in names:
+        def _run_one(name: str) -> dict:
+            """One segmented compare; prints ok/FAIL, returns the record."""
             t0 = time.time()
             if name in COMPONENT_QUERIES:
                 final_sql = _doc_query_sql(con, name)
@@ -709,7 +710,6 @@ def main() -> None:
                     rec = _digest_compare(spark, con, sf, name, qs[name], final_sql)
                     rec["oracle"] = "segmented-iteration"
                     rec["t_oracle_s"] = round(rec.get("t_oracle_s", 0.0) + t_stage, 1)
-                    records[name] = rec
                     status = "ok  " if (rec["hash_match"] and not rec["err"]) else "FAIL"
                     print(
                         f"{status} {name} (segmented digest-sum, {rec['spark_rows']} rows, "
@@ -717,11 +717,7 @@ def main() -> None:
                         + (f", err={rec['err']}" if rec["err"] else "") + ")",
                         flush=True,
                     )
-                    if json_out:
-                        with open(json_out, "w") as f:
-                            json.dump(records, f, indent=1)
-                    _post_query()
-                    continue
+                    return rec
                 orows = con.execute(final_sql).fetchall()
             elif name == "g13_kcore":
                 orows = _segmented_kcore(con, entrymod.G13_CORE_K, entrymod.G13_CORE_ROUNDS)
@@ -736,14 +732,14 @@ def main() -> None:
                 seeds = getattr(entrymod, seeds_key) if seeds_key else None
                 orows = _segmented_pagerank(con, edges_sql, seeds)
             t_oracle = time.time() - t0
-            t0 = time.time()
+            t1 = time.time()
             sdf = qs[name](spark, sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-            t_spark = time.time() - t0
+            t_spark = time.time() - t1
             ok_rows = len(srows) == len(orows)
             ok_vals = canon(srows, scols) == canon(orows, scols)
-            records[name] = {
+            rec = {
                 "rows_match": ok_rows,
                 "schema_match": True,
                 "hash_match": ok_vals,
@@ -756,9 +752,32 @@ def main() -> None:
             }
             status = "ok  " if (ok_rows and ok_vals) else "FAIL"
             print(f"{status} {name} (segmented oracle, spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)", flush=True)
+            return rec
+
+        from tools.verify_local import _DiskWatchdog
+
+        for name in names:
+            # mid-query disk guard: a single sf30 wedge/pair stage can spike
+            # past the box mid-query where the between-query floor check
+            # can't help (VERDICT r9 item 4); cancels Spark jobs and
+            # interrupts DuckDB cleanly, evidence lands in the record
+            with _DiskWatchdog(spark, con) as wd:
+                try:
+                    records[name] = _run_one(name)
+                except Exception as e:  # noqa: BLE001
+                    records[name] = {
+                        "rows_match": False, "schema_match": False, "hash_match": False,
+                        "spark_rows": None, "oracle_rows": None,
+                        "oracle": "segmented-iteration",
+                        "err": wd.err_prefix() + f"{type(e).__name__}: {str(e)[:200]}",
+                    }
+                    print(f"FAIL {name}: {records[name]['err']}", flush=True)
             if json_out:  # incremental: a late crash keeps the finished rows
                 with open(json_out, "w") as f:
                     json.dump(records, f, indent=1)
+            # the scratch-floor abort (RuntimeError) propagates from here ON
+            # PURPOSE -- it must stop the sweep, not be recorded as one
+            # query's failure
             _post_query()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

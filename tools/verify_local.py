@@ -190,6 +190,84 @@ def _assert_scratch_bounded(spark, warn_gb: float | None = None) -> None:
         print(f"WARN scratch volume low: {free:.1f} GB free < {warn_gb:.0f} GB floor", flush=True)
 
 
+class _DiskWatchdog:
+    """MID-QUERY disk guard (VERDICT r9 item 4): _assert_scratch_bounded
+    runs BETWEEN queries, but one wedge-shuffle at sf30 spiked past the
+    box's remaining ~50 GB INSIDE a single query (g6/g10) where no
+    between-query check can help.  A daemon thread polls the scratch
+    volume while the query runs; below the hard floor (a third of
+    SPARK_GRAFT_MIN_FREE_GB, same floor as the between-query abort) it
+    cancels all Spark jobs and interrupts the DuckDB connection -- a CLEAN
+    per-query failure with the free-space evidence recorded, instead of an
+    ENOSPC mid-shuffle that can starve concurrent work (the r8 d2 lesson).
+
+    Usage::
+
+        with _DiskWatchdog(spark, con) as wd:
+            ... run one query ...
+        # on exception: wd.evidence is non-empty iff the guard fired
+
+    The poll reads one statvfs every ``poll_s`` seconds -- negligible
+    against a multi-minute scale query; at ~500 MB/s of shuffle writes a
+    5 s poll bounds the overshoot past the floor to ~2.5 GB.
+    """
+
+    def __init__(self, spark, con=None, poll_s: float = 5.0, hard_gb: float | None = None):
+        import threading
+
+        if hard_gb is None:
+            hard_gb = float(os.environ.get("SPARK_GRAFT_MIN_FREE_GB", "15")) / 3
+        self._spark, self._con, self._poll_s, self._hard_gb = spark, con, poll_s, hard_gb
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.evidence: dict = {}
+
+    def _run(self) -> None:
+        from youtubeanalyzerproject_big_data__spark.session import scratch_free_gb
+
+        while not self._stop.wait(self._poll_s):
+            try:
+                free = scratch_free_gb()
+            except OSError as e:
+                print(f"WARN mid-query disk guard disabled: {e}", flush=True)
+                return
+            if free < self._hard_gb:
+                self.evidence.update(free_gb=round(free, 1), floor_gb=round(self._hard_gb, 1))
+                print(
+                    f"WARN disk guard: {free:.1f} GB free < {self._hard_gb:.1f} GB hard floor "
+                    "mid-query -- cancelling Spark jobs / interrupting oracle",
+                    flush=True,
+                )
+                try:
+                    self._spark.sparkContext.cancelAllJobs()
+                except Exception:
+                    pass
+                if self._con is not None:
+                    try:
+                        self._con.interrupt()
+                    except Exception:
+                        pass
+                return
+
+    def err_prefix(self) -> str:
+        """Evidence string for the per-query record when the guard fired."""
+        if not self.evidence:
+            return ""
+        return (
+            f"disk-guard: cancelled mid-query at {self.evidence['free_gb']} GB free "
+            f"(hard floor {self.evidence['floor_gb']} GB); "
+        )
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=self._poll_s + 1)
+        return False
+
+
 def main() -> None:
     argv = sys.argv[1:]
     json_out = None
@@ -268,81 +346,85 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if name in digest_only:
-            rec = _digest_compare(spark, con, sf, name, qs[name], oracles[name])
-            records[name] = rec
-            if rec["err"] or not rec["hash_match"]:
+        # mid-query disk guard: cancels cleanly instead of ENOSPC (see _DiskWatchdog)
+        with _DiskWatchdog(spark, con) as wd:
+            if name in digest_only:
+                rec = _digest_compare(spark, con, sf, name, qs[name], oracles[name])
+                if rec["err"]:
+                    rec["err"] = wd.err_prefix() + rec["err"]
+                records[name] = rec
+                if rec["err"] or not rec["hash_match"]:
+                    failures.append(name)
+                    print(f"FAIL {name}: digest compare: {rec['err'] or 'mismatch'} {rec}")
+                else:
+                    print(
+                        f"ok   {name}: digest-sum ({rec['spark_rows']} rows, "
+                        f"spark {rec['t_spark_s']}s, oracle {rec['t_oracle_s']}s)"
+                    )
+                _flush()
+                continue
+            t0 = time.time()
+            try:
+                sdf = fn(spark, sf)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
+                t_spark = round(time.time() - t0, 1)
+            except Exception as e:
                 failures.append(name)
-                print(f"FAIL {name}: digest compare: {rec['err'] or 'mismatch'} {rec}")
+                records[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                                 "spark_rows": None, "oracle_rows": None,
+                                 "err": wd.err_prefix() + f"spark: {type(e).__name__}: {str(e)[:200]}"}
+                print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+                _flush()
+                continue
+            if name not in oracles:
+                records[name] = {"rows_match": len(srows) > 0, "schema_match": None,
+                                 "hash_match": None, "spark_rows": len(srows),
+                                 "oracle_rows": None, "err": None, "t_spark_s": t_spark}
+                print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+                if len(srows) == 0:
+                    print(f"WARN {name}: zero rows")
+                _flush()
+                continue
+            t1 = time.time()
+            try:
+                res = con.execute(oracles[name])
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+                t_oracle = round(time.time() - t1, 1)
+            except Exception as e:
+                failures.append(name)
+                records[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                                 "spark_rows": len(srows), "oracle_rows": None,
+                                 "err": wd.err_prefix() + f"duckdb: {type(e).__name__}: {str(e)[:200]}",
+                                 "t_spark_s": t_spark}
+                print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+                _flush()
+                continue
+            problems = []
+            schema_ok = sorted(scols) == sorted(ocols)
+            rows_ok = len(srows) == len(orows)
+            values_ok = False
+            if not schema_ok:
+                problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+            if not rows_ok:
+                problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+            if not problems:
+                sc, oc = canon(srows, scols), canon(orows, ocols)
+                values_ok = sc == oc
+                if not values_ok:
+                    diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+                    problems.append(f"values differ, first diffs: {diff}")
+            records[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                             "hash_match": values_ok, "spark_rows": len(srows),
+                             "oracle_rows": len(orows), "err": None,
+                             "t_spark_s": t_spark, "t_oracle_s": t_oracle}
+            if problems:
+                failures.append(name)
+                print(f"FAIL {name}: " + "; ".join(p[:400] for p in problems))
             else:
-                print(
-                    f"ok   {name}: digest-sum ({rec['spark_rows']} rows, "
-                    f"spark {rec['t_spark_s']}s, oracle {rec['t_oracle_s']}s)"
-                )
+                print(f"ok   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             _flush()
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            t_spark = round(time.time() - t0, 1)
-        except Exception as e:
-            failures.append(name)
-            records[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
-                             "spark_rows": None, "oracle_rows": None,
-                             "err": f"spark: {type(e).__name__}: {str(e)[:200]}"}
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
-            _flush()
-            continue
-        if name not in oracles:
-            records[name] = {"rows_match": len(srows) > 0, "schema_match": None,
-                             "hash_match": None, "spark_rows": len(srows),
-                             "oracle_rows": None, "err": None, "t_spark_s": t_spark}
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
-            if len(srows) == 0:
-                print(f"WARN {name}: zero rows")
-            _flush()
-            continue
-        t1 = time.time()
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-            t_oracle = round(time.time() - t1, 1)
-        except Exception as e:
-            failures.append(name)
-            records[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
-                             "spark_rows": len(srows), "oracle_rows": None,
-                             "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}",
-                             "t_spark_s": t_spark}
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
-            _flush()
-            continue
-        problems = []
-        schema_ok = sorted(scols) == sorted(ocols)
-        rows_ok = len(srows) == len(orows)
-        values_ok = False
-        if not schema_ok:
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if not rows_ok:
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            sc, oc = canon(srows, scols), canon(orows, ocols)
-            values_ok = sc == oc
-            if not values_ok:
-                diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
-        records[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
-                         "hash_match": values_ok, "spark_rows": len(srows),
-                         "oracle_rows": len(orows), "err": None,
-                         "t_spark_s": t_spark, "t_oracle_s": t_oracle}
-        if problems:
-            failures.append(name)
-            print(f"FAIL {name}: " + "; ".join(p[:400] for p in problems))
-        else:
-            print(f"ok   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-        _flush()
     if json_out:
         _flush()
         print(f"wrote {json_out} ({len(records)} queries)")
