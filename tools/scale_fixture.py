@@ -29,8 +29,23 @@ Determinism: no randomness at all -- output is a pure function of the
 input directory and K, so Spark and the DuckDB oracle replay identical
 bytes and the verify gate stays hash-exact.
 
+``--perturb-docs`` (VERDICT r9 item 2) makes documents.text REPLICA-LOCAL:
+every whitespace-token in replica r >= 1 gets a deterministic ``_r{r}``
+suffix (replica 0 stays byte-identical), and n_chars is recomputed to stay
+= len(text).  The plain tiling gives every doc K-1 exact clones, so at
+K=300 every shared shingle's document frequency crosses max_df and
+d2/d12's pair stage legitimately agrees on 0 rows with the oracle --
+green, but the pair path never executes.  The token suffix is an
+INJECTIVE per-replica token map, so each replica reproduces sf0.1's
+near-dup structure exactly (token counts, shingle sets, jaccard values
+all preserved within a replica; no shingle is shared across replicas):
+shingle df stays at sf0.1 levels, under the cap, and the pair stage runs
+at K-fold volume -- K translated copies of the base pair set.  Exact-dup
+structure (d1-family md5 groups) is destroyed across replicas by design;
+use the plain tiling for those.
+
 Usage:
-    python tools/scale_fixture.py [SRC_DIR] [DST_DIR] [K]
+    python tools/scale_fixture.py [--perturb-docs] [SRC_DIR] [DST_DIR] [K]
     # default: /root/testdata/sf0.1 -> /root/repo/fixtures/sf1, K=10
 """
 
@@ -65,7 +80,21 @@ def _next_pow10(n: int) -> int:
     return base
 
 
-def scale_dir(src: str, dst: str, k: int) -> dict[str, int]:
+def _perturb_doc_columns(tab: pa.Table, cols: list, r: int) -> list:
+    """Replica-local token identities for documents replica ``r``: suffix
+    every \\S+ token with ``_r{r}`` (injective token map -- within-replica
+    dup/near-dup structure is preserved exactly) and recompute n_chars so
+    the stored length stays consistent with the rewritten text.  Column
+    list is positional-aligned with tab.column_names."""
+    out = list(cols)
+    ti = tab.column_names.index("text")
+    out[ti] = pc.replace_substring_regex(out[ti], pattern=r"(\S+)", replacement=rf"\1_r{r}")
+    if "n_chars" in tab.column_names:
+        out[tab.column_names.index("n_chars")] = pc.cast(pc.utf8_length(out[ti]), pa.int64())
+    return out
+
+
+def scale_dir(src: str, dst: str, k: int, perturb_docs: bool = False) -> dict[str, int]:
     os.makedirs(dst, exist_ok=True)
     tables = {t: pq.read_table(os.path.join(src, f"{t}.parquet")) for t in COPY_UNCHANGED + REPLICATED}
 
@@ -92,6 +121,8 @@ def scale_dir(src: str, dst: str, k: int) -> dict[str, int]:
                 if name in key_cols:
                     col = pc.add(col, pa.scalar(r * key_cols[name], type=pa.int64()))
                 cols.append(col)
+            if perturb_docs and t == "documents":
+                cols = _perturb_doc_columns(tab, cols, r)
             replicas.append(pa.table(cols, schema=tab.schema))
         out = pa.concat_tables(replicas)
         pq.write_table(out, os.path.join(dst, f"{t}.parquet"), row_group_size=256 * 1024)
@@ -100,10 +131,15 @@ def scale_dir(src: str, dst: str, k: int) -> dict[str, int]:
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/fixtures/sf1"
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    rows = scale_dir(src, dst, k)
+    argv = sys.argv[1:]
+    perturb = False
+    if argv and argv[0] == "--perturb-docs":
+        perturb = True
+        argv = argv[1:]
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    dst = argv[1] if len(argv) > 1 else "/root/repo/fixtures/sf1"
+    k = int(argv[2]) if len(argv) > 2 else 10
+    rows = scale_dir(src, dst, k, perturb_docs=perturb)
     for t, n in sorted(rows.items()):
         print(f"{t}: {n} rows")
 
