@@ -34,6 +34,7 @@ from youtubeanalyzerproject_big_data__spark.functions.hashing import (
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize as textfns_normalize
 from youtubeanalyzerproject_big_data__spark.functions import zorder as zorder_fns
 from youtubeanalyzerproject_big_data__spark.functions.zorder import hilbert_sql_2d
+from youtubeanalyzerproject_big_data__spark.functions import precision
 from youtubeanalyzerproject_big_data__spark.functions.precision import (
     DEC,
     dec_avg,
@@ -103,6 +104,16 @@ def _dsum_round(col_expr: str, scale: int) -> str:
     )
 
 
+# _dratio / _dmicro: the integer-half-up ratio and IEEE micro-round SQL
+# twins of precision.ratio_round / precision.micro_round (defined in the
+# package so tools/segmented_oracle.py shares them; see their docstrings
+# for the 41/640-class engine divergence they close).
+from youtubeanalyzerproject_big_data__spark.functions.precision import (  # noqa: E402
+    dmicro_sql as _dmicro,
+    dratio_sql as _dratio,
+)
+
+
 _REV = "l_extendedprice * (1 - l_discount)"
 
 # DuckDB word-shingle CTE fragment shared by the text-dedup oracles.
@@ -135,7 +146,7 @@ inter AS (
   GROUP BY 1, 2
 ),
 jac AS (
-  SELECT doc1, doc2, ROUND(n_common / (s1.n + s2.n - n_common), 6) AS jaccard
+  SELECT doc1, doc2, {_dratio('n_common', '(s1.n + s2.n - n_common)')} AS jaccard
   FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
 )
 """
@@ -565,7 +576,7 @@ def q_e9(spark: SparkSession, sf: str) -> DataFrame:
         "from_type",
         "to_type",
         "n_transitions",
-        F.round(F.col("n_transitions") / F.sum("n_transitions").over(w_from), 6).alias("p"),
+        precision.ratio_round(F.col("n_transitions"), F.sum("n_transitions").over(w_from), "p"),
     ).orderBy("from_type", "to_type")
 
 
@@ -592,7 +603,7 @@ def q_a17(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("approx_p50") >= F.col("p49")) & (F.col("approx_p50") <= F.col("p51")))
         .cast("int")
         .alias("in_rank_window"),
-        F.round("p50", 4).alias("exact_p50"),
+        precision.micro_round("p50", "exact_p50", scale=4),
     ).orderBy("event_type")
 
 
@@ -643,7 +654,7 @@ def q_e7(spark: SparkSession, sf: str) -> DataFrame:
             "user_id",
             "n_events",
             "engagement_micro",
-            F.round(F.col("engagement_micro") / 1e6, 6).alias("engagement"),
+            (F.col("engagement_micro").cast("double") / F.lit(1e6)).alias("engagement"),
         )
     )
 
@@ -769,7 +780,7 @@ def q_u1(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey",
         "o_orderstatus",
         F.lit("5-LOW").alias("o_orderpriority"),
-        F.round(F.col("o_totalprice") * 1.1, 6).alias("o_totalprice"),
+        precision.micro_round(F.col("o_totalprice") * 1.1, "o_totalprice"),
         F.lit(False).alias("_del"),
     )
     dele = base.where(p_del & ~p_upd).select(*base.columns, F.lit(True).alias("_del"))
@@ -778,7 +789,7 @@ def q_u1(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         F.lit("9-NEW").alias("o_orderpriority"),
-        F.round(F.col("o_totalprice") * 0.5, 6).alias("o_totalprice"),
+        precision.micro_round(F.col("o_totalprice") * 0.5, "o_totalprice"),
         F.lit(False).alias("_del"),
     )
     updates = upd.unionByName(dele).unionByName(ins)
@@ -855,8 +866,8 @@ def q_w4(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).cast("long").alias("rolling_n"),
         F.round(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 6).alias("rolling_sum"),
-        F.round(F.min("value").over(w), 6).alias("rolling_min"),
-        F.round(F.max("value").over(w), 6).alias("rolling_max"),
+        precision.micro_round(F.min("value").over(w), "rolling_min"),
+        precision.micro_round(F.max("value").over(w), "rolling_max"),
     )
 
 
@@ -1007,8 +1018,8 @@ def q_sk3(spark: SparkSession, sf: str) -> DataFrame:
         "rk",
         "user_id",
         "n_events",
-        F.round(F.col("n_events") / F.lit(int(total)), 6).alias("share"),
-        F.round(F.sum("n_events").over(w_cum) / F.lit(int(total)), 6).alias("cum_share"),
+        precision.ratio_round(F.col("n_events"), F.lit(int(total)), "share"),
+        precision.ratio_round(F.sum("n_events").over(w_cum), F.lit(int(total)), "cum_share"),
     ).orderBy("rk")
 
 
@@ -1096,7 +1107,7 @@ def q_e13(spark: SparkSession, sf: str) -> DataFrame:
         F.hour("ts").cast("long").alias("hour"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     total = cells.agg(F.sum("n_events")).collect()[0][0]
-    return cells.withColumn("share", F.round(F.col("n_events") / F.lit(int(total)), 6)).orderBy(
+    return cells.withColumn("share", precision.ratio_round(F.col("n_events"), F.lit(int(total)))).orderBy(
         "dow", "hour"
     )
 
@@ -1181,8 +1192,8 @@ def q_w6(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        precision.micro_round(F.percent_rank().over(w), "pct_rank"),
+        precision.micro_round(F.cume_dist().over(w), "cume"),
     ).orderBy("o_orderkey")
 
 
@@ -1239,13 +1250,13 @@ def q_u4(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         F.when(p_upd, F.lit("5-LOW")).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
-        F.when(p_upd, F.round(F.col("o_totalprice") * 1.1, 6)).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(p_upd, precision.micro_round(F.col("o_totalprice") * 1.1)).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     inserted = base.where(p_ins).select(
         (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         F.lit("9-NEW").alias("o_orderpriority"),
-        F.round(F.col("o_totalprice") * 0.5, 6).alias("o_totalprice"),
+        precision.micro_round(F.col("o_totalprice") * 0.5, "o_totalprice"),
     )
     new = mutated.unionByName(inserted)
     return snapshot_diff(base, new, ["o_orderkey"], ["o_orderstatus", "o_orderpriority", "o_totalprice"])
@@ -1412,7 +1423,7 @@ def q_e4(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").cast("long").alias("sum_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            precision.dec_avg("k", "avg_k"),
             F.min("k").cast("long").alias("min_k"),
             F.max("k").cast("long").alias("max_k"),
         )
@@ -1838,7 +1849,7 @@ def q_p2(spark: SparkSession, sf: str) -> DataFrame:
     base = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
         dec_sum("o_totalprice", "sum_price"),
-        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        precision.micro_round(F.max("o_totalprice"), "max_price"),
     )
     return agg.unpivot_measures(base, ["o_orderpriority"], ["n_orders", "sum_price", "max_price"]).orderBy(
         "o_orderpriority", "measure"
@@ -1856,7 +1867,7 @@ def q_a13(spark: SparkSession, sf: str) -> DataFrame:
     )
     return out.select(
         (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.01).cast("int").alias("within_1pct"),
-        F.round(F.col("exact"), 4).alias("exact_p50"),
+        precision.micro_round(F.col("exact"), "exact_p50", scale=4),
     )
 
 
@@ -2589,7 +2600,7 @@ def q_mm1(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("blob"), "text")
     media = multimodal.attach_media_metadata(docs, "doc_id", "blob", "text_blob")
     feats = multimodal.extract_features(media, decode_stub="fake", feat_dim=8)
-    return feats.select("media_id", "modality", "n_bytes", F.round("feat_mean", 6).alias("feat_mean"), "feat_dim")
+    return feats.select("media_id", "modality", "n_bytes", precision.micro_round("feat_mean", "feat_mean"), "feat_dim")
 
 
 def q_mm2(spark: SparkSession, sf: str) -> DataFrame:
@@ -2611,7 +2622,7 @@ def q_mm3(spark: SparkSession, sf: str) -> DataFrame:
     small = multimodal.transform_media(media, op="resize", factor=4, decode_stub="fake")
     feats = multimodal.extract_features(small, decode_stub="fake", feat_dim=8)
     return feats.select(
-        "media_id", "modality", "n_bytes", "content_md5", F.round("feat_mean", 6).alias("feat_mean"), "feat_dim"
+        "media_id", "modality", "n_bytes", "content_md5", precision.micro_round("feat_mean", "feat_mean"), "feat_dim"
     )
 
 
@@ -2676,7 +2687,7 @@ def q_mm4(spark: SparkSession, sf: str) -> DataFrame:
     feats = multimodal.extract_features(media, decode_stub="stdlib")
     return feats.select(
         "media_id",
-        F.round("feat_mean", 6).alias("feat_mean"),
+        precision.micro_round("feat_mean", "feat_mean"),
         F.col("feat_dim").cast("long").alias("feat_dim"),
     )
 
@@ -3605,7 +3616,7 @@ def q_q15(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(s), per_supp["l_suppkey"] == s["s_suppkey"])
         .select(
             "s_suppkey", "s_name", "rev_micro",
-            F.round(F.col("rev_micro") / 1e6, 6).alias("total_revenue"),
+            (F.col("rev_micro").cast("double") / F.lit(1e6)).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -3841,7 +3852,7 @@ def q_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "value_micro",
-            F.round(F.col("value_micro") / 1e6, 6).alias("value"),
+            (F.col("value_micro").cast("double") / F.lit(1e6)).alias("value"),
         )
         .orderBy(F.desc("value_micro"), "p_partkey")
         .limit(100)
@@ -4507,11 +4518,15 @@ def q_q10(spark: SparkSession, sf: str) -> DataFrame:
     per_cust = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
-        .agg(dec_sum(rev, "revenue"), F.count(F.lit(1)).cast("long").alias("n_lines"))
+        # dec_sum_round, NOT ROUND(dec_sum, 4): the q5 sf30 lesson -- a
+        # reduced-scale ROUND on the double sum splits one output ulp
+        # between engines near the 2^53 limit (CLAUDE.md invariant; this
+        # site was the one r9 missed when fixing q3/q5/sk1/e12)
+        .agg(dec_sum_round(rev, 4).alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_lines"))
     )
     return (
         per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"])
-        .select("c_custkey", "c_name", "c_mktsegment", F.round("revenue", 4).alias("revenue"), "n_lines")
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_lines")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -5229,7 +5244,7 @@ def _refined_ann_oracle(k_cand: int = 20, k: int = 5) -> str:
               FROM cand
               JOIN embeddings q ON cand.query_id = q.vec_id
               JOIN embeddings c ON cand.neighbor_id = c.vec_id)
-            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+            SELECT query_id, neighbor_id, {_dmicro('cos')} AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
             WHERE rk <= {k}
         """
@@ -5269,7 +5284,7 @@ WITH s AS (
          {cos} AS cos
   FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 10)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+SELECT query_id, neighbor_id, {_dmicro('cos')} AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
 WHERE rk <= {k}
 """
@@ -5297,7 +5312,7 @@ cand AS (
   WHERE q.vec_id < 10
 ),
 scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+SELECT query_id, neighbor_id, {_dmicro('cos')} AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
 WHERE rk <= {k}
 """
@@ -5323,7 +5338,7 @@ cand AS (
   JOIN bok ON a.band = bok.band AND a.bval = bok.bval
   JOIN bexp b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
 )
-SELECT id1, id2, ROUND({cos}, 6) AS cos_sim
+SELECT id1, id2, {_dmicro(cos)} AS cos_sim
 FROM cand JOIN embeddings e1 ON id1 = e1.vec_id JOIN embeddings e2 ON id2 = e2.vec_id
 WHERE {cos} >= {threshold}
 """
@@ -5381,7 +5396,7 @@ cand AS (
   WHERE p.query_id != s.vec_id
 ),
 scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+SELECT query_id, neighbor_id, {_dmicro('cos')} AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
 WHERE rk <= {k}
 """
@@ -5436,7 +5451,7 @@ pairs AS (
   WHERE q.vec_id < 10
 ),
 scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM pairs)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+SELECT query_id, neighbor_id, {_dmicro('cos')} AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
 WHERE rk <= {k}
 """
@@ -5525,7 +5540,7 @@ cand AS (
   WHERE p.query_id != s.vec_id
 ),
 scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+SELECT query_id, neighbor_id, {_dmicro('cos')} AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
 WHERE rk <= {k}
 """
@@ -5774,7 +5789,7 @@ def _bloom_gate_oracle(m_bits: int, k: int) -> str:
         q AS (SELECT 1.0 - exp((-{k} * nb.v) / {float(m_bits)}) AS v FROM nb)
         SELECT nb.v AS n_build_keys, n_probe_keys, n_members, n_maybe,
                false_negatives, false_positives,
-               ROUND(false_positives / greatest(n_nonmembers, 1), 6) AS fp_rate,
+               {_dratio('false_positives', 'greatest(n_nonmembers, 1)')} AS fp_rate,
                CAST(floor((2.0 * ({qk})) * n_nonmembers) + 5 AS BIGINT) AS fp_budget,
                false_negatives = 0 AS zero_false_negatives,
                false_positives <= CAST(floor((2.0 * ({qk})) * n_nonmembers) + 5 AS BIGINT) AS fp_within_budget
@@ -5787,7 +5802,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "a1_event_type_stats": f"""
             SELECT event_type, COUNT(*) AS num_rows, {_davg('value')} AS avg_value,
-                   ROUND(MAX(value), 6) AS max_value, ROUND(MIN(value), 6) AS min_value
+                   {_dmicro('MAX(value)')} AS max_value, {_dmicro('MIN(value)')} AS min_value
             FROM events GROUP BY event_type
         """,
         "a2_quantity_bucket_stats": f"""
@@ -5797,15 +5812,15 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'q3_ge30' END AS bucket, l_extendedprice
               FROM lineitem)
             SELECT bucket, COUNT(*) AS num_rows, {_davg('l_extendedprice')} AS avg_l_extendedprice,
-                   ROUND(MAX(l_extendedprice), 6) AS max_l_extendedprice
+                   {_dmicro('MAX(l_extendedprice)')} AS max_l_extendedprice
             FROM b GROUP BY bucket
         """,
         "a3_global_price_stats": f"""
             SELECT COUNT(l_extendedprice) AS cnt, {_davg('l_extendedprice')} AS avg_val,
-                   ROUND(stddev(l_extendedprice), 4) AS stddev_val,
-                   ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_val,
-                   ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_val,
-                   ROUND(MAX(l_extendedprice), 6) AS max_val,
+                   {_dmicro('stddev(l_extendedprice)', 4)} AS stddev_val,
+                   {_dmicro('CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)', 4)} AS p50_val,
+                   {_dmicro('CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE)', 4)} AS p90_val,
+                   {_dmicro('MAX(l_extendedprice)')} AS max_val,
                    {_dsum('l_extendedprice')} AS sum_val
             FROM lineitem
         """,
@@ -5888,8 +5903,8 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT quantile_cont(o_totalprice, [{", ".join(str(i / 10) for i in range(1, 10))}]) AS cuts FROM orders)
             SELECT CAST(list_sum(list_transform(cuts, t -> CASE WHEN o_totalprice > t THEN 1 ELSE 0 END)) AS BIGINT) AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   ROUND(MIN(o_totalprice), 6) AS lo,
-                   ROUND(MAX(o_totalprice), 6) AS hi
+                   {_dmicro('MIN(o_totalprice)')} AS lo,
+                   {_dmicro('MAX(o_totalprice)')} AS hi
             FROM orders, c
             GROUP BY bucket ORDER BY bucket
         """,
@@ -5921,7 +5936,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT category, COUNT(*) AS num_videos,
                    {_davg("views")} AS avg_views,
-                   ROUND(MAX(views), 6) AS max_views,
+                   {_dmicro('MAX(views)')} AS max_views,
                    {_davg("length")} AS avg_length,
                    {_davg("rate")} AS avg_rating
             FROM v GROUP BY category
@@ -5935,7 +5950,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Transition replay: same lag over (epoch-micros, event_id) order;
         # p is the exact integer ratio rounded identically.
-        "e9_transition_matrix": """
+        "e9_transition_matrix": f"""
             WITH o AS (
               SELECT user_id, event_type,
                      LAG(event_type) OVER (PARTITION BY user_id
@@ -5945,7 +5960,7 @@ def oracle_sql() -> dict[str, str]:
                          CAST(COUNT(*) AS BIGINT) AS n_transitions
                   FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2)
             SELECT from_type, to_type, n_transitions,
-                   ROUND(n_transitions / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+                   {_dratio('n_transitions', 'CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)')} AS p
             FROM c
         """,
         # Profile replay: per-column UNION ALL of the same aggregates;
@@ -5989,17 +6004,17 @@ def oracle_sql() -> dict[str, str]:
         # GK-sketch gate, per group: the oracle pins the rank-window
         # contract bit (holds mathematically for rank error 1e-4) plus the
         # exact median; sketch internals are engine-specific by design.
-        "a17_approx_grouped_percentiles_gate": """
+        "a17_approx_grouped_percentiles_gate": f"""
             SELECT event_type, 1 AS in_rank_window,
-                   ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS exact_p50
+                   {_dmicro('CAST(quantile_cont(value, 0.5) AS DOUBLE)', 4)} AS exact_p50
             FROM events GROUP BY event_type
         """,
-        "a15_grouped_percentiles": """
+        "a15_grouped_percentiles": f"""
             SELECT event_type, COUNT(value) AS cnt,
-                   ROUND(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
-                   ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
-                   ROUND(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS p75,
-                   ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90
+                   {_dmicro('CAST(quantile_cont(value, 0.25) AS DOUBLE)', 4)} AS p25,
+                   {_dmicro('CAST(quantile_cont(value, 0.5) AS DOUBLE)', 4)} AS p50,
+                   {_dmicro('CAST(quantile_cont(value, 0.75) AS DOUBLE)', 4)} AS p75,
+                   {_dmicro('CAST(quantile_cont(value, 0.9) AS DOUBLE)', 4)} AS p90
             FROM events GROUP BY event_type
         """,
         # Cohort replay: dates from nanos timestamps truncate identically
@@ -6024,14 +6039,14 @@ def oracle_sql() -> dict[str, str]:
               FROM events, m)
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(trm) AS BIGINT) AS engagement_micro,
-                   ROUND(SUM(trm) / 1e6, 6) AS engagement
+                   (CAST(SUM(trm) AS BIGINT) / 1000000.0) AS engagement
             FROM t GROUP BY user_id
         """,
         # MG gate: the oracle pins exact-heavy cardinality + the contract
         # bits; candidate contents are partitioning-dependent by design.
         # MAD replay: quantile_cont median, abs-dev median, identical
         # 3*1.4826 cut-line arithmetic on the unrounded MAD.
-        "a20_robust_group_stats": """
+        "a20_robust_group_stats": f"""
             WITH med AS (SELECT o_orderpriority, CAST(COUNT(o_totalprice) AS BIGINT) AS cnt,
                                 quantile_cont(o_totalprice, 0.5) AS m
                          FROM orders GROUP BY o_orderpriority),
@@ -6041,8 +6056,8 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY o.o_orderpriority)
             SELECT o.o_orderpriority,
                    ANY_VALUE(mad.cnt) AS cnt,
-                   ROUND(ANY_VALUE(mad.m), 6) AS median_v,
-                   ROUND(ANY_VALUE(mad.d), 6) AS mad,
+                   {_dmicro('ANY_VALUE(mad.m)')} AS median_v,
+                   {_dmicro('ANY_VALUE(mad.d)')} AS mad,
                    CAST(SUM(CASE WHEN abs(o.o_totalprice - mad.m) > (3.0 * 1.4826) * mad.d THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM orders o JOIN mad USING (o_orderpriority)
             GROUP BY o.o_orderpriority
@@ -6059,9 +6074,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS underestimate_ok
             FROM h
         """,
-        "a13_approx_quantile_gate": """
+        "a13_approx_quantile_gate": f"""
             SELECT 1 AS within_1pct,
-                   ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS exact_p50
+                   {_dmicro('CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)', 4)} AS exact_p50
             FROM lineitem
         """,
         "p1_pivot_flag_status": f"""
@@ -6075,7 +6090,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderpriority,
                      CAST(COUNT(*) AS DOUBLE) AS n_orders,
                      {_dsum("o_totalprice")} AS sum_price,
-                     ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6) AS max_price
+                     {_dmicro('CAST(MAX(o_totalprice) AS DOUBLE)')} AS max_price
               FROM orders GROUP BY o_orderpriority)
             SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM base
             UNION ALL SELECT o_orderpriority, 'sum_price', sum_price FROM base
@@ -6145,7 +6160,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice, o_orderpriority
             FROM r WHERE rn > 100 AND rn <= 150 ORDER BY rn
         """,
-        "sk3_skew_diagnosis": """
+        "sk3_skew_diagnosis": f"""
             WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id),
             t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per),
             top AS (
@@ -6153,8 +6168,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rk
               FROM per ORDER BY n_events DESC, user_id LIMIT 20)
             SELECT rk, user_id, n_events,
-                   ROUND(n_events / t.total, 6) AS share,
-                   ROUND(SUM(n_events) OVER (ORDER BY rk) / t.total, 6) AS cum_share
+                   {_dratio('n_events', 't.total')} AS share,
+                   {_dratio('CAST(SUM(n_events) OVER (ORDER BY rk) AS BIGINT)', 't.total')} AS cum_share
             FROM top, t ORDER BY rk
         """,
         "i2_incremental_topk_state": """
@@ -6249,7 +6264,7 @@ def oracle_sql() -> dict[str, str]:
         # code, and round-trip error are the identical double sequence, so
         # the half-step gate bit matches exactly (constant dims: sc=0 ->
         # code 0, error 0, vacuously within bound).
-        "em3_int8_quantization_gate": """
+        "em3_int8_quantization_gate": f"""
             WITH x AS (
               SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
                      GENERATE_SUBSCRIPTS(embedding, 1) AS p
@@ -6268,8 +6283,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_values,
                    CAST(MIN(ok) AS INT) AS all_within_half_step,
-                   ROUND(MIN(dmin), 6) AS dim_min,
-                   ROUND(MIN(dmax), 6) AS dim_max
+                   {_dmicro('MIN(dmin)')} AS dim_min,
+                   {_dmicro('MIN(dmax)')} AS dim_max
             FROM e GROUP BY pos
         """,
         "em1_label_centroids": f"""
@@ -6286,7 +6301,7 @@ def oracle_sql() -> dict[str, str]:
         # engine collects; both norms are the 0.0 + x1*x1 + ... sequential
         # chains (list_sum == Catalyst aggregate fold, the _cos_sql
         # equivalence).
-        "em2_normalization_stats": """
+        "em2_normalization_stats": f"""
             WITH x AS (
               SELECT UNNEST(embedding) AS val, GENERATE_SUBSCRIPTS(embedding, 1) AS p
               FROM embeddings),
@@ -6296,10 +6311,8 @@ def oracle_sql() -> dict[str, str]:
               FROM x GROUP BY p),
             ml AS (SELECT list(m ORDER BY p) AS mv FROM mn)
             SELECT vec_id,
-                   ROUND(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-                         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS l2_norm,
-                   ROUND(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-                         i -> (CAST(embedding[i] AS DOUBLE) - mv[i]) * (CAST(embedding[i] AS DOUBLE) - mv[i])))), 6) AS centered_l2_norm
+                   {_dmicro("sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))")} AS l2_norm,
+                   {_dmicro("sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i -> (CAST(embedding[i] AS DOUBLE) - mv[i]) * (CAST(embedding[i] AS DOUBLE) - mv[i]))))")} AS centered_l2_norm
             FROM embeddings, ml
         """,
         "a10_rollup_order_stats": f"""
@@ -6535,13 +6548,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Incremental-agg oracle: recompute from the FULL table; equality
         # with the two-way state merge is the mergeability proof.
-        "i1_incremental_agg_state": """
+        "i1_incremental_agg_state": f"""
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
                    MIN(o_totalprice) AS min_v,
                    MAX(o_totalprice) AS max_v,
-                   ROUND(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) / (COUNT(*) * 1e6), 6) AS avg_v
+                   {_dratio('CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT)', '(COUNT(*) * 1000000)')} AS avg_v
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
@@ -6591,11 +6604,11 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u4upd")}) % 1000000 < 50000
                           THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority,
                      CASE WHEN ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u4upd")}) % 1000000 < 50000
-                          THEN ROUND(o_totalprice * 1.1, 6) ELSE o_totalprice END AS o_totalprice
+                          THEN {_dmicro('o_totalprice * 1.1')} ELSE o_totalprice END AS o_totalprice
               FROM kept),
             ins AS (
               SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
-                     '9-NEW' AS o_orderpriority, ROUND(o_totalprice * 0.5, 6) AS o_totalprice
+                     '9-NEW' AS o_orderpriority, {_dmicro('o_totalprice * 0.5')} AS o_totalprice
               FROM b WHERE ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u4ins")}) % 1000000 < 10000),
             nw AS (SELECT * FROM mut UNION ALL SELECT * FROM ins),
             j AS (
@@ -6623,7 +6636,7 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders),
             upd AS (
               SELECT o_orderkey, o_custkey, o_orderstatus,
-                     '5-LOW' AS o_orderpriority, ROUND(o_totalprice * 1.1, 6) AS o_totalprice,
+                     '5-LOW' AS o_orderpriority, {_dmicro('o_totalprice * 1.1')} AS o_totalprice,
                      FALSE AS _del
               FROM b WHERE ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u1upd")}) % 1000000 < 50000),
             del_ AS (
@@ -6632,7 +6645,7 @@ def oracle_sql() -> dict[str, str]:
                 AND NOT (({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u1upd")}) % 1000000 < 50000)),
             ins AS (
               SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
-                     '9-NEW' AS o_orderpriority, ROUND(o_totalprice * 0.5, 6) AS o_totalprice,
+                     '9-NEW' AS o_orderpriority, {_dmicro('o_totalprice * 0.5')} AS o_totalprice,
                      FALSE AS _del
               FROM b WHERE ({md5_int32_sql("CAST(o_orderkey AS VARCHAR)", "u1ins")}) % 1000000 < 10000),
             u AS (SELECT * FROM upd UNION ALL SELECT * FROM del_ UNION ALL SELECT * FROM ins)
@@ -6706,9 +6719,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN 2 * m * h2 - s2 * s2 = 0 THEN 0
                         ELSE FLOOR(1e6 * (CAST(4 * m * sjk - s2 * s2 AS DOUBLE)
                                           / CAST(2 * m * h2 - s2 * s2 AS DOUBLE))) END AS BIGINT) AS assortativity_micro,
-                   ROUND(CAST(CASE WHEN 2 * m * h2 - s2 * s2 = 0 THEN 0
+                   (CAST(CASE WHEN 2 * m * h2 - s2 * s2 = 0 THEN 0
                         ELSE FLOOR(1e6 * (CAST(4 * m * sjk - s2 * s2 AS DOUBLE)
-                                          / CAST(2 * m * h2 - s2 * s2 AS DOUBLE))) END AS BIGINT) / 1e6, 6) AS assortativity
+                                          / CAST(2 * m * h2 - s2 * s2 AS DOUBLE))) END AS BIGINT) / 1000000.0) AS assortativity
             FROM s
         """,
         "g10_clustering_coefficient": """
@@ -6727,7 +6740,7 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY v)
             SELECT pv.v, deg.d, pv.n_triangles,
                    CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) AS coef_micro,
-                   ROUND(CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) / 1e6, 6) AS clustering_coef
+                   (CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) / 1000000.0) AS clustering_coef
             FROM pv JOIN deg ON pv.v = deg.v
             WHERE deg.d >= 2
             ORDER BY pv.n_triangles DESC, pv.v LIMIT 20
@@ -6751,7 +6764,7 @@ def oracle_sql() -> dict[str, str]:
             rk AS (SELECT s, y, n_common, aa_micro,
                           CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY aa_micro DESC, y) AS BIGINT) AS rank
                    FROM nl)
-            SELECT s AS src, y AS dst, rank, n_common, aa_micro, ROUND(aa_micro / 1e6, 6) AS aa_score
+            SELECT s AS src, y AS dst, rank, n_common, aa_micro, (CAST(aa_micro AS BIGINT) / 1000000.0) AS aa_score
             FROM rk WHERE rank <= 5 ORDER BY src, rank
         """,
         "g6_triangle_census": """
@@ -6864,7 +6877,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END AS rep_micro
                   FROM agg)
             SELECT doc_id, n_bigrams, n_repeats, CAST(rep_micro AS BIGINT) AS rep_micro,
-                   ROUND(rep_micro / 1e6, 6) AS rep_score
+                   (CAST(rep_micro AS BIGINT) / 1000000.0) AS rep_score
             FROM s ORDER BY rep_micro DESC, doc_id LIMIT 20
         """,
         "tpch_q6_forecast_revenue": """
@@ -6885,7 +6898,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_suppkey),
             mx AS (SELECT MAX(rev_micro) AS mx FROM pr)
             SELECT s.s_suppkey, s.s_name, pr.rev_micro,
-                   ROUND(pr.rev_micro / 1e6, 6) AS total_revenue
+                   (CAST(pr.rev_micro AS BIGINT) / 1000000.0) AS total_revenue
             FROM pr, mx, supplier s
             WHERE pr.rev_micro = mx.mx AND pr.l_suppkey = s.s_suppkey
             ORDER BY s.s_suppkey
@@ -7004,7 +7017,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY 1),
             t AS (SELECT SUM(value_micro) AS total_micro, CAST(COUNT(*) AS BIGINT) AS n_parts FROM pv)
             SELECT pv.l_partkey AS p_partkey, pv.value_micro,
-                   ROUND(pv.value_micro / 1e6, 6) AS value
+                   (CAST(pv.value_micro AS BIGINT) / 1000000.0) AS value
             FROM pv, t WHERE pv.value_micro > (3 * t.total_micro) // (2 * t.n_parts)
             ORDER BY pv.value_micro DESC, p_partkey
             LIMIT 100
@@ -7590,13 +7603,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q10_returned_items": f"""
             WITH pc AS (
-              SELECT o.o_custkey, {_dsum(_REV)} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
+              SELECT o.o_custkey, {_dsum_round(_REV, 4)} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
               WHERE l.l_returnflag = 'R' GROUP BY o.o_custkey)
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-                   ROUND(pc.revenue, 4) AS revenue, pc.n_lines
+                   pc.revenue, pc.n_lines
             FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
-            ORDER BY ROUND(pc.revenue, 4) DESC, c.c_custkey LIMIT 20
+            ORDER BY pc.revenue DESC, c.c_custkey LIMIT 20
         """,
         # t22: same lower(trim)+whitespace tokenization and adjacent-pair
         # bigrams as t21; novelty = anti-join on md5 keys, integer ppm.
@@ -7799,14 +7812,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(late_us) AS BIGINT) AS total_late_us
             FROM l GROUP BY event_type ORDER BY event_type
         """,
-        "e13_traffic_matrix": """
+        "e13_traffic_matrix": f"""
             WITH c AS (
               SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
                      CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
                      CAST(COUNT(*) AS BIGINT) AS n_events
               FROM events GROUP BY 1, 2),
             t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
-            SELECT dow, hour, n_events, ROUND(n_events / t.total, 6) AS share
+            SELECT dow, hour, n_events, {_dratio('n_events', 't.total')} AS share
             FROM c, t ORDER BY dow, hour
         """,
         "e11_hourly_anomaly": """
@@ -7825,7 +7838,7 @@ def oracle_sql() -> dict[str, str]:
                                           / sqrt(CAST(t.h_cnt * t.s2 - t.s1 * t.s1 AS DOUBLE))) AS BIGINT)
                           ELSE 0 END AS z_micro
               FROM h JOIN t USING (event_type))
-            SELECT event_type, hour, n_events, z_micro, ROUND(z_micro / 1e6, 6) AS z
+            SELECT event_type, hour, n_events, z_micro, (CAST(z_micro AS DOUBLE) / 1000000.0) AS z
             FROM z ORDER BY abs(z_micro) DESC, event_type, hour LIMIT 20
         """,
         "e12_rfm_segments": """
@@ -7872,10 +7885,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ABS(head_micros - detail_micros)) AS BIGINT) AS total_drift_micros
             FROM j
         """,
-        "w6_percentile_scores": """
+        "w6_percentile_scores": f"""
             SELECT o_orderkey, o_orderpriority, o_totalprice,
-                   ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pct_rank,
-                   ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS cume
+                   {_dmicro('PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)')} AS pct_rank,
+                   {_dmicro('CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)')} AS cume
             FROM orders ORDER BY o_orderkey
         """,
         # e16: COUNT(DISTINCT) OVER via the first-occurrence rewrite.
@@ -7913,10 +7926,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM s GROUP BY user_id
         """,
-        "e4_json_props_stats": """
+        "e4_json_props_stats": f"""
             SELECT event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+                   {_davg("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS avg_k,
                    CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
                    CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
@@ -7996,9 +8009,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc1, doc2, n_common, s1.n AS n1, s2.n AS n2
               FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id)
             SELECT contained_id, container_id, containment FROM (
-              SELECT doc1 AS contained_id, doc2 AS container_id, ROUND(n_common / n1, 6) AS containment FROM b
+              SELECT doc1 AS contained_id, doc2 AS container_id, {_dratio('n_common', 'n1')} AS containment FROM b
               UNION ALL
-              SELECT doc2 AS contained_id, doc1 AS container_id, ROUND(n_common / n2, 6) AS containment FROM b)
+              SELECT doc2 AS contained_id, doc1 AS container_id, {_dratio('n_common', 'n2')} AS containment FROM b)
             WHERE containment >= 0.9
             ORDER BY contained_id, container_id
         """,
@@ -8064,9 +8077,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT new_id, corpus_id,
-                   ROUND(n_common / (s1.n + s2.n - n_common), 6) AS jaccard
+                   {_dratio('n_common', '(s1.n + s2.n - n_common)')} AS jaccard
             FROM xj JOIN sizes s1 ON new_id = s1.doc_id JOIN sizes s2 ON corpus_id = s2.doc_id
-            WHERE ROUND(n_common / (s1.n + s2.n - n_common), 6) >= 0.8
+            WHERE {_dratio('n_common', '(s1.n + s2.n - n_common)')} >= 0.8
         """,
 
         # Exact-substring span removal, full replay: stride-1 window md5s
@@ -8138,7 +8151,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d5_embedding_near_dups": f"""
             SELECT a.vec_id AS id1, b.vec_id AS id2,
-                   ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+                   {_dmicro(_cos_sql('a.embedding', 'b.embedding'))} AS cos_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.46
         """,
@@ -8166,7 +8179,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             q AS (
               SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-                     ROUND((len(tk) - len(list_distinct(tk))) / greatest(len(tk), 1), 6) AS dup_token_ratio
+                     {_dratio('(len(tk) - len(list_distinct(tk)))', 'greatest(len(tk), 1)')} AS dup_token_ratio
               FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
                     FROM documents)
             ),
@@ -8200,7 +8213,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c
                 ON q.vec_id != c.vec_id AND q.label = c.label
               WHERE q.vec_id < 10)
-            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
+            SELECT query_id, neighbor_id, {_dmicro('cos')} AS cos_sim, CAST(rk AS BIGINT) AS nn_rank
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s)
             WHERE rk <= 5
         """,
@@ -8221,7 +8234,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE rk <= 5)
             SELECT e.query_id,
                    CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
-                   ROUND(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_5
+                   {_dratio('COUNT(a.neighbor_id)', 'COUNT(*)')} AS recall_at_5
             FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
             GROUP BY e.query_id
             ORDER BY e.query_id
@@ -8231,7 +8244,7 @@ def oracle_sql() -> dict[str, str]:
             approx AS (SELECT query_id, neighbor_id FROM ({_lsh_ann_oracle()}))
             SELECT e.query_id,
                    CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
-                   ROUND(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_5
+                   {_dratio('COUNT(a.neighbor_id)', 'COUNT(*)')} AS recall_at_5
             FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
             GROUP BY e.query_id
         """,
@@ -8242,7 +8255,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_measured
             FROM documents
         """,
-        "t5_term_df": r"""
+        "t5_term_df": rf"""
             WITH tok AS (
               SELECT DISTINCT doc_id, t AS token FROM (
                 SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS t
@@ -8250,7 +8263,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             n AS (SELECT COUNT(*) AS nd FROM documents),
             d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token)
-            SELECT token, df, ROUND(ln((nd + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+            SELECT token, df, {_dmicro('(ln((nd + 1.0) / (df + 1.0)) + 1.0)')} AS idf
             FROM d, n ORDER BY df DESC, token LIMIT 200
         """,
         "t2_quality_scores": rf"""
@@ -8264,11 +8277,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, n_chars AS n_chars_measured,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   ROUND(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
-                   ROUND(n_space / greatest(n_chars, 1), 6) AS space_ratio,
-                   ROUND((len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1), 6) AS dup_token_ratio,
-                   ROUND(n_stop / greatest(len(toks), 1), 6) AS stopword_ratio,
-                   ROUND(greatest(n_chars, 0) / greatest(len(toks), 1), 6) AS chars_per_token
+                   {_dratio('n_alpha', 'greatest(n_chars, 1)')} AS alpha_ratio,
+                   {_dratio('n_space', 'greatest(n_chars, 1)')} AS space_ratio,
+                   {_dratio('(len(toks) - len(list_distinct(toks)))', 'greatest(len(toks), 1)')} AS dup_token_ratio,
+                   {_dratio('n_stop', 'greatest(len(toks), 1)')} AS stopword_ratio,
+                   {_dratio('greatest(n_chars, 0)', 'greatest(len(toks), 1)')} AS chars_per_token
             FROM t
         """,
         "t3_language_id": _lang_id_oracle(),
@@ -8278,7 +8291,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents d JOIN p ON d.doc_id = p.doc_id),
             per AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
             t AS (SELECT truth, CAST(SUM(n) AS BIGINT) AS t FROM per GROUP BY truth)
-            SELECT per.truth, per.pred, per.n, ROUND(per.n / t.t, 6) AS recall
+            SELECT per.truth, per.pred, per.n, {_dratio('per.n', 't.t')} AS recall
             FROM per JOIN t USING (truth) ORDER BY truth, pred
         """,
         # Unigram-LM replay: per-token logprob quantized to integer micros
@@ -8338,11 +8351,11 @@ def oracle_sql() -> dict[str, str]:
               FROM pw JOIN ws ON pw.token = ws.token GROUP BY pw.doc_id, pw.run)
             SELECT i.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
                    CAST(MIN(ps.score_micro) AS BIGINT) AS score_micro,
-                   ROUND(MIN(ps.score_micro) / 1e6, 6) AS rake_score
+                   (CAST(MIN(ps.score_micro) AS BIGINT) / 1000000.0) AS rake_score
             FROM ps JOIN inst i ON ps.doc_id = i.doc_id AND ps.run = i.run
             GROUP BY i.phrase ORDER BY score_micro DESC, phrase LIMIT 20
         """,
-        "t18_readability": r"""
+        "t18_readability": rf"""
             WITH s AS (
               SELECT source,
                 list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w,
@@ -8364,10 +8377,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
               CAST(COUNT(*) AS BIGINT) AS n_docs,
               CAST(SUM(n_words) AS BIGINT) AS n_words,
-              ROUND(CAST(SUM(n_words) AS DOUBLE) / CAST(SUM(n_sent) AS DOUBLE), 6) AS words_per_sentence,
-              ROUND(CAST(SUM(n_syll) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS syllables_per_word,
-              ROUND(100.0 * CAST(SUM(n_poly) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS pct_polysyllabic,
-              ROUND(CAST(SUM(flesch_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS avg_flesch
+              {_dratio('SUM(n_words)', 'SUM(n_sent)')} AS words_per_sentence,
+              {_dratio('SUM(n_syll)', 'SUM(n_words)')} AS syllables_per_word,
+              {_dratio('(100 * SUM(n_poly))', 'SUM(n_words)')} AS pct_polysyllabic,
+              {_davg('(flesch_micro / 1000000.0)')} AS avg_flesch
             FROM q GROUP BY source ORDER BY source
         """,
         # bp2: vocab/word/char totals replay exactly; merge count is the
@@ -8520,8 +8533,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_ranks,
                    CAST(floor(slope_d * 1e6) AS BIGINT) AS slope_micro,
                    CAST(floor(((syd - slope_d * sxd) / nd / 1e6) * 1e6) AS BIGINT) AS intercept_micro,
-                   ROUND(CAST(floor(slope_d * 1e6) AS BIGINT) / 1e6, 6) AS slope,
-                   ROUND(CAST(floor(((syd - slope_d * sxd) / nd / 1e6) * 1e6) AS BIGINT) / 1e6, 6) AS intercept
+                   (CAST(floor(slope_d * 1e6) AS BIGINT) / 1000000.0) AS slope,
+                   (CAST(floor(((syd - slope_d * sxd) / nd / 1e6) * 1e6) AS BIGINT) / 1000000.0) AS intercept
             FROM f
         """,
         # BPE pair-count replay: vocab word counts, per-word char pairs
@@ -8570,8 +8583,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(pd.n_feats, 0) AS BIGINT) AS n_feats,
                    CAST(COALESCE(pd.score_micro, 0) AS BIGINT) AS score_micro,
-                   ROUND(COALESCE(pd.score_micro, 0)
-                         / (greatest(COALESCE(pd.n_feats, 0), 1) * 1e6), 6) AS mean_score
+                   {_dratio('COALESCE(pd.score_micro, 0)', '(greatest(COALESCE(pd.n_feats, 0), 1) * 1000000)')} AS mean_score
             FROM documents d LEFT JOIN pd USING (doc_id)
             ORDER BY score_micro DESC, d.doc_id
             LIMIT 50
@@ -8598,7 +8610,7 @@ def oracle_sql() -> dict[str, str]:
                      JOIN uc a ON pc.w1 = a.token
                      JOIN uc b ON pc.w2 = b.token
                      WHERE pc.n_pairs >= 5)
-            SELECT w1, w2, n_pairs, pmi_micro, ROUND(pmi_micro / 1e6, 6) AS pmi
+            SELECT w1, w2, n_pairs, pmi_micro, (CAST(pmi_micro AS BIGINT) / 1000000.0) AS pmi
             FROM cand
             ORDER BY pmi_micro DESC, w1, w2
             LIMIT 20
@@ -8644,12 +8656,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
                    CAST(COALESCE(pd.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
                    CAST(COALESCE(pd.entropy_micro, 0) AS BIGINT) AS entropy_micro,
-                   ROUND(COALESCE(pd.entropy_micro, 0) / 1e6, 6) AS entropy
+                   (CAST(COALESCE(pd.entropy_micro, 0) AS BIGINT) / 1000000.0) AS entropy
             FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         # Drift replay: same tokenization, same add-1 smoothed p/q with
         # scalar totals, same (p * ln(p/q)) * 1e9 floor sequence.
-        "t12_token_drift_kl": r"""
+        "t12_token_drift_kl": rf"""
             WITH tk AS (
               SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
               FROM documents),
@@ -8667,7 +8679,7 @@ def oracle_sql() -> dict[str, str]:
                            * 1e9) AS BIGINT) AS term
                   FROM c, g)
             SELECT g.n_old AS n_old_tokens, g.n_new AS n_new_tokens, g.vsz AS vocab_size,
-                   s.k AS kl_micro9, ROUND(s.k / 1e9, 6) AS kl
+                   s.k AS kl_micro9, {_dratio('s.k', '1000000000')} AS kl
             FROM g, (SELECT CAST(SUM(term) AS BIGINT) AS k FROM t) s
         """,
         # BM25 replay: identical IEEE sequence -- (idf * (tf*2.2)) / denom
@@ -8740,7 +8752,7 @@ def oracle_sql() -> dict[str, str]:
         # Bigram-LM replay: same tokenization as t8, bigrams via 1-based
         # list indexing, add-1 smoothing over (unigram count + |vocab|),
         # identical floor-micro quantization before the per-doc sum.
-        "t10_bigram_logprob": r"""
+        "t10_bigram_logprob": rf"""
             WITH tk AS (
               SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
               FROM documents),
@@ -8761,10 +8773,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    CAST(COALESCE(pd.s, 0) AS BIGINT) AS sum_lp_micro,
-                   ROUND(COALESCE(pd.s, 0) / (greatest(COALESCE(pd.n_bigrams, 0), 1) * 1e6), 6) AS mean_logprob
+                   {_dratio('COALESCE(pd.s, 0)', '(greatest(COALESCE(pd.n_bigrams, 0), 1) * 1000000)')} AS mean_logprob
             FROM documents d LEFT JOIN pd USING (doc_id)
         """,
-        "t8_unigram_logprob": r"""
+        "t8_unigram_logprob": rf"""
             WITH tk AS (
               SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
               FROM documents),
@@ -8779,7 +8791,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
                    CAST(COALESCE(pd.s, 0) AS BIGINT) AS sum_lp_micro,
-                   ROUND(COALESCE(pd.s, 0) / (greatest(COALESCE(pd.n_tokens, 0), 1) * 1e6), 6) AS mean_logprob
+                   {_dratio('COALESCE(pd.s, 0)', '(greatest(COALESCE(pd.n_tokens, 0), 1) * 1000000)')} AS mean_logprob
             FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         # Perplexity tiers: t8's logprob chain -> integer per-token score
@@ -8860,15 +8872,16 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         # Weighted-sample replay: dup_token_ratio exactly as t2 (raw-text
-        # tokens, ROUND 6), keep iff md5 ppm < floor(clamp(1-ratio)*1e6) --
-        # identical doubles -> identical floors, no knife edges.
+        # tokens, integer half-up _dratio), keep iff md5 ppm <
+        # floor(clamp(1-ratio)*1e6) -- identical doubles -> identical
+        # floors, no knife edges.
         "c6_quality_weighted_sample": rf"""
             WITH t AS (
               SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
               FROM documents),
             q AS (
               SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
-                     ROUND((len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1), 6) AS dup_ratio
+                     {_dratio('(len(toks) - len(list_distinct(toks)))', 'greatest(len(toks), 1)')} AS dup_ratio
               FROM t),
             kept AS (
               SELECT * FROM q
@@ -8962,7 +8975,7 @@ def oracle_sql() -> dict[str, str]:
         # PSI replay: reference-decile cutpoints via quantile_cont (exact
         # percentile parity proven by a16), CASE-sum bin assignment, +1
         # Laplace smoothing, floor(term*1e9) quantization.
-        "dq2_psi_drift": """
+        "dq2_psi_drift": f"""
             WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
             cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
             cc AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM ref),
@@ -8983,7 +8996,7 @@ def oracle_sql() -> dict[str, str]:
                                              / ((cur_count + 1) / CAST(nc + 10 AS DOUBLE))) * 1e9) AS BIGINT) AS psi_term_nano
                       FROM counts, tot)
             SELECT bin, ref_count, cur_count, psi_term_nano,
-                   ROUND(psi_term_nano / 1e9, 6) AS psi_term
+                   {_dratio('psi_term_nano', '1000000000')} AS psi_term
             FROM terms ORDER BY bin
         """,
         "dq1_constraint_audit": """
@@ -9055,7 +9068,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(rate_ppm) AS BIGINT) AS rate_ppm
             FROM kept GROUP BY source ORDER BY source
         """,
-        "t7_repetition_signals": r"""
+        "t7_repetition_signals": rf"""
             WITH tk AS (
               SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
               FROM documents),
@@ -9073,15 +9086,15 @@ def oracle_sql() -> dict[str, str]:
                           COUNT(*) AS n_distinct_bigrams
                    FROM bg GROUP BY doc_id)
             SELECT b.doc_id, b.n_tokens,
-                   ROUND(COALESCE(ua.top_token_n, 0) / greatest(b.n_tokens, 1), 6) AS top_token_ratio,
+                   {_dratio('COALESCE(ua.top_token_n, 0)', 'greatest(b.n_tokens, 1)')} AS top_token_ratio,
                    CAST(COALESCE(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                   ROUND(COALESCE(ba.top_bigram_n, 0) / greatest(COALESCE(ba.n_bigrams, 0), 1), 6) AS top_bigram_ratio,
-                   ROUND(COALESCE(ba.n_distinct_bigrams, 0) / greatest(COALESCE(ba.n_bigrams, 0), 1), 6) AS distinct_bigram_ratio
+                   {_dratio('COALESCE(ba.top_bigram_n, 0)', 'greatest(COALESCE(ba.n_bigrams, 0), 1)')} AS top_bigram_ratio,
+                   {_dratio('COALESCE(ba.n_distinct_bigrams, 0)', 'greatest(COALESCE(ba.n_bigrams, 0), 1)')} AS distinct_bigram_ratio
             FROM b LEFT JOIN ua ON b.doc_id = ua.doc_id LEFT JOIN ba ON b.doc_id = ba.doc_id
         """,
         # Explicit DOUBLE casts keep the idf arithmetic the same IEEE
         # sequence as the engine's (N+1.0)/(df+1.0) double division.
-        "t6_tfidf_top_terms": r"""
+        "t6_tfidf_top_terms": rf"""
             WITH tk AS (
               SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token
               FROM documents
@@ -9094,7 +9107,7 @@ def oracle_sql() -> dict[str, str]:
                      tf * (ln(CAST(nd + 1 AS DOUBLE) / CAST(dfq + 1 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS score
               FROM tf JOIN dfq USING (token), n
             )
-            SELECT doc_id, token, ROUND(score, 6) AS tfidf, CAST(rk AS BIGINT) AS rk
+            SELECT doc_id, token, {_dmicro('score')} AS tfidf, CAST(rk AS BIGINT) AS rk
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM s)
             WHERE rk <= 3
         """,
@@ -9137,12 +9150,10 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(h1, h2)) <= 3
             ORDER BY id1, id2
         """,
-        "mm1_media_features": """
+        "mm1_media_features": f"""
             SELECT CAST(doc_id AS VARCHAR) AS media_id, 'text_blob' AS modality,
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
-                   ROUND(COALESCE(list_sum(list_transform(generate_series(1, least(strlen(text), 8)),
-                                                          i -> ascii(substring(text, i, 1)))), 0)
-                         / (255.0 * greatest(least(strlen(text), 8), 1)), 6) AS feat_mean,
+                   {_dmicro("COALESCE(list_sum(list_transform(generate_series(1, least(strlen(text), 8)), i -> ascii(substring(text, i, 1)))), 0) / (255.0 * greatest(least(strlen(text), 8), 1))")} AS feat_mean,
                    CAST(8 AS INTEGER) AS feat_dim
             FROM documents
         """,
@@ -9160,7 +9171,7 @@ def oracle_sql() -> dict[str, str]:
         # Resize fake-kernel: every 4th byte; documents are pure ASCII, so
         # char subsetting == byte slicing and md5(VARCHAR) == md5(bytes).
         # Feature guard mirrors mm1 (empty -> 0.0, never NULL).
-        "mm3_resized_features": """
+        "mm3_resized_features": f"""
             WITH r AS (
               SELECT CAST(doc_id AS VARCHAR) AS media_id,
                      array_to_string(
@@ -9171,18 +9182,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, 'image' AS modality,
                    CAST(strlen(rs) AS BIGINT) AS n_bytes,
                    md5(rs) AS content_md5,
-                   ROUND(COALESCE(list_sum(list_transform(generate_series(1, least(strlen(rs), 8)),
-                                                          i -> ascii(substring(rs, i, 1)))), 0)
-                         / (255.0 * greatest(least(strlen(rs), 8), 1)), 6) AS feat_mean,
+                   {_dmicro("COALESCE(list_sum(list_transform(generate_series(1, least(strlen(rs), 8)), i -> ascii(substring(rs, i, 1)))), 0) / (255.0 * greatest(least(strlen(rs), 8), 1))")} AS feat_mean,
                    CAST(8 AS INTEGER) AS feat_dim
             FROM r
         """,
         # mm4: decode(encode(x)) == x -- the oracle aggregates the WAV
         # sample formula directly, no RIFF parser needed; /2^19 is FP-exact.
-        "mm4_stdlib_wav_decode": """
+        "mm4_stdlib_wav_decode": f"""
             SELECT CAST(event_id AS VARCHAR) AS media_id,
-                   ROUND(SUM(ABS(((event_id * 7919 + t.j * 104729) % 20000) - 10000))
-                         / (32768.0 * 16), 6) AS feat_mean,
+                   {_dmicro('SUM(ABS(((event_id * 7919 + t.j * 104729) % 20000) - 10000)) / (32768.0 * 16)')} AS feat_mean,
                    CAST(16 AS BIGINT) AS feat_dim
             FROM events, range(16) t(j)
             GROUP BY event_id
@@ -9266,7 +9274,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(l) AS BIGINT) AS luma_sum
             FROM lum GROUP BY event_id
         """,
-        "mm6_audio_features": """
+        "mm6_audio_features": f"""
             WITH s AS (
               SELECT event_id, t.j, CAST(((event_id * 7919 + t.j * 104729) % 20000) - 10000 AS BIGINT) AS v
               FROM events, range(16) t(j)),
@@ -9282,7 +9290,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, CAST(SUM(CASE WHEN v1 * v2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
               FROM p GROUP BY event_id)
             SELECT CAST(a.event_id AS VARCHAR) AS media_id, n_samples, energy, zero_crossings, peak,
-                   ROUND(sqrt(CAST(energy AS DOUBLE) / n_samples) / 32768.0, 6) AS rms_level
+                   {_dmicro('sqrt(CAST(energy AS DOUBLE) / n_samples) / 32768.0')} AS rms_level
             FROM agg a JOIN zc USING (event_id)
         """,
         "s2_ann_lsh_top5": _lsh_ann_oracle(dim=64, num_planes=16, bands=4, k=5),
@@ -9300,7 +9308,7 @@ def oracle_sql() -> dict[str, str]:
             approx AS (SELECT query_id, neighbor_id FROM ({_refined_ann_oracle()}))
             SELECT e.query_id,
                    CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
-                   ROUND(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_5
+                   {_dratio('COUNT(a.neighbor_id)', 'COUNT(*)')} AS recall_at_5
             FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
             GROUP BY e.query_id
         """,

@@ -336,3 +336,118 @@ def test_dsum_round_spark_matches_model_and_oracle(spark):
             f"SELECT CAST(CAST(CAST({m / 1e6!r} AS DOUBLE) AS DECIMAL(28,6)) * 1000000 AS BIGINT)"
         ).fetchone()[0]
         assert got == model_dsum_round(int(eff), scale), (i, m, scale, got)
+
+
+# ---------------------------------------------------------------------------
+# ratio_round / micro_round (VERDICT r9 item 3: the ROUND(double-quotient)
+# triage) -- the generic ratio-round fuzzer
+# ---------------------------------------------------------------------------
+
+
+def model_ratio(num: int, den: int, scale: int = 6) -> float:
+    """precision.ratio_round contract: exact rational half-up, away from
+    zero, micros -> double/10^s."""
+    p = 10**scale
+    q = (2 * p * abs(num) + den) // (2 * den)
+    return float(-q if num < 0 else q) / float(p)
+
+
+def test_model_ratio_is_exact_rational_half_up():
+    """The integer identity (2p|n|+d)//(2d) == floor(p|n|/d + 1/2), checked
+    against Fractions over an adversarial sweep including every probed
+    engine-divergent pair."""
+    from fractions import Fraction
+
+    rnd = random.Random(42)
+    cases = [(41, 640), (82, 1280), (164, 2560), (5248, 81920), (1, 3200), (13913, 320)]
+    cases += [(rnd.randint(0, 10**12), rnd.randint(1, 10**9)) for _ in range(500)]
+    for num, den in cases:
+        truth = (Fraction(10**6 * num, den) + Fraction(1, 2)).__floor__()
+        assert model_ratio(num, den) == float(truth) / 1e6, (num, den)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    num=st.integers(min_value=-(10**16), max_value=10**16),
+    den=st.integers(min_value=1, max_value=10**9),
+)
+def test_dratio_duckdb_matches_model(num, den):
+    from hypothesis import assume
+
+    from __spark_entry__ import _dratio
+
+    # contract bound: the QUOTIENT micros must fit int64 (numerators are
+    # unbounded via HUGEINT/decimal38 intermediates, quotients are not)
+    assume(abs(num) // den <= 9 * 10**12)
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {_dratio(str(num), str(den))}").fetchone()[0]
+    assert got == model_ratio(num, den), (num, den)
+
+
+def test_ratio_round_spark_matches_model_and_duckdb(spark):
+    """One batched Spark job over the adversarial ratio corpus: the 10
+    probed pairs where F.round(p/q, 6) DIVERGES between engines (41/640 =
+    0.0640625: Spark 0.064063, DuckDB 0.064062 -- the e1/q5 half-landing
+    family), the e1 shape itself (139113/3200), dyadic exact halves,
+    negatives, the int64-boundary magnitude, and seeded randoms.  Spark's
+    ratio_round must equal the integer model AND DuckDB's _dratio on every
+    one."""
+    from __spark_entry__ import _dratio
+    from youtubeanalyzerproject_big_data__spark.functions.precision import ratio_round
+
+    rnd = random.Random(7)
+    cases = [
+        (41, 640), (82, 1280), (164, 2560), (328, 5120), (656, 10240),
+        (1312, 20480), (2624, 40960), (5248, 81920), (10496, 163840), (20992, 327680),
+        (139113, 3200),       # e1's 43.4728125
+        (67, 128), (1, 3200), # exact dyadic / non-dyadic 7-digit halves
+        (-41, 640), (-139113, 3200), (0, 7),
+        (4_600_000_000_000, 999_999_937),
+        (1_037_552_817_345_012, 10_000),   # i1's group-sum-micro magnitude:
+                                           # overflowed the first long-space
+                                           # draft (2e6 * 1e15 > int64)
+        (1, 1), (999999, 1000000),
+    ]
+    cases += [(rnd.randint(-10**12, 10**12), rnd.randint(1, 10**9)) for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(cases)], "i long, n long, d long"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", ratio_round("n", "d", "r")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i BIGINT, n BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO c VALUES (?,?,?)", [(i, n, d) for i, (n, d) in enumerate(cases)])
+    oc = dict(con.execute(f"SELECT i, {_dratio('n', 'd')} FROM c").fetchall())
+    for i, (n, d) in enumerate(cases):
+        want = model_ratio(n, d)
+        assert got[i] == want, ("spark", n, d, got[i], want)
+        assert oc[i] == want, ("duckdb", n, d, oc[i], want)
+
+
+def test_micro_round_spark_matches_duckdb(spark):
+    """micro_round (the double-quotient replacement for ROUND(x, 6)) must be
+    bit-identical across Spark / DuckDB / the Python IEEE model on
+    adversarial doubles: exact 7-digit halves where ROUND itself splits,
+    negatives, ties, and seeded randoms."""
+    import math
+
+    from __spark_entry__ import _dmicro
+    from youtubeanalyzerproject_big_data__spark.functions.precision import micro_round
+
+    rnd = random.Random(11)
+    vals = [
+        41 / 640, 139113 / 3200, 67 / 128, -41 / 640, 0.0, -0.0,
+        0.9999995, -0.9999995, 1.0, -1.0, 0.1234565, 1e-7, -1e-7,
+    ] + [rnd.uniform(-2, 2) for _ in range(200)] + [rnd.uniform(-1e6, 1e6) for _ in range(50)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {r["i"]: r["r"] for r in df.select("i", micro_round("v", "r")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (i BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO m VALUES (?,?)", list(enumerate(vals)))
+    oc = dict(con.execute(f"SELECT i, {_dmicro('v')} FROM m").fetchall())
+    for i, v in enumerate(vals):
+        want = float(math.floor(v * 1e6 + 0.5)) / 1e6
+        assert got[i] == want, ("spark", v, got[i], want)
+        assert oc[i] == want, ("duckdb", v, oc[i], want)

@@ -243,7 +243,7 @@ def _segmented_clustering_topk(con: duckdb.DuckDBPyConnection, k: int = 20, n_ba
         f"""WITH pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS n_triangles FROM cc_pv GROUP BY v)
             SELECT pv.v, deg.d, pv.n_triangles,
                    CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) AS coef_micro,
-                   ROUND(CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) / 1e6, 6) AS clustering_coef
+                   (CAST(FLOOR(2000000 * pv.n_triangles / (deg.d * (deg.d - 1))) AS BIGINT) / 1000000.0) AS clustering_coef
             FROM pv JOIN tc_deg deg ON pv.v = deg.v
             WHERE deg.d >= 2
             ORDER BY pv.n_triangles DESC, pv.v LIMIT {k}"""
@@ -292,7 +292,7 @@ def _segmented_adamic_adar(con: duckdb.DuckDBPyConnection, k: int = 5, n_batches
                 SELECT s, y, rank, n_common, aa_micro FROM rk WHERE rank <= {k}"""
         )
     rows = con.execute(
-        "SELECT src, dst, rank, n_common, aa_micro, ROUND(aa_micro / 1e6, 6) AS aa_score "
+        "SELECT src, dst, rank, n_common, aa_micro, (CAST(aa_micro AS BIGINT) / 1000000.0) AS aa_score "
         "FROM aa_out ORDER BY src, rank"
     ).fetchall()
     for t in ("aa_out", "aa_seeds", "aa_w", "aa_adj"):
@@ -457,9 +457,14 @@ def _mat_thresh_pairs(
     con.execute(f"DROP TABLE {p}_batch")
 
 
-# The exact one-shot `jac`/containment expressions over the five kept columns.
-JAC_EXPR = "ROUND(n_common / (n1 + n2 - n_common), 6)"
-CONT_ANY = "ROUND(n_common / n1, 6) >= 0.9 OR ROUND(n_common / n2, 6) >= 0.9"
+# The exact one-shot `jac`/containment expressions over the five kept
+# columns -- integer half-up twins of precision.ratio_round, same as the
+# committed oracle_sql (the ROUND(double-quotient) form split one output
+# ulp between engines on 41/640-class ratios; VERDICT r9 item 3).
+from youtubeanalyzerproject_big_data__spark.functions.precision import dratio_sql
+
+JAC_EXPR = dratio_sql("n_common", "(n1 + n2 - n_common)")
+CONT_ANY = f"{dratio_sql('n_common', 'n1')} >= 0.9 OR {dratio_sql('n_common', 'n2')} >= 0.9"
 
 
 def _mat_lsh_pairs(
@@ -526,7 +531,7 @@ def _mat_lsh_pairs(
         f"""CREATE TABLE {p}_lshpr AS
         SELECT doc1, doc2, jaccard FROM (
           SELECT i.doc1, i.doc2,
-                 ROUND(i.n_common / (s1.n + s2.n - i.n_common), 6) AS jaccard
+                 {dratio_sql('i.n_common', '(s1.n + s2.n - i.n_common)')} AS jaccard
           FROM (SELECT doc1, doc2, CAST(SUM(n_common) AS BIGINT) AS n_common
                 FROM {p}_cacc GROUP BY 1, 2) i
           JOIN {p}_sizes s1 ON i.doc1 = s1.doc_id
@@ -535,6 +540,16 @@ def _mat_lsh_pairs(
     )
     con.execute(f"DROP TABLE {p}_cacc")
     con.execute(f"DROP TABLE {p}_candd")
+    if os.environ.get("SPARK_GRAFT_SEG_DROP_INPUTS") == "1":
+        # Shrink the oracle's on-disk residue before the Spark leg runs: at
+        # sf30 the shingle table alone is ~450M rows (~20 GB) and the box ran
+        # out of headroom with it still landed (the r10 d3 watchdog abort).
+        # t_lshpr is self-contained for d3/d15; a later same-run query that
+        # needs shingles (d2 family) transparently rebuilds them -- the memo
+        # checks table existence, so this trades recompute for disk.
+        for t in (f"{p}_sh", f"{p}_sizes"):
+            con.execute(f"DROP TABLE IF EXISTS {t}")
+        con.execute(f"DROP TABLE IF EXISTS {p}_shf")
 
 
 def _doc_query_sql(con: duckdb.DuckDBPyConnection, name: str) -> str:
@@ -555,10 +570,10 @@ def _doc_query_sql(con: duckdb.DuckDBPyConnection, name: str) -> str:
         return f"SELECT doc1, doc2, {JAC_EXPR} AS jaccard FROM t_jac08"
     if name == "d12_containment_pairs":
         _mat_thresh_pairs(con, dedup.DEFAULT_MAX_DF, capped_preds)
-        return """SELECT contained_id, container_id, containment FROM (
-                 SELECT doc1 AS contained_id, doc2 AS container_id, ROUND(n_common / n1, 6) AS containment FROM t_cont09
+        return f"""SELECT contained_id, container_id, containment FROM (
+                 SELECT doc1 AS contained_id, doc2 AS container_id, {dratio_sql('n_common', 'n1')} AS containment FROM t_cont09
                  UNION ALL
-                 SELECT doc2 AS contained_id, doc1 AS container_id, ROUND(n_common / n2, 6) AS containment FROM t_cont09)
+                 SELECT doc2 AS contained_id, doc1 AS container_id, {dratio_sql('n_common', 'n2')} AS containment FROM t_cont09)
                WHERE containment >= 0.9
                ORDER BY contained_id, container_id"""
     if name == "d3_minhash_lsh_pairs":
@@ -600,7 +615,7 @@ def _doc_query_sql(con: duckdb.DuckDBPyConnection, name: str) -> str:
             ),
             q AS (
               SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-                     ROUND((len(tk) - len(list_distinct(tk))) / greatest(len(tk), 1), 6) AS dup_token_ratio
+                     {dratio_sql('(len(tk) - len(list_distinct(tk)))', 'greatest(len(tk), 1)')} AS dup_token_ratio
               FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
                     FROM documents)
             ),

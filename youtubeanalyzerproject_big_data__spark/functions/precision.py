@@ -131,3 +131,76 @@ def r4(col: Column, alias: str) -> Column:
 
 def r6(col: Column, alias: str) -> Column:
     return F.round(col, 6).alias(alias)
+
+
+def ratio_round(num: str | Column, den: str | Column, alias: str | None = None, scale: int = 6) -> Column:
+    """HALF-UP rounding of an INTEGER ratio num/den at ``scale`` decimals,
+    decided on exact integers -- the per-row sibling of dec_avg.
+
+    ``ROUND(num/den, 6)`` on the double quotient is input-fragile: when the
+    true rational lands exactly on a 7th-digit half (reduced denominator of
+    the 2^a*5^b family -- e.g. 41/640 = 0.0640625) the double sits one side
+    of the half and Spark's exact-expansion HALF_UP vs DuckDB's
+    scale-multiply round can split by one output ulp (probed: 10 divergent
+    (p, q) pairs out of 2329 enumerated half-landing cases; the e1/q5 bug
+    family).  Here the rounding decision is the integer floor
+    ((2*10^s*|num| + den) // (2*den)) -- floor(x + 1/2) of the exact
+    rational -- with the exact-multiple division recovered through
+    decimal(38,0) exactly as dec_avg (a double division silently breaks
+    past 2^53).  The final micros -> double /10^s materialization is
+    IEEE-correctly-rounded in both engines.
+
+    Requires den > 0 and |num/den|*10^s < 9.2e18 (the QUOTIENT must fit
+    int64; the intermediate 2*10^s*|num| is computed in decimal(38,0), so
+    there is NO int64 bound on num itself -- the first long-space draft
+    overflowed on i1's group-sum micros, 2e6 * 1e15).  SQL twin:
+    ``precision.dratio_sql`` (HUGEINT intermediates).
+    """
+    p = 10**scale
+    nm = (F.col(num) if isinstance(num, str) else num).cast("long")
+    dn = (F.col(den) if isinstance(den, str) else den).cast("long")
+    dec38 = "decimal(38,0)"
+    t = F.abs(nm).cast(dec38) * F.lit(2 * p) + dn.cast(dec38)
+    two_d = dn.cast(dec38) * F.lit(2)
+    r = F.pmod(t, two_d)
+    q = ((t - r) / two_d).cast("long")
+    out = (F.when(nm < 0, -q).otherwise(q).cast("double") / F.lit(float(p)))
+    return out.alias(alias) if alias else out
+
+
+def micro_round(col: str | Column, alias: str | None = None, scale: int = 6) -> Column:
+    """Cross-engine deterministic replacement for ``ROUND(double_x, 6)`` on
+    DOUBLE-VALUED quotients (cosines, ratios of double sums) where no exact
+    integer form exists: ``floor(x * 10^s + 0.5) / 10^s`` -- every step a
+    pure IEEE double op (multiply, add, floor, int64 cast, divide) that
+    both engines compute bit-for-bit, unlike ROUND (Spark rounds the
+    double's exact decimal expansion, DuckDB rounds the scaled product;
+    they split when the scaled value sits on a half -- CLAUDE.md float->
+    micro invariant).  Ties round toward +inf rather than away from zero;
+    for the contract's in-[-1,1] similarity outputs the distinction never
+    materialized, and cross-engine identity is the contract, not decimal
+    HALF_UP.  SQL twin: ``__spark_entry__._dmicro``."""
+    p = float(10**scale)
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    out = F.floor(c * F.lit(p) + F.lit(0.5)).cast("double") / F.lit(p)
+    return out.alias(alias) if alias else out
+
+
+def dratio_sql(num: str, den: str, scale: int = 6) -> str:
+    """DuckDB twin of ratio_round -- ALL-INTEGER half-up of an integer
+    ratio (HUGEINT intermediates mirror the Spark side's decimal(38,0), so
+    group-sum-micro numerators never overflow; // and % are exact; requires
+    den > 0).  Lives here (not __spark_entry__) so tools/segmented_oracle.py
+    shares the one definition, same pattern as hashing.md5_int32_lane_sql."""
+    p = 10**scale
+    t = f"(CAST({2 * p} AS HUGEINT) * ABS(CAST({num} AS HUGEINT)) + CAST({den} AS HUGEINT))"
+    d2 = f"(2 * CAST({den} AS HUGEINT))"
+    q = f"CAST(({t} - {t} % {d2}) // {d2} AS BIGINT)"
+    return f"(CAST(CASE WHEN {num} < 0 THEN -{q} ELSE {q} END AS DOUBLE) / {p}.0)"
+
+
+def dmicro_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of micro_round: floor(x*10^s + 0.5)/10^s on a DOUBLE --
+    pure IEEE ops both engines compute bit-for-bit."""
+    p = 10**scale
+    return f"(CAST(floor(CAST({expr} AS DOUBLE) * {p} + 0.5) AS BIGINT) / {p}.0)"

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from youtubeanalyzerproject_big_data__spark.functions.precision import dec_avg, dec_sum
+from youtubeanalyzerproject_big_data__spark.functions.precision import dec_avg, dec_sum, micro_round
 
 
 def category_stats(df: DataFrame, key: str, value: str, extra_avgs: dict[str, str] | None = None) -> DataFrame:
@@ -32,8 +32,8 @@ def category_stats(df: DataFrame, key: str, value: str, extra_avgs: dict[str, st
     aggs = [
         F.count(F.lit(1)).alias("num_rows"),
         dec_avg(value, f"avg_{value}"),
-        F.round(F.max(value), 6).alias(f"max_{value}"),
-        F.round(F.min(value), 6).alias(f"min_{value}"),
+        micro_round(F.max(value), f"max_{value}"),
+        micro_round(F.min(value), f"min_{value}"),
     ]
     for col, alias in (extra_avgs or {}).items():
         aggs.append(dec_avg(col, alias))
@@ -62,7 +62,7 @@ def bucket_stats(df: DataFrame, value_col: str, edges: list[tuple[float, str]], 
         .agg(
             F.count(F.lit(1)).alias("num_rows"),
             dec_avg(metric_col, f"avg_{metric_col}"),
-            F.round(F.max(metric_col), 6).alias(f"max_{metric_col}"),
+            micro_round(F.max(metric_col), f"max_{metric_col}"),
         )
         .orderBy("bucket")
     )
@@ -81,10 +81,10 @@ def global_stats(df: DataFrame, value_col: str) -> DataFrame:
     return df.agg(
         F.count(c).alias("cnt"),
         dec_avg(value_col, "avg_val"),
-        F.round(F.stddev(c), 4).alias("stddev_val"),
-        F.round(F.percentile(c, 0.5), 4).alias("p50_val"),
-        F.round(F.percentile(c, 0.9), 4).alias("p90_val"),
-        F.round(F.max(c), 6).alias("max_val"),
+        micro_round(F.stddev(c), "stddev_val", scale=4),
+        micro_round(F.percentile(c, 0.5), "p50_val", scale=4),
+        micro_round(F.percentile(c, 0.9), "p90_val", scale=4),
+        micro_round(F.max(c), "max_val"),
         dec_sum(value_col, "sum_val"),
     )
 
@@ -113,7 +113,7 @@ def grouped_percentiles(
         pctl = lambda p: F.percentile(c, p)  # noqa: E731
     return df.groupBy(group_col).agg(
         F.count(c).alias("cnt"),
-        *[F.round(pctl(p), 4).alias(f"p{int(p * 100)}") for p in percentiles],
+        *[micro_round(pctl(p), f"p{int(p * 100)}", scale=4) for p in percentiles],
     )
 
 
@@ -133,8 +133,8 @@ def equidepth_histogram(df: DataFrame, value_col: str, n_buckets: int = 10) -> D
         df.groupBy(bucket.cast("long").alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.min(value_col), 6).alias("lo"),
-            F.round(F.max(value_col), 6).alias("hi"),
+            micro_round(F.min(value_col), "lo"),
+            micro_round(F.max(value_col), "hi"),
         )
         .orderBy("bucket")
     )
@@ -297,8 +297,8 @@ def robust_group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFra
         .groupBy(group_col)
         .agg(
             F.first("cnt").alias("cnt"),
-            F.round(F.first("_med"), 6).alias("median_v"),
-            F.round(F.first("_mad"), 6).alias("mad"),
+            micro_round(F.first("_med"), "median_v"),
+            micro_round(F.first("_mad"), "mad"),
             F.sum((F.abs(v - F.col("_med")) > F.lit(3.0 * 1.4826) * F.col("_mad")).cast("long"))
             .cast("long")
             .alias("n_outliers"),

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32, md5_int32_lanes
+from youtubeanalyzerproject_big_data__spark.functions.precision import micro_round, ratio_round
 from youtubeanalyzerproject_big_data__spark.functions.textfns import normalize, token_count, tokens, word_ngrams
 
 # Default hot-key caps (shared with the driver oracles, which mirror the
@@ -147,7 +148,10 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .withColumn("n_common", F.size(F.array_intersect("h1", "h2")))
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.size("h1") + F.size("h2") - F.col("n_common")), 6),
+            # exact-integer half-up: ROUND on the double quotient splits one
+            # output ulp between engines on 7th-digit-half ratios like
+            # 41/640 (precision.ratio_round docstring; VERDICT r9 item 3)
+            ratio_round(F.col("n_common"), F.size("h1") + F.size("h2") - F.col("n_common")),
         )
         .select("doc1", "doc2", "jaccard")
     )
@@ -301,7 +305,7 @@ def ngram_jaccard_pairs(
     """
     pairs, handles = _capped_intersections(df, id_col, text_col, n, max_df)
     result = (
-        pairs.withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
+        pairs.withColumn("jaccard", ratio_round(F.col("n_common"), F.col("n1") + F.col("n2") - F.col("n_common")))
         .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
@@ -569,7 +573,9 @@ def embedding_near_dup_pairs(
         return pd.DataFrame({"id1": id1, "id2": id2, "cos_sim": cos})
 
     pairs = replicated.groupBy("g1", "g2").applyInPandas(score_block, f"id1 {id_type}, id2 {id_type}, cos_sim double")
-    return pairs.select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
+    # micro_round, not ROUND: cross-engine-identical IEEE quantization of a
+    # double-valued cosine (precision.micro_round docstring)
+    return pairs.select("id1", "id2", micro_round("cos_sim", "cos_sim"))
 
 
 def embedding_near_dup_pairs_lsh(
@@ -624,7 +630,7 @@ def embedding_near_dup_pairs_lsh(
         .join(vecs.select(F.col("doc_id").alias("doc2"), F.col("v").alias("v2")), "doc2")
         .withColumn("cos_sim", make_cosine_seq()(F.col("v1"), F.col("v2")))
         .where(F.col("cos_sim") >= threshold)
-        .select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"), F.round("cos_sim", 6).alias("cos_sim"))
+        .select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"), micro_round("cos_sim", "cos_sim"))
     )
 
 
@@ -734,7 +740,7 @@ def cross_corpus_near_dups(
     result = (
         inter.join(n_new.select(F.col("doc_id").alias("new_id"), "n1"), "new_id")
         .join(n_old.select(F.col("doc_id").alias("corpus_id"), "n2"), "corpus_id")
-        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
+        .withColumn("jaccard", ratio_round(F.col("n_common"), F.col("n1") + F.col("n2") - F.col("n_common")))
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
         # Pin pairs, release both cached shingle sides (storage hygiene).
@@ -1020,12 +1026,12 @@ def containment_pairs(
     fwd = both.select(
         F.col("doc1").alias("contained_id"),
         F.col("doc2").alias("container_id"),
-        F.round(F.col("n_common") / F.col("n1"), 6).alias("containment"),
+        ratio_round(F.col("n_common"), F.col("n1"), "containment"),
     )
     rev = both.select(
         F.col("doc2").alias("contained_id"),
         F.col("doc1").alias("container_id"),
-        F.round(F.col("n_common") / F.col("n2"), 6).alias("containment"),
+        ratio_round(F.col("n_common"), F.col("n2"), "containment"),
     )
     result = fwd.unionByName(rev).where(F.col("containment") >= threshold)
     if checkpoint:

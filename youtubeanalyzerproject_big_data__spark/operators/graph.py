@@ -794,7 +794,7 @@ def adamic_adar(
             "rank",
             "n_common",
             "aa_micro",
-            F.round(F.col("aa_micro") / 1e6, 6).alias("aa_score"),
+            (F.col("aa_micro").cast("double") / F.lit(1e6)).alias("aa_score"),
         )
         .orderBy("src", "rank")
     )
@@ -882,7 +882,7 @@ def clustering_coefficient_topk(
             "n_triangles",
             F.floor(F.lit(2_000_000) * F.col("n_triangles") / (F.col("d") * (F.col("d") - 1))).cast("long").alias("coef_micro"),
         )
-        .withColumn("clustering_coef", F.round(F.col("coef_micro") / 1e6, 6))
+        .withColumn("clustering_coef", F.col("coef_micro").cast("double") / F.lit(1e6))
         .orderBy(F.col("n_triangles").desc(), "v")
         .limit(k)
     )
@@ -943,7 +943,7 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
         "n_edges long, sum_jk long, sum_j_plus_k long, sum_j2_plus_k2 long, assortativity_micro long",
     ).select(
         "n_edges", "sum_jk", "sum_j_plus_k", "sum_j2_plus_k2", "assortativity_micro",
-        F.round(F.col("assortativity_micro") / 1e6, 6).alias("assortativity"),
+        (F.col("assortativity_micro").cast("double") / F.lit(1e6)).alias("assortativity"),
     )
 
 

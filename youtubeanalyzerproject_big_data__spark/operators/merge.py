@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from youtubeanalyzerproject_big_data__spark.functions.precision import ratio_round
+
 
 def merge_upsert(
     base: DataFrame,
@@ -205,7 +207,7 @@ def merge_agg_state(state: DataFrame, batch_state: DataFrame, key_cols: list[str
     return merged.select(
         *key_cols,
         *AGG_STATE_COLS,
-        F.round(F.col("sum_micro") / (F.col("n_rows") * 1e6), 6).alias("avg_v"),
+        ratio_round(F.col("sum_micro"), F.col("n_rows") * F.lit(1_000_000), "avg_v"),
     )
 
 

@@ -27,6 +27,8 @@ from typing import Literal
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from youtubeanalyzerproject_big_data__spark.functions.precision import micro_round
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -819,9 +821,9 @@ def audio_features(media: DataFrame) -> DataFrame:
         "energy",
         "zero_crossings",
         "peak",
-        F.round(
-            F.sqrt(F.col("energy").cast("double") / F.col("n_samples")) / F.lit(32768.0), 6
-        ).alias("rms_level"),
+        micro_round(
+            F.sqrt(F.col("energy").cast("double") / F.col("n_samples")) / F.lit(32768.0), "rms_level"
+        ),
     )
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from youtubeanalyzerproject_big_data__spark.functions.precision import ratio_round
+
 
 def _violation_expr(kind: str, col: str, params: dict) -> Column:
     c = F.col(col)
@@ -142,7 +144,9 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str, n_bins: int = 10) 
             "ref_count",
             "cur_count",
             term.alias("psi_term_nano"),
-            F.round(term / 1e9, 6).alias("psi_term"),
+            # integer half-up micro-quantization of the nano value: ROUND of
+            # the n/1e9 double is the engine-divergent half class (CLAUDE.md)
+            ratio_round(term, F.lit(1_000_000_000), "psi_term"),
         )
         .orderBy("bin")
     )
@@ -168,7 +172,7 @@ def confusion_matrix(
     totals = per.groupBy("truth").agg(F.sum("n").cast("long").alias("t"))
     return (
         per.join(F.broadcast(totals), "truth")
-        .select("truth", "pred", "n", F.round(F.col("n") / F.col("t"), 6).alias("recall"))
+        .select("truth", "pred", "n", ratio_round(F.col("n"), F.col("t"), "recall"))
         .orderBy("truth", "pred")
     )
 

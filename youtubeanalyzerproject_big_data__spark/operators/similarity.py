@@ -31,6 +31,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from youtubeanalyzerproject_big_data__spark.functions.precision import micro_round, ratio_round
+
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
 
 
@@ -79,7 +81,7 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     return (
         part.withColumn("nn_rank", F.row_number().over(w))
         .where(F.col("nn_rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "nn_rank")
+        .select("query_id", "neighbor_id", micro_round("cos_sim", "cos_sim"), "nn_rank")
     )
 
 
@@ -444,8 +446,8 @@ def normalization_stats(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     cnorm = F.sqrt(F.aggregate(centered_sq, F.lit(0.0), lambda acc, x: acc + x))
     return emb.select(
         F.col(id_col),
-        F.round(norm, 6).alias("l2_norm"),
-        F.round(cnorm, 6).alias("centered_l2_norm"),
+        micro_round(norm, "l2_norm"),
+        micro_round(cnorm, "centered_l2_norm"),
     )
 
 
@@ -608,7 +610,7 @@ def topk_recall(
             F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
             F.count(F.lit(1)).alias("_k"),
         )
-        .select(query_col, "n_hits", F.round(F.col("n_hits") / F.col("_k"), 6).alias(f"recall_at_{k}"))
+        .select(query_col, "n_hits", ratio_round(F.col("n_hits"), F.col("_k"), f"recall_at_{k}"))
     )
 
 
@@ -647,8 +649,8 @@ def scalar_quantize_int8_gate(emb: DataFrame, id_col: str, vec_col: str) -> Data
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_values"),
             F.min("ok").alias("all_within_half_step"),
-            F.round(F.min("dmin"), 6).alias("dim_min"),
-            F.round(F.min("dmax"), 6).alias("dim_max"),
+            micro_round(F.min("dmin"), "dim_min"),
+            micro_round(F.min("dmax"), "dim_max"),
         )
         .orderBy("pos")
     )

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from youtubeanalyzerproject_big_data__spark.functions.precision import ratio_round
+
 
 def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     """Merged heavy-hitter candidates: (key, est) with est summed over the
@@ -203,11 +205,11 @@ def bloom_membership_gate(
         F.sum(F.col("maybe").cast("long")).cast("long").alias("n_maybe"),
         F.sum((F.col("member") & ~F.col("maybe")).cast("long")).cast("long").alias("false_negatives"),
         F.sum((F.col("maybe") & ~F.col("member")).cast("long")).cast("long").alias("false_positives"),
-        F.round(
-            F.sum((F.col("maybe") & ~F.col("member")).cast("long"))
-            / F.greatest(F.sum((~F.col("member")).cast("long")), F.lit(1)),
-            6,
-        ).alias("fp_rate"),
+        ratio_round(
+            F.sum((F.col("maybe") & ~F.col("member")).cast("long")),
+            F.greatest(F.sum((~F.col("member")).cast("long")), F.lit(1)),
+            "fp_rate",
+        ),
         (F.floor(F.lit(2.0 * p) * F.sum((~F.col("member")).cast("long"))) + F.lit(5))
         .cast("long")
         .alias("fp_budget"),

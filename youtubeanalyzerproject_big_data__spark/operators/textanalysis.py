@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtubeanalyzerproject_big_data__spark.functions.hashing import md5_int32
+from youtubeanalyzerproject_big_data__spark.functions.precision import dec_avg, micro_round, ratio_round
 from youtubeanalyzerproject_big_data__spark.functions.textfns import adjacent_pairs, normalize, token_count, tokens
 
 # Tiny marker-word lists per language for the n-gram/stopword heuristic.
@@ -59,11 +60,14 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n_chars.alias("n_chars_measured"),
         n_tok.alias("n_tokens"),
-        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
-        F.round(n_space / F.greatest(n_chars, F.lit(1)), 6).alias("space_ratio"),
-        F.round((n_tok - n_distinct) / F.greatest(n_tok, F.lit(1)), 6).alias("dup_token_ratio"),
-        F.round(stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
-        F.round(F.greatest(n_chars, F.lit(0)) / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+        # ratio_round, not ROUND(double-quotient): count ratios with
+        # arbitrary integer denominators can land on a 7th-digit half where
+        # the engines' ROUNDs split (41/640 class; precision.ratio_round)
+        ratio_round(n_alpha, F.greatest(n_chars, F.lit(1)), "alpha_ratio"),
+        ratio_round(n_space, F.greatest(n_chars, F.lit(1)), "space_ratio"),
+        ratio_round(n_tok - n_distinct, F.greatest(n_tok, F.lit(1)), "dup_token_ratio"),
+        ratio_round(stop, F.greatest(n_tok, F.lit(1)), "stopword_ratio"),
+        ratio_round(F.greatest(n_chars, F.lit(0)), F.greatest(n_tok, F.lit(1)), "chars_per_token"),
     )
 
 
@@ -105,11 +109,14 @@ def profile_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n_chars.alias("n_chars_measured"),
         n_tok.alias("n_tokens"),
-        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
-        F.round(n_space / F.greatest(n_chars, F.lit(1)), 6).alias("space_ratio"),
-        F.round((n_tok - n_distinct) / F.greatest(n_tok, F.lit(1)), 6).alias("dup_token_ratio"),
-        F.round(stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
-        F.round(F.greatest(n_chars, F.lit(0)) / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+        # ratio_round, not ROUND(double-quotient): count ratios with
+        # arbitrary integer denominators can land on a 7th-digit half where
+        # the engines' ROUNDs split (41/640 class; precision.ratio_round)
+        ratio_round(n_alpha, F.greatest(n_chars, F.lit(1)), "alpha_ratio"),
+        ratio_round(n_space, F.greatest(n_chars, F.lit(1)), "space_ratio"),
+        ratio_round(n_tok - n_distinct, F.greatest(n_tok, F.lit(1)), "dup_token_ratio"),
+        ratio_round(stop, F.greatest(n_tok, F.lit(1)), "stopword_ratio"),
+        ratio_round(F.greatest(n_chars, F.lit(0)), F.greatest(n_tok, F.lit(1)), "chars_per_token"),
         pred.alias("lang_pred"),
         best.alias("marker_hits"),
     )
@@ -176,10 +183,10 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.coalesce("top_token_n", F.lit(0)) / F.greatest("n_tokens", F.lit(1)), 6).alias("top_token_ratio"),
+            ratio_round(F.coalesce("top_token_n", F.lit(0)), F.greatest("n_tokens", F.lit(1)), "top_token_ratio"),
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.round(F.coalesce("top_bigram_n", F.lit(0)) / nb, 6).alias("top_bigram_ratio"),
-            F.round(F.coalesce("n_distinct_bigrams", F.lit(0)) / nb, 6).alias("distinct_bigram_ratio"),
+            ratio_round(F.coalesce("top_bigram_n", F.lit(0)), nb, "top_bigram_ratio"),
+            ratio_round(F.coalesce("n_distinct_bigrams", F.lit(0)), nb, "distinct_bigram_ratio"),
         )
     )
 
@@ -223,9 +230,11 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce("sum_lp_micro", F.lit(0)).cast("long").alias("sum_lp_micro"),
-            F.round(
-                F.coalesce("sum_lp_micro", F.lit(0)) / (F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)) * 1e6), 6
-            ).alias("mean_logprob"),
+            ratio_round(
+                F.coalesce("sum_lp_micro", F.lit(0)),
+                F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)) * F.lit(1_000_000),
+                "mean_logprob",
+            ),
         )
     )
 
@@ -298,7 +307,7 @@ def term_document_frequency(df: DataFrame, id_col: str, text_col: str, min_df: i
     return out.select(
         "token",
         "df",
-        F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6).alias("idf"),
+        micro_round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, "idf"),
     )
 
 
@@ -328,7 +337,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .select("doc_id", "token", F.round("score", 6).alias("tfidf"), F.col("rk").cast("long").alias("rk"))
+        .select("doc_id", "token", micro_round("score", "tfidf"), F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -388,11 +397,11 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.coalesce("sum_lp_micro", F.lit(0)).cast("long").alias("sum_lp_micro"),
-            F.round(
-                F.coalesce("sum_lp_micro", F.lit(0))
-                / (F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)) * 1e6),
-                6,
-            ).alias("mean_logprob"),
+            ratio_round(
+                F.coalesce("sum_lp_micro", F.lit(0)),
+                F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)) * F.lit(1_000_000),
+                "mean_logprob",
+            ),
         )
     )
 
@@ -483,7 +492,7 @@ def token_drift_kl(old_docs: DataFrame, new_docs: DataFrame, text_col: str) -> D
         F.lit(n_new).cast("long").alias("n_new_tokens"),
         F.lit(vsz).cast("long").alias("vocab_size"),
         "kl_micro9",
-        F.round(F.col("kl_micro9") / 1e9, 6).alias("kl"),
+        ratio_round(F.col("kl_micro9"), F.lit(1_000_000_000), "kl"),
     )
 
 
@@ -527,7 +536,7 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce("n_distinct_tokens", F.lit(0)).cast("long").alias("n_distinct_tokens"),
             F.coalesce("entropy_micro", F.lit(0)).cast("long").alias("entropy_micro"),
-            F.round(F.coalesce("entropy_micro", F.lit(0)) / 1e6, 6).alias("entropy"),
+            (F.coalesce("entropy_micro", F.lit(0)).cast("double") / F.lit(1e6)).alias("entropy"),
         )
     )
 
@@ -668,7 +677,7 @@ def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5, k: int = 
     pmi_micro = F.floor(F.log(arg) * 1e6).cast("long")
     result = (
         cand.select("w1", "w2", "n_pairs", pmi_micro.alias("pmi_micro"))
-        .withColumn("pmi", F.round(F.col("pmi_micro") / 1e6, 6))
+        .withColumn("pmi", F.col("pmi_micro").cast("double") / F.lit(1e6))
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(k)
         # Pin the k-row result, release both cached model tables (storage
@@ -752,11 +761,11 @@ def dsir_importance_select(
             "doc_id",
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
             F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
-            F.round(
-                F.coalesce("score_micro", F.lit(0))
-                / (F.greatest(F.coalesce("n_feats", F.lit(0)), F.lit(1)) * 1e6),
-                6,
-            ).alias("mean_score"),
+            ratio_round(
+                F.coalesce("score_micro", F.lit(0)),
+                F.greatest(F.coalesce("n_feats", F.lit(0)), F.lit(1)) * F.lit(1_000_000),
+                "mean_score",
+            ),
         )
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(k)
@@ -890,8 +899,8 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
         "n_ranks",
         "slope_micro",
         "intercept_micro",
-        F.round(F.col("slope_micro") / 1e6, 6).alias("slope"),
-        F.round(F.col("intercept_micro") / 1e6, 6).alias("intercept"),
+        (F.col("slope_micro").cast("double") / F.lit(1e6)).alias("slope"),
+        (F.col("intercept_micro").cast("double") / F.lit(1e6)).alias("intercept"),
     )
 
 
@@ -1051,10 +1060,13 @@ def readability(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_words").cast("long").alias("n_words"),
-            F.round(F.sum("n_words") / F.sum("n_sent"), 6).alias("words_per_sentence"),
-            F.round(F.sum("n_syll") / F.sum("n_words"), 6).alias("syllables_per_word"),
-            F.round(100.0 * F.sum("n_poly") / F.sum("n_words"), 6).alias("pct_polysyllabic"),
-            F.round(F.sum("flesch_micro") / F.count(F.lit(1)) / 1e6, 6).alias("avg_flesch"),
+            ratio_round(F.sum("n_words"), F.sum("n_sent"), "words_per_sentence"),
+            ratio_round(F.sum("n_syll"), F.sum("n_words"), "syllables_per_word"),
+            ratio_round(F.lit(100) * F.sum("n_poly"), F.sum("n_words"), "pct_polysyllabic"),
+            # sum(flesch_micro) can exceed ratio_round's 4.6e12 |num| bound at
+            # corpus scale; dec_avg over the exactly-recoverable micro/1e6
+            # doubles is the overflow-safe integer half-up
+            dec_avg(F.col("flesch_micro").cast("double") / F.lit(1e6), "avg_flesch"),
         )
         .orderBy(group_col)
     )
@@ -1215,7 +1227,7 @@ def rake_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 20, max_ph
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
             F.min("score_micro").cast("long").alias("score_micro"),  # identical per text; min = deterministic pick
         )
-        .select("phrase", "n_occurrences", "score_micro", F.round(F.col("score_micro") / 1e6, 6).alias("rake_score"))
+        .select("phrase", "n_occurrences", "score_micro", (F.col("score_micro").cast("double") / F.lit(1e6)).alias("rake_score"))
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(k)
     )
@@ -1257,7 +1269,7 @@ def repetition_scores(docs: DataFrame, id_col: str, text_col: str, k: int = 20) 
     ).otherwise(F.lit(0)).cast("long")
     return (
         per_doc.select("doc_id", "n_bigrams", "n_repeats", rep_micro.alias("rep_micro"))
-        .withColumn("rep_score", F.round(F.col("rep_micro") / 1e6, 6))
+        .withColumn("rep_score", F.col("rep_micro").cast("double") / F.lit(1e6))
         .orderBy(F.col("rep_micro").desc(), "doc_id")
         .limit(k)
     )

@@ -576,7 +576,10 @@ def hourly_anomaly(events: DataFrame, top_k: int = 20) -> DataFrame:
     )
     return (
         j.select("event_type", "hour", "n_events", z_micro.alias("z_micro"))
-        .withColumn("z", F.round(F.col("z_micro") / 1e6, 6))
+        # micros/1e6 is already the canonical materialization (both engines
+        # IEEE-identical); a same-scale ROUND on top is the fragile half-case
+        # (CLAUDE.md) -- dropped, oracle twin dropped in lockstep
+        .withColumn("z", F.col("z_micro").cast("double") / F.lit(1e6))
         .orderBy(F.abs(F.col("z_micro")).desc(), "event_type", "hour")
         .limit(top_k)
     )
