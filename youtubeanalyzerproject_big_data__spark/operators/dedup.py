@@ -366,14 +366,46 @@ def minhash_lsh_pairs(
     boilerplate signature shared corpus-wide would expand quadratically in
     one task); verification sets stay exact.  Returns (doc1, doc2, jaccard).
 
+    EXACT-DUPLICATE COLLAPSE FIRST (the _capped_intersections design,
+    round-10 catch): byte-identical documents have identical shingle sets,
+    identical minhash signatures, and identical band buckets, so the WHOLE
+    pipeline -- shingling, signatures, banding, verification -- runs over
+    DISTINCT CONTENTS, with doc pairs recovered through the member lists
+    only at the very end.  The former doc-granularity form shipped each
+    doc's full shingle-hash set onto every candidate DOC pair: on the
+    300-clone sf30 fixture that is ~246M pairs x two ~300-element arrays
+    (~1 TB of verification shuffle) and the disk watchdog killed it twice;
+    post-collapse the verification join touches ~C(contents, 2) candidate
+    pairs and the expansion emits only final result rows.  Clone-heavy is
+    the web-corpus norm, so this is the 100 TB shape, not a fixture
+    special case.
+
+    Semantics are UNCHANGED (the driver oracle computes on the uncollapsed
+    table and stays hash-exact):
+
+      * bucket survival is decided on DOC counts: the (band, sig) group's
+        doc population = sum of member multiplicities over its contents,
+        and the 2 <= nd <= max_bucket window is evaluated on that sum --
+        exactly the old _pairs_from_groups cut;
+      * same-content doc pairs (jaccard exactly 1.0) arise whenever a
+        content with multiplicity >= 2 sits in a surviving bucket, just as
+        the clone docs co-occurred in their shared bucket before;
+      * shingle-less contents (< n tokens) never enter band_rows, so they
+        produce no pairs -- as before.
+
     ``checkpoint=False`` is TEST-ONLY (plan inspection; leaks the shingle
     cache by design) -- see ngram_jaccard_pairs.
     """
     rows_per_band = num_hashes // bands
-    # Shingle once (CPU-heavy), reuse for both the signature path and the
-    # exact-verification sets.
-    # MEMORY_ONLY: same disk-spill rationale as ngram_jaccard_pairs.
-    sh_rows = _shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_ONLY)
+    keyed = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    members = keyed.select(F.md5("_text").alias("cid"), "doc_id")
+    cids = keyed.groupBy(F.md5("_text").alias("cid")).agg(
+        F.count(F.lit(1)).alias("m"), F.max("_text").alias("_text")
+    )
+    # Shingle once per CONTENT (CPU-heavy), reuse for signatures and the
+    # exact-verification sets.  MEMORY_ONLY: recompute over spill, same
+    # rationale as _capped_intersections.
+    sh_rows = _shingles(cids, "cid", "_text", n).persist(StorageLevel.MEMORY_ONLY)
     sigs = _minhash_sigs_from_shingles(sh_rows, num_hashes)
 
     band_rows = sigs.select(
@@ -393,9 +425,54 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
 
-    candidates = _pairs_from_groups(band_rows, ["band", "sig"], max_group=max_bucket)
+    # bucket membership at content granularity, bucket CAP on doc counts
+    groups = (
+        band_rows.join(cids.select(F.col("cid").alias("doc_id"), "m").hint("shuffle_hash"), "doc_id")
+        .groupBy("band", "sig")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("doc_id").alias("c"), F.col("m").alias("m")))).alias("cs"),
+            F.sum("m").alias("nd"),
+        )
+        .where(F.col("nd") >= 2)
+    )
+    if max_bucket is not None:
+        groups = groups.where(F.col("nd") <= max_bucket)
+    carr = F.transform(F.col("cs"), lambda s: s["c"])
+    cross_cand = (
+        groups.select(F.explode(_ordered_pairs(carr)).alias("p"))
+        .select(F.col("p.doc1").alias("c1"), F.col("p.doc2").alias("c2"))
+        .distinct()
+    )
+    self_cand = (
+        groups.select(F.explode(F.filter(F.col("cs"), lambda s: s["m"] >= F.lit(2))).alias("s"))
+        .select(F.col("s.c").alias("c1"))
+        .distinct()
+    )
+
     sh = sh_rows.select("doc_id", F.xxhash64("shingle").alias("sh"))
-    result = _jaccard_for_pairs(candidates, sh).where(F.col("jaccard") >= threshold)
+    vc = (
+        _jaccard_for_pairs(cross_cand.select(F.col("c1").alias("doc1"), F.col("c2").alias("doc2")), sh)
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("doc1").alias("c1"), F.col("doc2").alias("c2"), "jaccard")
+    )
+    mem1 = members.select(F.col("cid").alias("c1"), F.col("doc_id").alias("d1"))
+    mem2 = members.select(F.col("cid").alias("c2"), F.col("doc_id").alias("d2"))
+    # member expansion pinned shuffle_hash (the d2 r8 lesson: static stats
+    # undercount post-explode aggregates so badly the planner broadcast a
+    # pair table at sf10)
+    cross_docs = (
+        vc.join(mem1.hint("shuffle_hash"), "c1")
+        .join(mem2.hint("shuffle_hash"), "c2")
+        .select(F.least("d1", "d2").alias("doc1"), F.greatest("d1", "d2").alias("doc2"), "jaccard")
+    )
+    self_docs = (
+        self_cand.where(F.lit(1.0) >= F.lit(threshold))
+        .join(mem1.hint("shuffle_hash"), "c1")
+        .join(mem2.withColumnRenamed("c2", "c1").hint("shuffle_hash"), "c1")
+        .where(F.col("d1") < F.col("d2"))
+        .select(F.col("d1").alias("doc1"), F.col("d2").alias("doc2"), F.lit(1.0).alias("jaccard"))
+    )
+    result = cross_docs.unionByName(self_docs)
     if checkpoint:
         # Pin the verified pairs, release the cached shingles (see
         # ngram_jaccard_pairs for the storage-hygiene rationale).
