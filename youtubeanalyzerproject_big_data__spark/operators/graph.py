@@ -31,9 +31,32 @@ this module so plan-shape gates can see FULL loop lineage.  Production code
 never flips it -- checkpoints are what keep iterative plans bounded."""
 
 
+def _ckpt_level():
+    """Storage level for iterative-loop checkpoints, from
+    ``SPARK_GRAFT_CKPT_LEVEL`` (e.g. ``DISK_ONLY``, ``MEMORY_AND_DISK``).
+
+    Default (unset) keeps Spark's localCheckpoint default: deserialized
+    MEMORY_AND_DISK.  That is the right call while the loop state fits in
+    the storage pool, but a corpus-sized edge table cached as deserialized
+    row objects costs ~50-70 bytes/row of heap PER ROUND (superseded
+    rounds linger until session end) -- at the sf30 replay g13's ~750M-row
+    undirected edge set OOM'd an 80 g heap through three tuning attempts.
+    ``DISK_ONLY`` (with ``spark.rdd.compress=true``) streams the blocks
+    out serialized instead, which is the 1000-executor answer too: an
+    iterative edge table is scan-shaped state, not working-set."""
+    import os
+
+    from pyspark import StorageLevel
+
+    name = os.environ.get("SPARK_GRAFT_CKPT_LEVEL")
+    return getattr(StorageLevel, name) if name else None
+
+
 def _ckpt(df: DataFrame) -> DataFrame:
     """localCheckpoint(eager) unless the plan-test hook disabled it."""
-    return df if _DISABLE_CHECKPOINTS else df.localCheckpoint(eager=True)
+    if _DISABLE_CHECKPOINTS:
+        return df
+    return df.localCheckpoint(eager=True, storageLevel=_ckpt_level())
 
 
 def densify(df: DataFrame, related_col: str, min_related: int = 5) -> DataFrame:
@@ -968,24 +991,38 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10) -> DataFrame:
     max_rounds-step peel (same contract as the oracle's unrolled rounds,
     so cross-engine equality holds converged or not).
 
+    The big edge table is landed ONCE (`e0`); every round derives the
+    alive-subgraph by two semi-joins of e0 against the current survivor
+    keyset and checkpoints only VERTEX-sized state (degrees, survivors).
+    The earlier formulation re-checkpointed the full surviving edge table
+    each round -- at the sf30 replay that accumulated a near-corpus-sized
+    block set PER ROUND (superseded rounds stay pinned until session end:
+    48 GB of scratch by round 4, heap OOM before _ckpt went DISK_ONLY).
+    Per-round scan cost is unchanged (the old loop also semi-joined and
+    re-aggregated every round); only the per-round materialization is
+    gone, which is the 1000-executor answer too.
+
     Returns surviving (src, core_degree) -- degree WITHIN the core.
     """
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    e = _ckpt(und.where(F.col("src") != F.col("dst")).distinct())
+    e0 = _ckpt(und.where(F.col("src") != F.col("dst")).distinct())
+    cur = e0
     for _ in range(max_rounds):
         # Pin the degree table BEFORE the probe: the early-exit count and
         # the survivor keyset both read it, and unpinned each would
         # re-aggregate the full edge table -- a whole extra edge pass per
         # peel round.
-        deg = _ckpt(e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
+        deg = _ckpt(cur.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
         if deg.where(F.col("_d") < k).count() == 0:
             break
-        keep = deg.where(F.col("_d") >= k).select(F.col("src").alias("_v"))
-        e = e.join(keep, e["src"] == F.col("_v"), "left_semi")
-        e = _ckpt(e.join(keep.withColumnRenamed("_v", "_w"), e["dst"] == F.col("_w"), "left_semi"))
-    return e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        # Vertex-sized survivor keyset; NOT broadcast-forced (the r5 g10
+        # lesson) -- AQE picks broadcast while it fits.
+        keep = _ckpt(deg.where(F.col("_d") >= k).select(F.col("src").alias("_v")))
+        cur = e0.join(keep, e0["src"] == F.col("_v"), "left_semi")
+        cur = cur.join(keep.withColumnRenamed("_v", "_w"), cur["dst"] == F.col("_w"), "left_semi")
+    return cur.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
 
 
 def hits(
