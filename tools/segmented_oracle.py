@@ -300,6 +300,31 @@ def _segmented_adamic_adar(con: duckdb.DuckDBPyConnection, k: int = 5, n_batches
     return rows
 
 
+def _scoped_oracle(tmp: str, sf: str, tag: str, fn):
+    """Run one heavyweight oracle on a FRESH on-disk DuckDB, then delete it.
+
+    DuckDB files never shrink: a graph oracle's high-water mark stays
+    allocated in the shared connection's file for the rest of the run --
+    at sf30 the kcore self-join's ~750M-row round tables left the shared
+    file holding most of the volume, and the SPARK leg that runs next hit
+    the disk-guard floor with the query itself perfectly healthy.  A
+    scoped file returns the space the moment the rows are fetched."""
+    path = os.path.join(tmp, f"seg_{tag}.duckdb")
+    c = duckdb.connect(path)
+    try:
+        mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+        if mem:
+            c.execute(f"SET memory_limit='{mem}'")
+        c.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+        c.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        return fn(c)
+    finally:
+        c.close()
+        for p in (path, path + ".wal"):
+            if os.path.exists(p):
+                os.remove(p)
+
+
 def _table_exists(con: duckdb.DuckDBPyConnection, name: str) -> bool:
     return (
         con.execute(
@@ -735,7 +760,12 @@ def main() -> None:
                     return rec
                 orows = con.execute(final_sql).fetchall()
             elif name == "g13_kcore":
-                orows = _segmented_kcore(con, entrymod.G13_CORE_K, entrymod.G13_CORE_ROUNDS)
+                # scoped file: the kcore rounds' high-water mark must not
+                # stay allocated while the Spark leg runs (see _scoped_oracle)
+                orows = _scoped_oracle(
+                    tmp, sf, "g13",
+                    lambda c: _segmented_kcore(c, entrymod.G13_CORE_K, entrymod.G13_CORE_ROUNDS),
+                )
             elif name == "g6_triangle_census":
                 orows = _segmented_triangles(con)
             elif name == "g9_adamic_adar":
