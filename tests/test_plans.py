@@ -643,9 +643,9 @@ def test_q16_not_in_is_broadcast_anti_join(spark):
 
 
 def test_kcore_semijoins_are_not_broadcast_forced(spark):
-    """g13: the survivor keyset is vertex-sized, so kcore must NOT hint
+    """g13: the removed keyset is vertex-sized, so kcore must NOT hint
     broadcast (the r5 g10 lesson) -- with Spark's own broadcast thresholds
-    disabled, the peel round's semi-joins must degrade to shuffle joins
+    disabled, the delta-peel round's joins must degrade to shuffle joins
     instead of aborting at scale."""
     from pyspark.sql import functions as F
 
@@ -662,7 +662,9 @@ def test_kcore_semijoins_are_not_broadcast_forced(spark):
         out = graphmod.kcore(edges, k=3, max_rounds=2)
         plan = _plan(out)
         assert "BroadcastHashJoin" not in plan, "kcore must not force-broadcast vertex keysets"
-        assert "LeftSemi" in plan
+        # delta-peel shape: per-round dec (edges into this round's removed
+        # set) folded back into the maintained degrees via a left join
+        assert "LeftOuter" in plan
     finally:
         graphmod._DISABLE_CHECKPOINTS = False
         for c, v in saved.items():

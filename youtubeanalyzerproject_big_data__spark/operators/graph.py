@@ -991,16 +991,26 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10) -> DataFrame:
     max_rounds-step peel (same contract as the oracle's unrolled rounds,
     so cross-engine equality holds converged or not).
 
-    The big edge table is landed ONCE (`e0`); every round derives the
-    alive-subgraph by two semi-joins of e0 against the current survivor
-    keyset and checkpoints only VERTEX-sized state (degrees, survivors).
-    The earlier formulation re-checkpointed the full surviving edge table
-    each round -- at the sf30 replay that accumulated a near-corpus-sized
-    block set PER ROUND (superseded rounds stay pinned until session end:
-    48 GB of scratch by round 4, heap OOM before _ckpt went DISK_ONLY).
-    Per-round scan cost is unchanged (the old loop also semi-joined and
-    re-aggregated every round); only the per-round materialization is
-    gone, which is the 1000-executor answer too.
+    DEGREE-DELTA formulation: the big edge table is landed ONCE (`e0`,
+    one distinct shuffle) and degrees are MAINTAINED, not recomputed --
+    each round subtracts, from every still-alive vertex, its number of
+    neighbors peeled THIS round (``dec``).  Per-round join work is
+    proportional to the removed set (vertex-sized and shrinking; AQE
+    broadcasts it once it fits), so e0 is only ever SCANNED per round,
+    never re-shuffled.  Two earlier formulations died at the sf30 replay:
+    re-checkpointing the surviving edge table per round pinned a
+    near-corpus-sized block set per round (heap OOM at 80g, then 48 GB of
+    scratch by round 4 as DISK_ONLY), and survivor-keyset semi-joins of
+    e0 re-shuffled ~25 GB per round into accumulating shuffle files
+    (disk-guard abort at 4.4 GB free).  Delta-peel is also the
+    1000-executor answer: per-round network is O(removed frontier), the
+    classic distributed k-core refinement.
+
+    Exact equivalence with the peel-the-subgraph form: a vertex's
+    maintained degree always equals its degree within the current alive
+    subgraph (each removed neighbor is subtracted exactly once, the round
+    its endpoint is peeled), and the final ``_d > 0`` filter reproduces
+    "src appears in the surviving edge table" on non-converged exits.
 
     Returns surviving (src, core_degree) -- degree WITHIN the core.
     """
@@ -1008,21 +1018,26 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     e0 = _ckpt(und.where(F.col("src") != F.col("dst")).distinct())
-    cur = e0
+    deg = _ckpt(e0.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
     for _ in range(max_rounds):
-        # Pin the degree table BEFORE the probe: the early-exit count and
-        # the survivor keyset both read it, and unpinned each would
-        # re-aggregate the full edge table -- a whole extra edge pass per
-        # peel round.
-        deg = _ckpt(cur.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
-        if deg.where(F.col("_d") < k).count() == 0:
-            break
-        # Vertex-sized survivor keyset; NOT broadcast-forced (the r5 g10
+        # Vertex-sized removed set; NOT broadcast-forced (the r5 g10
         # lesson) -- AQE picks broadcast while it fits.
-        keep = _ckpt(deg.where(F.col("_d") >= k).select(F.col("src").alias("_v")))
-        cur = e0.join(keep, e0["src"] == F.col("_v"), "left_semi")
-        cur = cur.join(keep.withColumnRenamed("_v", "_w"), cur["dst"] == F.col("_w"), "left_semi")
-    return cur.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        removed = _ckpt(deg.where(F.col("_d") < k).select(F.col("src").alias("_r")))
+        if removed.count() == 0:
+            break
+        dec = (
+            e0.join(removed, e0["dst"] == F.col("_r"), "inner")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        deg = _ckpt(
+            deg.where(F.col("_d") >= k)
+            .join(dec, "src", "left")
+            .select("src", (F.col("_d") - F.coalesce(F.col("_c"), F.lit(0))).alias("_d"))
+        )
+    return deg.where(F.col("_d") > 0).select(
+        "src", F.col("_d").cast("long").alias("core_degree")
+    )
 
 
 def hits(
