@@ -739,8 +739,8 @@ def main() -> None:
             """One segmented compare; prints ok/FAIL, returns the record."""
             t0 = time.time()
             if name in COMPONENT_QUERIES:
-                final_sql = _doc_query_sql(con, name)
                 if name in digest_only:
+                    final_sql = _doc_query_sql(con, name)
                     # Result too big to collect-canon (d3's sf30 pair set is
                     # ~246M rows): both engines reduce to (count, two exact
                     # md5-lane sums) over the injective row encoding and only
@@ -758,7 +758,17 @@ def main() -> None:
                         flush=True,
                     )
                     return rec
-                orows = con.execute(final_sql).fetchall()
+                # Non-digest doc queries collect small results, so their
+                # oracle runs SCOPED: the shingle/pair stage tables' high-
+                # water mark (DuckDB files never shrink) must be returned
+                # to the volume before the Spark leg runs -- at sf30p the
+                # perturbed fixture has 1.5M DISTINCT contents and the
+                # shared-file residue starved d2's Spark leg to the
+                # disk-guard floor.  Each query rebuilds its stages (the
+                # memo is per-file) -- oracle time traded for disk.
+                orows = _scoped_oracle(
+                    tmp, sf, name, lambda c: c.execute(_doc_query_sql(c, name)).fetchall()
+                )
             elif name == "g13_kcore":
                 # scoped file: the kcore rounds' high-water mark must not
                 # stay allocated while the Spark leg runs (see _scoped_oracle)
