@@ -199,10 +199,15 @@ def _capped_intersections(
     (caller materializes, then unpersists them).
     """
     keyed = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-    members = keyed.select(F.md5("_text").alias("cid"), "doc_id")
+    # cid as 16-byte BINARY, not the 32-char hex string: the content key
+    # rides every pair-stage shuffle (index rows, bucket lists, candidate
+    # pairs, member expansion), so hex doubles the dominant shuffle bytes
+    # corpus-wide.  Equality/grouping semantics are identical and the
+    # digest never reaches results (minhash_lsh_pairs shares the scheme).
+    members = keyed.select(F.unhex(F.md5("_text")).alias("cid"), "doc_id")
     # one row per distinct content: multiplicity + a representative text
     # (identical within the group, so max() is deterministic)
-    cids = keyed.groupBy(F.md5("_text").alias("cid")).agg(
+    cids = keyed.groupBy(F.unhex(F.md5("_text")).alias("cid")).agg(
         F.count(F.lit(1)).alias("m"), F.max("_text").alias("_text")
     )
     # MEMORY_ONLY, not cache(): the shingle table is ~100x the content
@@ -398,8 +403,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     keyed = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-    members = keyed.select(F.md5("_text").alias("cid"), "doc_id")
-    cids = keyed.groupBy(F.md5("_text").alias("cid")).agg(
+    members = keyed.select(F.unhex(F.md5("_text")).alias("cid"), "doc_id")
+    cids = keyed.groupBy(F.unhex(F.md5("_text")).alias("cid")).agg(
         F.count(F.lit(1)).alias("m"), F.max("_text").alias("_text")
     )
     # Shingle once per CONTENT (CPU-heavy), reuse for signatures and the
