@@ -59,14 +59,22 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, use_arrow: bool = True) -> DataFrame:
+def _shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, use_arrow: bool = True, repartition: bool = True
+) -> DataFrame:
     """(doc_id, shingle) exploded distinct word-n-gram shingles.
 
-    Repartitions the input first: shingling is the CPU-heavy per-document
-    step, and a compact parquet source may arrive in a handful of partitions
-    -- without this, one task shingles the whole corpus while every other
-    core idles.  The shuffle moves only (id, text), far cheaper than the
-    compute it parallelizes.
+    Repartitions the input first (default): shingling is the CPU-heavy
+    per-document step, and a compact parquet source may arrive in a handful
+    of partitions -- without this, one task shingles the whole corpus while
+    every other core idles.  The shuffle moves only (id, text), far cheaper
+    than the compute it parallelizes.  ``repartition=False`` is for callers
+    whose input ALREADY arrives well-spread from a pinned-width exchange
+    (the collapsed-content tables in _capped_intersections /
+    minhash_lsh_pairs): re-shuffling there moves the corpus text a second
+    time for nothing AND destroys the input's hash partitioning, which the
+    downstream doc_id-keyed joins/aggregates would otherwise reuse
+    exchange-free (r10).
 
     ``use_arrow`` (default) shingles via an Arrow-batched Pandas UDF
     (functions._arrow_udfs.make_word_ngrams): Spark's higher-order array
@@ -81,11 +89,10 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, use_arrow: bool
         grams = make_word_ngrams(n)(F.col("_text"))
     else:
         grams = word_ngrams(F.col("_text"), n)
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    if repartition:
+        base = base.repartition(spark.sparkContext.defaultParallelism)
+    return base.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def _ordered_pairs(arr):
@@ -121,10 +128,12 @@ def _pairs_from_groups(keyed: DataFrame, group_cols: list[str], max_group: int |
     return groups.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p")).select("p.doc1", "p.doc2").distinct()
 
 
-def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int, repartition: bool = True) -> DataFrame:
     """(doc_id, sh int64): shingles as 64-bit hashes -- narrow shuffle keys;
     the hash choice never reaches results (only counts do)."""
-    return _shingles(df, id_col, text_col, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    return _shingles(df, id_col, text_col, n, repartition=repartition).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
 
 
 def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
@@ -154,6 +163,27 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
             ratio_round(F.col("n_common"), F.size("h1") + F.size("h2") - F.col("n_common")),
         )
         .select("doc1", "doc2", "jaccard")
+    )
+
+
+def _repartitioned_cids(keyed: DataFrame) -> DataFrame:
+    """Distinct-content table (cid, m, _text) from (doc_id, _text) rows,
+    built over ONE cid-keyed exchange at pinned defaultParallelism width.
+
+    The explicit repartition (not a bare groupBy) is deliberate, twice
+    over: the groupBy's own exchange would satisfy the same distribution
+    but AQE would coalesce a small corpus to one task -- and the per-doc
+    CPU-heavy shingling that consumes this table needs the spread (the
+    _shingles contract) -- while a round-robin repartition AFTER the
+    groupBy would move the text a second time and destroy the cid hash
+    partitioning that the downstream doc_id-keyed joins/aggregates reuse
+    exchange-free."""
+    spark = keyed.sparkSession
+    return (
+        keyed.select(F.unhex(F.md5("_text")).alias("cid"), "_text")
+        .repartition(spark.sparkContext.defaultParallelism, "cid")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("_text").alias("_text"))
     )
 
 
@@ -205,17 +235,24 @@ def _capped_intersections(
     # corpus-wide.  Equality/grouping semantics are identical and the
     # digest never reaches results (minhash_lsh_pairs shares the scheme).
     members = keyed.select(F.unhex(F.md5("_text")).alias("cid"), "doc_id")
-    # one row per distinct content: multiplicity + a representative text
-    # (identical within the group, so max() is deterministic)
-    cids = keyed.groupBy(F.unhex(F.md5("_text")).alias("cid")).agg(
-        F.count(F.lit(1)).alias("m"), F.max("_text").alias("_text")
-    )
+    # One row per distinct content: multiplicity + a representative text
+    # (identical within the group, so max() is deterministic).  The text
+    # crosses the wire EXACTLY ONCE, via an explicit cid-keyed repartition
+    # at pinned width: hashpartitioning(cid) satisfies the groupBy(cid)
+    # requirement (partition-local agg, no second exchange), AQE cannot
+    # coalesce the pinned width down to one task (per-doc shingling below
+    # is the CPU-heavy step that needs the spread), and the partitioning is
+    # INHERITED by the shingle table, so the downstream doc_id-keyed
+    # aggregates/joins (sizes, the df-attach join) run exchange-free --
+    # the old shape paid groupBy-exchange + a partition-count repartition
+    # (two corpus-text shuffles) and then re-shuffled the shingles (r10).
+    cids = _repartitioned_cids(keyed)
     # MEMORY_ONLY, not cache(): the shingle table is ~100x the content
     # table; MEMORY_AND_DISK's spill wrote ~25 GB at the sf10 replay and
     # starved the same disk the shuffle needs. Evicted partitions recompute
     # (CPU) instead of spilling (disk) -- the right trade on shuffle-bound
     # scratch at every scale.
-    sh = _hashed_shingles(cids, "cid", "_text", n).persist(StorageLevel.MEMORY_ONLY)
+    sh = _hashed_shingles(cids, "cid", "_text", n, repartition=False).persist(StorageLevel.MEMORY_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     groups = (
         sh.join(cids.select(F.col("cid").alias("doc_id"), "m").hint("shuffle_hash"), "doc_id")
@@ -404,13 +441,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     keyed = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     members = keyed.select(F.unhex(F.md5("_text")).alias("cid"), "doc_id")
-    cids = keyed.groupBy(F.unhex(F.md5("_text")).alias("cid")).agg(
-        F.count(F.lit(1)).alias("m"), F.max("_text").alias("_text")
-    )
+    # One cid-keyed text exchange feeding shingling at pinned width, with
+    # the hash partitioning inherited downstream -- see _repartitioned_cids.
+    cids = _repartitioned_cids(keyed)
     # Shingle once per CONTENT (CPU-heavy), reuse for signatures and the
     # exact-verification sets.  MEMORY_ONLY: recompute over spill, same
     # rationale as _capped_intersections.
-    sh_rows = _shingles(cids, "cid", "_text", n).persist(StorageLevel.MEMORY_ONLY)
+    sh_rows = _shingles(cids, "cid", "_text", n, repartition=False).persist(StorageLevel.MEMORY_ONLY)
     sigs = _minhash_sigs_from_shingles(sh_rows, num_hashes)
 
     band_rows = sigs.select(

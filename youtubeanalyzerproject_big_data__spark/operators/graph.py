@@ -1014,10 +1014,23 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10) -> DataFrame:
 
     Returns surviving (src, core_degree) -- degree WITHIN the core.
     """
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Canonicalize FIRST (least/greatest + distinct over m rows), then
+    # symmetrize by pure union: the two directions of a canonical-distinct
+    # set are disjoint and individually distinct, so the union IS the old
+    # distinct(sym) -- at half the distinct's exchange bytes, with no
+    # second edge-sized materialization (e0 is a cheap union of two
+    # projections over the checkpointed canon, re-derived per scan).
+    canon = _ckpt(
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
     )
-    e0 = _ckpt(und.where(F.col("src") != F.col("dst")).distinct())
+    e0 = canon.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        canon.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
     deg = _ckpt(e0.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
     for _ in range(max_rounds):
         # Vertex-sized removed set; NOT broadcast-forced (the r5 g10
@@ -1088,8 +1101,13 @@ def hits(
     e = (
         edges.select("src", "dst")
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
+        # ONE exchange, not two: hashpartitioning(src) satisfies the
+        # (src, dst) dedup aggregate's clustered-distribution requirement,
+        # so dropDuplicates AFTER the src-repartition runs partition-local
+        # and the old distinct().repartition(src) double shuffle collapses
+        # (guide: share one exchange between same-keyed operations).
         .repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
         .cache()
     )
     q = F.lit(int(quantum)).cast("long")
@@ -1157,6 +1175,7 @@ def copurchase_edges(
     group_col: str,
     item_col: str,
     max_group_size: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Bipartite-projection edge builder: one undirected (src < dst) edge
     per pair of distinct items sharing a group (parts per order, videos
@@ -1174,7 +1193,13 @@ def copurchase_edges(
     gate oracle.  None = exact (the g6/g9/g10 inputs at current gate
     scale).
 
-    Returns distinct (src, dst) with src < dst.
+    Returns distinct (src, dst) with src < dst.  ``distinct=False`` skips
+    the final dedup shuffle and returns the raw per-group pair stream
+    (src < dst still holds; a pair recurs once per shared group) -- for
+    consumers that canonicalize + distinct internally anyway
+    (triangle_count, adamic_adar, clustering_coefficient_topk, kcore):
+    stacking a distinct here UNDER theirs costs one extra edge-sized
+    exchange for nothing.
     """
     arr = (
         facts.select(F.col(group_col).alias("g"), F.col(item_col).alias("i"))
@@ -1194,4 +1219,5 @@ def copurchase_edges(
             ),
         )
     )
-    return arr.select(F.explode(pairs).alias("p")).select("p.src", "p.dst").distinct()
+    out = arr.select(F.explode(pairs).alias("p")).select("p.src", "p.dst")
+    return out.distinct() if distinct else out
