@@ -188,7 +188,7 @@ def _repartitioned_cids(keyed: DataFrame) -> DataFrame:
 
 
 def _capped_intersections(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None, pair_filter=None
 ) -> tuple[DataFrame, list[DataFrame]]:
     """(doc1 < doc2, n_common, n1, n2) for every pair sharing >= 1 surviving
     shingle under the ``max_df`` stop-shingle cut -- the shared pair stage of
@@ -253,37 +253,68 @@ def _capped_intersections(
     # (CPU) instead of spilling (disk) -- the right trade on shuffle-bound
     # scratch at every scale.
     sh = _hashed_shingles(cids, "cid", "_text", n, repartition=False).persist(StorageLevel.MEMORY_ONLY)
+    # Per-content info rows (multiplicity + full set size) attach to the
+    # shingle rows BEFORE the index groupBy, so both ride INSIDE the index
+    # structs and the pair stream leaves the explosion already carrying its
+    # Jaccard denominators.  The former shape attached sizes to the pair
+    # table AFTERWARDS through two shuffle_hash joins -- i.e. the dominant
+    # pair-occurrence table (sum_sh C(df,2) rows, ~5e9 at sf10) crossed
+    # THREE exchanges (count groupBy + join by c1 + join by c2); this one
+    # crosses exactly ONE (r10).  All three attach joins here are
+    # exchange-free: sizes is a partition-local aggregate of sh, and sh /
+    # cids / sizes all inherit the cid hash partitioning from
+    # _repartitioned_cids' single pinned exchange.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    info = sizes.join(cids.select(F.col("cid").alias("doc_id"), "m").hint("shuffle_hash"), "doc_id")
     groups = (
-        sh.join(cids.select(F.col("cid").alias("doc_id"), "m").hint("shuffle_hash"), "doc_id")
+        sh.join(info.hint("shuffle_hash"), "doc_id")
         .groupBy("sh")
         .agg(
-            F.sort_array(F.collect_list(F.struct(F.col("doc_id").alias("c"), F.col("m").alias("m")))).alias("cs"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("doc_id").alias("c"), F.col("m").alias("m"), F.col("n_sh").alias("n"))
+                )
+            ).alias("cs"),
             F.sum("m").alias("dfd"),
         )
         .where(F.col("dfd") >= 2)
     )
     if max_df is not None:
         groups = groups.where(F.col("dfd") <= max_df)
-    cross = (
-        groups.select(F.explode(_ordered_pairs(F.transform("cs", lambda x: x["c"]))).alias("p"))
-        .select(F.col("p.doc1").alias("c1"), F.col("p.doc2").alias("c2"))
+    # structs sort by c first (n is functionally dependent on c), so the
+    # in-array pair expansion keeps the canonical c1 < c2 orientation with
+    # each side's denominator riding along.  Cross pairs and same-content
+    # self pairs (m >= 2) concatenate into ONE exploded array, so the
+    # index subtree is built once -- the former cross/selfs union planned
+    # the whole groupBy(sh) aggregation TWICE, one copy per branch.
+    cn = F.transform("cs", lambda x: F.struct(x["c"].alias("c"), x["n"].alias("n")))
+    self_structs = F.transform(
+        F.filter("cs", lambda x: x["m"] >= 2),
+        lambda s: F.struct(
+            F.struct(s["c"].alias("c"), s["n"].alias("n")).alias("doc1"),
+            F.struct(s["c"].alias("c"), s["n"].alias("n")).alias("doc2"),
+        ),
     )
-    selfs = (
-        groups.select(F.explode(F.filter("cs", lambda x: x["m"] >= 2)).alias("s"))
-        .select(F.col("s.c").alias("c1"), F.col("s.c").alias("c2"))
+    expanded = (
+        groups.select(F.explode(F.concat(_ordered_pairs(cn), self_structs)).alias("p"))
+        .select(
+            F.col("p.doc1.c").alias("c1"),
+            F.col("p.doc2.c").alias("c2"),
+            F.col("p.doc1.n").alias("n1"),
+            F.col("p.doc2.n").alias("n2"),
+        )
     )
-    inter = cross.unionByName(selfs).groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("n_common"))
-    # shuffle_hash on the sizes side: static stats undercount `inter`
-    # (a post-explode aggregate) so badly that at sf10 the planner
-    # BROADCAST the pair table -- the broadcast collect blew
-    # spark.driver.maxResultSize (round-8 sf10 catch).  SHJ building on
-    # the doc-count side is driver-safe and sort-free at every scale.
-    pairs_c = (
-        inter.join(sizes.select(F.col("doc_id").alias("c1"), F.col("n_sh").alias("n1")).hint("shuffle_hash"), "c1")
-        .join(sizes.select(F.col("doc_id").alias("c2"), F.col("n_sh").alias("n2")).hint("shuffle_hash"), "c2")
-        .persist(StorageLevel.MEMORY_ONLY)  # branched into cross/self expansion below
-    )
+    pairs_c = expanded.groupBy("c1", "c2", "n1", "n2").agg(F.count(F.lit(1)).alias("n_common"))
+    if pair_filter is not None:
+        # Pair-level threshold gate BEFORE member expansion: the member
+        # joins then carry only qualifying (result-bound) pairs instead of
+        # every intersecting pair -- Catalyst cannot push the callers'
+        # doc-level filters down itself because the cross branch re-derives
+        # n1/n2 through the doc-id swap CASE, which references both join
+        # sides.  Callers pass a predicate over (n_common, n1, n2) that is
+        # EXACTLY the union of their per-direction doc-level filters.
+        pairs_c = pairs_c.where(pair_filter(F.col("n_common"), F.col("n1"), F.col("n2")))
+    pairs_c = pairs_c.persist(StorageLevel.MEMORY_ONLY)  # branched into cross/self expansion below
     mem1 = members.select(F.col("cid").alias("c1"), F.col("doc_id").alias("d1"))
     mem2 = members.select(F.col("cid").alias("c2"), F.col("doc_id").alias("d2"))
     cross_docs = (
@@ -345,7 +376,17 @@ def ngram_jaccard_pairs(
     harness clears the catalog cache after each assertion).  Production
     callers must keep the default.
     """
-    pairs, handles = _capped_intersections(df, id_col, text_col, n, max_df)
+    # Jaccard is symmetric in (n1, n2), so the threshold gate evaluates
+    # EXACTLY at content-pair level and runs pre-expansion: the member
+    # joins see only qualifying pairs (r10).
+    pairs, handles = _capped_intersections(
+        df,
+        id_col,
+        text_col,
+        n,
+        max_df,
+        pair_filter=lambda c, n1, n2: ratio_round(c, n1 + n2 - c) >= threshold,
+    )
     result = (
         pairs.withColumn("jaccard", ratio_round(F.col("n_common"), F.col("n1") + F.col("n2") - F.col("n_common")))
         .where(F.col("jaccard") >= threshold)
@@ -1141,7 +1182,18 @@ def containment_pairs(
     ``checkpoint=False`` is TEST-ONLY (plan inspection; leaks the shingle
     cache by design) -- see ngram_jaccard_pairs.
     """
-    both, handles = _capped_intersections(df, id_col, text_col, n, max_df)
+    # Directional thresholds union to max(c/n1, c/n2) = c/min(n1, n2) at
+    # pair level: a pair survives in SOME direction iff the gate passes, so
+    # member expansion touches only result-bound pairs; the per-direction
+    # exact filter below is unchanged (r10).
+    both, handles = _capped_intersections(
+        df,
+        id_col,
+        text_col,
+        n,
+        max_df,
+        pair_filter=lambda c, n1, n2: ratio_round(c, F.least(n1, n2)) >= threshold,
+    )
     fwd = both.select(
         F.col("doc1").alias("contained_id"),
         F.col("doc2").alias("container_id"),

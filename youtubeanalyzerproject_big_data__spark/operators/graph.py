@@ -703,22 +703,43 @@ def label_propagation(edges: DataFrame, max_iter: int = 2) -> DataFrame:
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.repartition(n_part, "src").cache()
-    vertices = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
-    labels = vertices.select("id", F.col("id").alias("label")).transform(_ckpt)
+    # DELTA representation (r10): ``cur`` holds (id, label) ONLY for
+    # vertices that have ever appeared as a dst (everything the sweep can
+    # relabel); any vertex absent from it still carries its own id, so the
+    # per-round join coalesces the missing label to ``src`` -- the pagerank
+    # absent-rank trick.  This removes the old full-vertex label table from
+    # the loop: no vertices-distinct 2m-row exchange up front, no round-1
+    # join against identity labels (label_0(src) == src inlines to a plain
+    # groupBy over the edge table), and no per-round vertex-table rewrite.
+    # Trajectory is IDENTICAL: label_r(v) = coalesce(best_r(v),
+    # label_{r-1}(v)) unrolls to exactly this merge.
+    cur = None
     for _ in range(max_iter):
-        counted = (
-            e.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        if cur is None:
+            counted = e.groupBy(F.col("dst").alias("id"), F.col("src").alias("label")).agg(
+                F.count(F.lit(1)).alias("c")
+            )
+        else:
+            counted = (
+                e.join(cur.withColumnRenamed("id", "src").withColumnRenamed("label", "_l"), "src", "left")
+                .groupBy(F.col("dst").alias("id"), F.coalesce("_l", "src").alias("label"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
         best = counted.groupBy("id").agg(
             F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("b")
-        ).select("id", F.col("b.l").alias("new_label"))
-        labels = (
-            labels.join(best, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
-            .transform(_ckpt)
-        )
+        ).select("id", F.col("b.l").alias("label"))
+        # cur_r = best_r outright: every key of cur_{r-1} is a dst, and
+        # best_r re-covers EVERY dst each round (counted spans every edge),
+        # so the coalesce-merge with the previous delta is provably empty.
+        cur = best.transform(_ckpt)
+    # Materialize the full vertex set ONCE, at the end: isolated-as-dst
+    # vertices (never a dst) keep their own id via the left join.
+    vertices = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    labels = (
+        vertices.join(cur.withColumnRenamed("label", "_l"), "id", "left")
+        .select("id", F.coalesce("_l", "id").alias("label"))
+    )
+    labels = labels.transform(_ckpt)
     e.unpersist()
     return labels
 
