@@ -520,17 +520,22 @@ def minhash_lsh_pairs(
     )
     if max_bucket is not None:
         groups = groups.where(F.col("nd") <= max_bucket)
+    # Cross pairs and same-content self candidates (m >= 2, emitted as
+    # c1 == c2 rows) concatenate into ONE exploded array so the band-bucket
+    # aggregation subtree is planned/built once -- the former two-branch
+    # form planned the whole groupBy(band, sig) twice (the d2 r10 lesson).
     carr = F.transform(F.col("cs"), lambda s: s["c"])
-    cross_cand = (
-        groups.select(F.explode(_ordered_pairs(carr)).alias("p"))
+    self_pairs = F.transform(
+        F.filter(F.col("cs"), lambda s: s["m"] >= F.lit(2)),
+        lambda s: F.struct(s["c"].alias("doc1"), s["c"].alias("doc2")),
+    )
+    cand = (
+        groups.select(F.explode(F.concat(_ordered_pairs(carr), self_pairs)).alias("p"))
         .select(F.col("p.doc1").alias("c1"), F.col("p.doc2").alias("c2"))
         .distinct()
     )
-    self_cand = (
-        groups.select(F.explode(F.filter(F.col("cs"), lambda s: s["m"] >= F.lit(2))).alias("s"))
-        .select(F.col("s.c").alias("c1"))
-        .distinct()
-    )
+    cross_cand = cand.where(F.col("c1") != F.col("c2"))
+    self_cand = cand.where(F.col("c1") == F.col("c2")).select("c1")
 
     sh = sh_rows.select("doc_id", F.xxhash64("shingle").alias("sh"))
     vc = (
