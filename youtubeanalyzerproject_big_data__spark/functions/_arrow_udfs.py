@@ -236,9 +236,11 @@ def make_probe_cells(cents, nprobe: int):
 
 def make_char_window_hashes(span_len: int):
     """Arrow-batched stride-1 char-window md5s over ALREADY-NORMALIZED text
-    -- byte-identical to the Catalyst transform(sequence, md5(substr))
+    -- byte-identical to the Catalyst transform(sequence, unhex(md5(substr)))
     form in dedup.duplicated_span_removal (Python str slicing and Spark
     substr both index code points; md5 runs over UTF-8 either way).
+    16-byte binary digests, not 32-char hex: the window table is the
+    dominant shuffle of span removal and the digest never reaches results.
 
     Exists for the same reason as make_word_ngrams: the interpreted HOF
     costs ~ms/doc while hashlib's C md5 does the same windows in ~us/doc.
@@ -246,7 +248,7 @@ def make_char_window_hashes(span_len: int):
     """
     import hashlib
 
-    @pandas_udf("array<string>")
+    @pandas_udf("array<binary>")
     def _win_hashes(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
@@ -255,10 +257,10 @@ def make_char_window_hashes(span_len: int):
                 continue
             enc = t.encode("utf-8")
             if len(enc) == len(t):  # pure ASCII: slice bytes, no re-encode
-                out.append([hashlib.md5(enc[i : i + span_len]).hexdigest() for i in range(len(t) - span_len + 1)])
+                out.append([hashlib.md5(enc[i : i + span_len]).digest() for i in range(len(t) - span_len + 1)])
             else:
                 out.append(
-                    [hashlib.md5(t[i : i + span_len].encode("utf-8")).hexdigest() for i in range(len(t) - span_len + 1)]
+                    [hashlib.md5(t[i : i + span_len].encode("utf-8")).digest() for i in range(len(t) - span_len + 1)]
                 )
         return pd.Series(out)
 

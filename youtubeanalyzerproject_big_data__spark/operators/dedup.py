@@ -1005,13 +1005,25 @@ def duplicated_span_removal(
         hashes = make_char_window_hashes(span_len)(F.col("t"))
     else:
         idx = F.sequence(F.lit(1), F.length("t") - (span_len - 1))
-        hashes = F.transform(idx, lambda i: F.md5(F.col("t").substr(i, F.lit(span_len))))
+        hashes = F.transform(idx, lambda i: F.unhex(F.md5(F.col("t").substr(i, F.lit(span_len)))))
+    # Window hashes ride the shuffles as 16-byte BINARY md5, not 32-char
+    # hex: the window table is the dominant shuffle (one row per corpus
+    # char) and the digest never reaches results -- the cid lesson (r10).
     wins = (
         norm.where(F.length("t") >= span_len)
         .select("doc_id", F.posexplode(hashes).alias("pos0", "h"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     )
-    dup = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs")).where("ndocs >= 2").select("h")
+    # ">= 2 distinct docs" == "min(doc_id) != max(doc_id)" exactly, and
+    # min/max partial-aggregate map-side in ONE h-keyed exchange --
+    # count_distinct planned as an Expand + TWO full window-table
+    # exchanges ((h, doc_id) dedup, then h) for the same decision (r10).
+    dup = (
+        wins.groupBy("h")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("h")
+    )
     marked = wins.join(dup, "h").select("doc_id", "pos")
 
     w = Window.partitionBy("doc_id").orderBy("pos")
