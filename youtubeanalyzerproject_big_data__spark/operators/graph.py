@@ -1055,8 +1055,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10) -> DataFrame:
     deg = _ckpt(e0.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
     for _ in range(max_rounds):
         # Vertex-sized removed set; NOT broadcast-forced (the r5 g10
-        # lesson) -- AQE picks broadcast while it fits.
-        removed = _ckpt(deg.where(F.col("_d") < k).select(F.col("src").alias("_r")))
+        # lesson) -- AQE picks broadcast while it fits.  No checkpoint of
+        # its own: it is one filter over the just-checkpointed deg, so its
+        # lineage is already flat and an eager pin would only add a
+        # materialization job per round (r10).
+        removed = deg.where(F.col("_d") < k).select(F.col("src").alias("_r"))
         if removed.count() == 0:
             break
         dec = (
@@ -1131,6 +1134,13 @@ def hits(
         .dropDuplicates(["src", "dst"])
         .cache()
     )
+    # Second copy partitioned by dst: each round joins e on src (authority
+    # update) AND on dst (hub update) -- with only the src-partitioned
+    # cache, every hub half-round re-exchanged the EDGE table by dst (the
+    # 100x-dominant relation; locally AQE hides it behind a broadcast of
+    # the vertex side, but at scale both SMJ sides shuffle).  One extra
+    # build-time exchange + cache buys an edge-sized exchange per round.
+    e_dst = e.repartition(n_part, "dst").cache()
     q = F.lit(int(quantum)).cast("long")
 
     def renorm(raw: DataFrame, col: str) -> DataFrame:
@@ -1162,7 +1172,7 @@ def hits(
             )
         a = renorm(a_raw, "a_raw")
         h_raw = (
-            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            e_dst.join(a.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a").alias("h_raw"))
         )
@@ -1186,7 +1196,8 @@ def hits(
         .unionByName(topk(h, "h", "hub"))
         .orderBy("role", "rank")
     )
-    result = _ckpt(result)  # pin the 2k-row output before releasing the edge cache
+    result = _ckpt(result)  # pin the 2k-row output before releasing the edge caches
+    e_dst.unpersist()
     e.unpersist()
     return result
 
