@@ -32,6 +32,19 @@ Known deliberate costs (do NOT chase as regressions):
 - tpch_q1 carries ~0.2-0.3 s from r6's integer-exact dec_avg (pmod +
   exact-multiple division replacing the broken double ROUND on its three
   averages) -- the price of the e1 half-case fix, applied engine-wide.
+- g6 carries ~1-1.5 s at sf0.1 from the r10 pair-build rewrite (lineitem
+  self-join -> one groupBy + in-array expansion): at local scale AQE ran
+  the old join as a 33 MB broadcast of the fact table, which is exactly
+  the plan that cannot exist at 100x (forced SMJ, two fact-table
+  shuffles, order groups re-materialized as join products) -- the
+  collect_set build is the scale shape; g9/g10 share it and got FASTER
+  locally because their downstream work dominates.
+- g13 may show +0.5-1 s vs r10-baseline runs at sf0.1 (within the noise
+  band; its shuffle write HALVED 45 -> 21.6 MB from the canonicalize-
+  first preamble): per-round reads now scan the checkpointed canonical
+  half-table twice via a lazy union instead of a second materialized
+  full-width copy -- same bytes read, one materialization pass and half
+  the distinct exchange saved, which is what matters off-box.
 - d2/d12 carry ~0.5-1 s at sf0.1 from the r8 `hint("shuffle_hash")` pin on
   the doc-stat side of the pair-verification joins: Catalyst's static size
   estimate for the post-explode aggregate is unreliable and at sf10 it chose
