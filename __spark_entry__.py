@@ -2809,14 +2809,28 @@ def q_g8(spark: SparkSession, sf: str) -> DataFrame:
     """3-hop BFS reachability from seed parts {P1, P2} over the
     UNDIRECTED order<->part graph (graph.k_hop_distances): exact min-hop
     distances, frontier-driven expansion, all-integer state.  Oracle:
-    3 unrolled frontier CTEs (join - EXCEPT - union per hop)."""
+    3 unrolled frontier CTEs (join - EXCEPT - union per hop).
+
+    INTEGER vertex encoding (r11, guide par.2.3 narrower types): the loop is
+    order-free (distinct + anti-join + min-hop set semantics only), so the
+    "O<k>"/"P<k>" string ids -- 2-10 bytes + offsets on EVERY loop shuffle
+    row -- ride as int64 (order 2k, part 2k+1, disjoint and reversible)
+    and decode back to the contract strings only at the output projection.
+    The final ORDER BY runs on the decoded strings, so ordering and every
+    result byte are unchanged (oracle untouched)."""
     li = load_table(spark, sf, "lineitem")
     fwd = li.select(
-        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
-        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return graph.k_hop_distances(edges, ["P1", "P2"], max_hops=3).orderBy("id")
+    # seeds P1, P2 -> 2*1+1, 2*2+1
+    res = graph.k_hop_distances(edges, [3, 5], max_hops=3)
+    decoded = F.concat(
+        F.when(F.col("id") % 2 == 0, F.lit("O")).otherwise(F.lit("P")),
+        F.shiftright(F.col("id"), 1).cast("string"),
+    )
+    return res.select(decoded.alias("id"), "hops").orderBy("id")
 
 
 def q_lp1(spark: SparkSession, sf: str) -> DataFrame:
@@ -4180,16 +4194,27 @@ def q_g14(spark: SparkSession, sf: str) -> DataFrame:
     graph with integer-micro quantity edge costs -- the weighted twin of
     g8's BFS (hops count there; cost accumulates here).  3 synchronous
     relaxation rounds, exact integer arithmetic, edge table repartitioned
-    once.  Oracle: the identical recurrence unrolled (MATERIALIZED)."""
+    once.  Oracle: the identical recurrence unrolled (MATERIALIZED).
+
+    INTEGER vertex encoding (r11): same order-2k/part-2k+1 int64 scheme as
+    g8 -- the (min,+) relaxation is id-order-free, ids decode at the output
+    projection, and the final ORDER BY runs on the decoded strings, so the
+    result is byte-identical (oracle untouched)."""
     li = load_table(spark, sf, "lineitem")
     w = (F.col("l_quantity").cast(DEC) * 1_000_000).cast("long").alias("w")
     fwd = li.select(
-        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
-        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
         w,
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
-    return graph.weighted_shortest_paths(edges, G14_SEEDS, max_hops=3).orderBy("id")
+    # G14_SEEDS = ["P1", "P2"] -> 2*1+1, 2*2+1
+    res = graph.weighted_shortest_paths(edges, [3, 5], max_hops=3)
+    decoded = F.concat(
+        F.when(F.col("id") % 2 == 0, F.lit("O")).otherwise(F.lit("P")),
+        F.shiftright(F.col("id"), 1).cast("string"),
+    )
+    return res.select(decoded.alias("id"), "dist").orderBy("id")
 
 
 def _hits_oracle(edges_sql: str, rounds: int = 3, quantum: int = 1_000_000, k: int = 20) -> str:

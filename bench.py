@@ -223,6 +223,63 @@ BENCH_QUERIES = [
 ]
 
 
+# Deterministic stdout subset: exactly the 47 queries the r10 record
+# printed (BENCH_r10.json parsed.queries), so PERF round-over-round diffs
+# see a stable set -- no phantom dropped_from_bench/new_in_bench entries
+# from boot-noise reordering (VERDICT r10 item 6).  These are the heavy
+# queries (everything >= ~1.5 s at sf0.1); adding a query here is a REAL
+# membership change and should be called out in the round notes.
+STDOUT_QUERIES = [
+    "c1_corpus_curation",
+    "g15_hits_top20",
+    "g7_personalized_pagerank",
+    "g10_clustering_coefficient",
+    "g13_kcore",
+    "g12_copurchase_capped",
+    "g5_pagerank_cyclic_top100",
+    "lp1_label_propagation",
+    "d15_dedup_keep_best",
+    "g6_triangle_census",
+    "d7_dup_clusters",
+    "tpch_q1_pricing_summary",
+    "m1_als_recommendations",
+    "g8_khop_reachability",
+    "g4_pagerank_top100",
+    "d2_ngram_jaccard_pairs",
+    "g9_adamic_adar",
+    "d3_minhash_lsh_pairs",
+    "g14_weighted_paths",
+    "d6_duplicated_span_removal",
+    "d10_semantic_dedup",
+    "q5_revenue_by_nation",
+    "a26_quantile_merge_gate",
+    "ds1_dsir_importance_select",
+    "l6_bucketed_join",
+    "q3_revenue_by_customer",
+    "s6_ann_refined_top5",
+    "tpch_q21_waiting_suppliers",
+    "mm8_bmp_box_downsample",
+    "a7_order_parts_csv",
+    "d14_sorted_neighborhood",
+    "d11_segment_dedup",
+    "c3_decontamination",
+    "l7_partition_pruning",
+    "tpch_q14_promo_effect",
+    "mm7_avi_frame_samples",
+    "w7_value_windows",
+    "u3_scd2_history",
+    "u7_pit_lookup",
+    "u1_cdc_merge",
+    "u8_forget_cascade",
+    "mm5_phash_near_dups",
+    "t8_unigram_logprob",
+    "s8_hybrid_rrf",
+    "tpch_q8_market_share",
+    "m6_auc_gate",
+    "v3_schema_evolution",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -325,24 +382,29 @@ def main() -> None:
     # combined output (measured: BENCH_r06.json tail len == 2000, r6's
     # 110-query line ~3.4 KB -> truncated head, "parsed": null).  The
     # stdout line must therefore fit the buffer WITH slack for any log
-    # line that races in after it: cap it at 1500 bytes by eliding the
-    # CHEAPEST per-query entries first (the slow queries carry the
-    # signal; the full map is always in BENCH_DETAIL.json).
+    # line that races in after it: cap it at 1500 bytes.  Membership of
+    # the printed subset is FIXED (STDOUT_QUERIES below) -- the r10
+    # cost-ordered eliding made the printed SET depend on boot noise, so
+    # every PERF round reported phantom dropped_from_bench/new_in_bench
+    # churn (VERDICT r10 item 6).  If the fixed subset ever overflows the
+    # budget (timings growing a digit), DECIMALS degrade (3 -> 2 -> 1),
+    # never membership.  The full 110-query map with 3-decimals precision
+    # is always in BENCH_DETAIL.json.
     budget = 1500
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > budget:
-        by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-        kept: dict[str, float] = {}
-        compact = dict(headline)
-        for k, v in by_cost:
-            trial = dict(compact, queries=dict(kept, **{k: v}))
-            trial["queries_elided"] = len(timings) - len(kept) - 1
-            trial["detail"] = "BENCH_DETAIL.json"
+        kept = {k: timings[k] for k in STDOUT_QUERIES if k in timings}
+        for ndigits in (3, 2, 1):
+            trial = dict(
+                headline,
+                queries={k: round(v, ndigits) for k, v in kept.items()},
+                queries_elided=len(timings) - len(kept),
+                detail="BENCH_DETAIL.json",
+            )
             s = json.dumps(trial, separators=(",", ":"))
-            if len(s) > budget:
+            if len(s) <= budget:
+                line = s
                 break
-            kept[k] = v
-            line = s
     sys.stdout.flush()
     print(line)
     sys.stdout.flush()

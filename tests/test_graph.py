@@ -98,6 +98,23 @@ def test_connected_components_rejects_zero_iterations(spark):
         graph.connected_components(edges, max_iter=0)
 
 
+def test_connected_components_self_loop_vertex_kept(spark):
+    """A vertex whose only edge is a self-loop must still appear, labeled
+    itself -- guards the r11 canonicalize-first symmetrization (a self-loop
+    must enter the symmetric table exactly once, not twice or zero times)."""
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "src long, dst long")
+    out = {r["id"]: r["component"] for r in graph.connected_components(edges).collect()}
+    assert out == {5: 5, 1: 1, 2: 1}
+
+
+def test_label_propagation_zero_iterations_identity(spark):
+    """max_iter=0 returns identity labels (ADVICE r10: the delta loop left
+    cur unset and crashed on the final join)."""
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r["id"]: r["label"] for r in graph.label_propagation(df, max_iter=0).collect()}
+    assert out == {"a": "a", "b": "b"}
+
+
 def test_star_components_match_min_label(spark):
     """large-star/small-star and min-label propagation agree on mixed
     component shapes (chain, pair, star).  Self-loops are excluded: the
@@ -218,6 +235,24 @@ def test_k_hop_distances_seed_not_in_graph_and_multi_seed(spark):
     e = spark.createDataFrame([("x", "y")], "src string, dst string")
     out = {r["id"]: r["hops"] for r in k_hop_distances(e, ["x", "ghost"], max_hops=2).collect()}
     assert out == {"x": 0, "ghost": 0, "y": 1}
+
+
+def test_k_hop_distances_integer_ids(spark):
+    """Integer-typed vertex ids work end-to-end (the r11 g8/g14 narrow-id
+    encoding): seed schema must follow the edge id type."""
+    from youtubeanalyzerproject_big_data__spark.operators.graph import k_hop_distances
+
+    e = spark.createDataFrame([(2, 3), (3, 4), (4, 6)], "src long, dst long")
+    out = {r["id"]: r["hops"] for r in k_hop_distances(e, [2], max_hops=2).collect()}
+    assert out == {2: 0, 3: 1, 4: 2}
+
+
+def test_weighted_shortest_paths_integer_ids(spark):
+    from youtubeanalyzerproject_big_data__spark.operators.graph import weighted_shortest_paths
+
+    e = spark.createDataFrame([(2, 3, 10), (3, 4, 1), (2, 4, 20)], "src long, dst long, w long")
+    out = {r["id"]: r["dist"] for r in weighted_shortest_paths(e, [2], max_hops=3).collect()}
+    assert out == {2: 0, 3: 10, 4: 11}  # 2->3->4 beats direct 2->4
 
 
 def test_label_propagation_two_triangles(spark):

@@ -663,8 +663,13 @@ def test_kcore_semijoins_are_not_broadcast_forced(spark):
         plan = _plan(out)
         assert "BroadcastHashJoin" not in plan, "kcore must not force-broadcast vertex keysets"
         # delta-peel shape: per-round dec (edges into this round's removed
-        # set) folded back into the maintained degrees via a left join
-        assert "LeftOuter" in plan
+        # set) folded back into the maintained degrees via a left join --
+        # per-LINE match (CLAUDE.md: the executed plan prints
+        # "SortMergeJoin [keys...], LeftOuter", so adjacent-substring
+        # checks never fire)
+        assert any(
+            "SortMergeJoin" in ln and "LeftOuter" in ln for ln in plan.splitlines()
+        ), "delta-peel degree fold (SMJ LeftOuter) missing from kcore round"
     finally:
         graphmod._DISABLE_CHECKPOINTS = False
         for c, v in saved.items():

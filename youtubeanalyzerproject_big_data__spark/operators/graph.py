@@ -315,10 +315,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20, num_partitions: i
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Canonicalize FIRST, symmetrize by union (the kcore r10 collapse):
+    # distinct runs over m canonical rows instead of 2m symmetrized ones --
+    # half the dedup exchange.  The two directions of a canonical-distinct
+    # set are disjoint (u < v vs v > u), so canon + canon.swap IS the old
+    # distinct(sym); self-loops (u == v) stay as the single canonical row,
+    # exactly as the old distinct kept them (they only assert the vertex
+    # exists -- min-label over a self edge is the identity).
+    canon = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("src"),
+            F.greatest(F.col("src"), F.col("dst")).alias("dst"),
+        )
         .distinct()
+    )
+    sym = (
+        canon.union(
+            canon.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
         .repartition(n_part, "src")
         .cache()
     )
@@ -622,7 +638,14 @@ def k_hop_distances(edges: DataFrame, seeds: list, max_hops: int = 3) -> DataFra
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.repartition(n_part, "src").cache()
-    seed_df = spark.createDataFrame([(s,) for s in seeds], "id string").distinct()
+    # Seed type follows the edge id type (string graphs AND integer-encoded
+    # ones -- the r11 g8/g14 narrow-id path -- share this operator).
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema["src"].dataType
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seeds], StructType([StructField("id", id_type)])
+    ).distinct()
     visited = seed_df.select("id", F.lit(0).cast("long").alias("hops")).transform(_ckpt)
     frontier = visited.select("id")
     for h in range(1, max_hops + 1):
@@ -666,8 +689,12 @@ def weighted_shortest_paths(edges: DataFrame, seeds: list, max_hops: int = 3) ->
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.repartition(n_part, "src").cache()
+    # Seed type follows the edge id type (see k_hop_distances).
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema["src"].dataType
     dist = (
-        spark.createDataFrame([(s,) for s in seeds], "id string")
+        spark.createDataFrame([(s,) for s in seeds], StructType([StructField("id", id_type)]))
         .distinct()
         .select("id", F.lit(0).cast("long").alias("dist"))
         .transform(_ckpt)
@@ -735,10 +762,15 @@ def label_propagation(edges: DataFrame, max_iter: int = 2) -> DataFrame:
     # Materialize the full vertex set ONCE, at the end: isolated-as-dst
     # vertices (never a dst) keep their own id via the left join.
     vertices = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
-    labels = (
-        vertices.join(cur.withColumnRenamed("label", "_l"), "id", "left")
-        .select("id", F.coalesce("_l", "id").alias("label"))
-    )
+    if cur is None:
+        # max_iter == 0: identity labels (the pre-r10 behavior -- the delta
+        # loop otherwise leaves cur unset; ADVICE r10).
+        labels = vertices.select("id", F.col("id").alias("label"))
+    else:
+        labels = (
+            vertices.join(cur.withColumnRenamed("label", "_l"), "id", "left")
+            .select("id", F.coalesce("_l", "id").alias("label"))
+        )
     labels = labels.transform(_ckpt)
     e.unpersist()
     return labels
