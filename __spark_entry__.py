@@ -2896,19 +2896,36 @@ def _prepared_pagerank_edges(spark: SparkSession, sf: str, kind: str) -> DataFra
         except Exception:
             pass  # session already stopped; nothing to release
     li = load_table(spark, sf, "lineitem")
+    # INTEGER vertex encoding (r11, the g8/g14 scheme): order 2k, part
+    # 2k+1 ride every loop exchange as int64 instead of "O%d"/"P%d"
+    # strings.  The rank loops are id-order-free (joins + sums); the only
+    # order-sensitive step is the callers' final top-k tiebreak, which
+    # runs on the DECODED strings (_decode_op_id applied BEFORE
+    # top_influencers), so results are byte-identical and the oracles are
+    # untouched.
     fwd = li.select(
-        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"), F.concat(F.lit("P"), F.col("l_partkey")).alias("dst")
+        (F.col("l_orderkey") * 2).alias("src"), (F.col("l_partkey") * 2 + 1).alias("dst")
     )
     pairs = fwd
     if kind == "cyclic":
         pairs = fwd.unionAll(
             li.select(
-                F.concat(F.lit("P"), F.col("l_partkey")).alias("src"), F.concat(F.lit("O"), F.col("l_orderkey")).alias("dst")
+                (F.col("l_partkey") * 2 + 1).alias("src"), (F.col("l_orderkey") * 2).alias("dst")
             )
         )
     handle = graph.prepare_weighted_edges(graph.edges_from_pairs(pairs, "src", "dst"))
     _PAGERANK_EDGE_HANDLES[key] = handle
     return handle
+
+
+def _decode_op_id(col):
+    """int64 order/part vertex id (2k / 2k+1) back to the contract string
+    ("O%d" / "P%d") -- the inverse of the _prepared_pagerank_edges / q_g8 /
+    q_g14 encoding."""
+    return F.concat(
+        F.when(col % 2 == 0, F.lit("O")).otherwise(F.lit("P")),
+        F.shiftright(col, 1).cast("string"),
+    )
 
 
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
@@ -2919,7 +2936,9 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ranks = graph.pagerank(
         None, reset_prob=0.15, max_iter=10, weighted=_prepared_pagerank_edges(spark, sf, "fwd")
     )
-    return graph.top_influencers(ranks, 100)
+    # decode BEFORE the top-k so the (pagerank desc, id asc) tiebreak runs
+    # on the contract strings -- result identical to the string-id build
+    return graph.top_influencers(ranks.select(_decode_op_id(F.col("id")).alias("id"), "pagerank"), 100)
 
 
 def q_pagerank_cyclic(spark: SparkSession, sf: str) -> DataFrame:
@@ -2931,7 +2950,7 @@ def q_pagerank_cyclic(spark: SparkSession, sf: str) -> DataFrame:
     ranks = graph.pagerank(
         None, reset_prob=0.15, max_iter=10, weighted=_prepared_pagerank_edges(spark, sf, "cyclic")
     )
-    return graph.top_influencers(ranks, 100)
+    return graph.top_influencers(ranks.select(_decode_op_id(F.col("id")).alias("id"), "pagerank"), 100)
 
 
 PPR_SEEDS = ["P1", "P2", "P3", "P4", "P5"]
@@ -2942,10 +2961,16 @@ def q_ppr(spark: SparkSession, sf: str) -> DataFrame:
     order<->part graph: proximity-to-seeds ranking (the related-items
     primitive), with the same integer-quantized full-depth oracle replay
     as g4/g5 (operators/graph.personalized_pagerank)."""
+    # PPR_SEEDS encode as 2k+1 (parts); trajectory is seed-SET driven, so
+    # only the membership matters -- decode before the top-k as in g4/g5
     ranks = graph.personalized_pagerank(
-        None, PPR_SEEDS, reset_prob=0.15, max_iter=10, weighted=_prepared_pagerank_edges(spark, sf, "cyclic")
+        None,
+        [2 * int(s[1:]) + 1 for s in PPR_SEEDS],
+        reset_prob=0.15,
+        max_iter=10,
+        weighted=_prepared_pagerank_edges(spark, sf, "cyclic"),
     )
-    return graph.top_influencers(ranks, 100)
+    return graph.top_influencers(ranks.select(_decode_op_id(F.col("id")).alias("id"), "pagerank"), 100)
 
 
 def q_als(spark: SparkSession, sf: str) -> DataFrame:
@@ -4269,13 +4294,18 @@ def q_g15(spark: SparkSession, sf: str) -> DataFrame:
     engines replay the scores bit-exactly; each renormalized table is
     localCheckpoint-pinned (it's referenced twice -- value + max -- and an
     expression fold would double the plan per half-round, the Hilbert
-    lesson).  Top-20 per role with (score desc, id) deterministic ranks."""
+    lesson).  Top-20 per role with (score desc, id) deterministic ranks.
+
+    INTEGER vertex encoding (r11): the order-2k/part-2k+1 int64 scheme of
+    g4/g8 -- the mutual-reinforcement loop is id-order-free; the top-k
+    tiebreak runs on DECODED strings via hits(decode_id=), so the result
+    is byte-identical and the oracle untouched."""
     li = load_table(spark, sf, "lineitem")
     edges = li.select(
-        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
-        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
-    return graph.hits(edges, rounds=3, quantum=1_000_000, k=20)
+    return graph.hits(edges, rounds=3, quantum=1_000_000, k=20, decode_id=_decode_op_id)
 
 
 def q_t23(spark: SparkSession, sf: str) -> DataFrame:

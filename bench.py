@@ -45,6 +45,24 @@ Known deliberate costs (do NOT chase as regressions):
   half-table twice via a lazy union instead of a second materialized
   full-width copy -- same bytes read, one materialization pass and half
   the distinct exchange saved, which is what matters off-box.
+- The 30 "regressions" in PERF_r10 ADJUDICATED (r11, same-boot full bench
+  at the r10-verdict HEAD, per-query shuffle bytes vs the r10 record):
+  tpch_q1 (0 B both, 4.88 -> 2.71 s), a26 (2.2 MB =, 2.83 -> 2.15),
+  q3 (0.4 MB =, 2.69 -> 2.15), s6 (0.7 MB =, 2.62 -> 2.39), q5 (0.5 MB =,
+  2.88 -> 2.16), a7 (5.2 MB =, 2.21 -> 1.77), l6 (0 B, 2.69 -> 2.50),
+  u8 (0 B, 1.75 -> 1.75) -- ALL NOISE from the documented r10 mid-round
+  sandbox reboot: identical bytes, walls back at r9 levels on one boot.
+  The two non-noise movers are d3/d15 (next entry: root-caused, kept).
+- d3/d15 carry ~+2 s at sf0.1 vs the r9 record (isolated 6-sample steady
+  state 4.4-5.9 s vs r9's 2.1-2.5 s band; adjudicated r11 on one boot):
+  the exact-dup-collapse layers (cid digest groupBy, multiplicity attach,
+  member expansion) add ~8 fixed-overhead stages that dominate at 5k
+  distinct contents.  Shuffle bytes moved 7.0 -> 10.0 MB, all in those
+  narrow layers.  DELIBERATE: the collapse replaced the ~1 TB
+  doc-granularity verification shuffle that killed the sf30 replay twice
+  (300x clone density) -- the layers' cost is fixed while their savings
+  scale with clone fan-out, which is the web-corpus norm.  Phase profile
+  in OPTIMIZATION_r11.md; do not chase.
 - d2/d12 carry ~0.5-1 s at sf0.1 from the r8 `hint("shuffle_hash")` pin on
   the doc-stat side of the pair-verification joins: Catalyst's static size
   estimate for the post-explode aggregate is unreliable and at sf10 it chose

@@ -431,7 +431,8 @@ def test_ppr_seeds_compile_to_inlist(spark):
     with _graph_full_lineage() as graphmod:
         handle = entrymod._prepared_pagerank_edges(spark, SF, "cyclic")
         handle.count()
-        ranks = graphmod.personalized_pagerank(None, ["P1", "P2"], max_iter=3, weighted=handle)
+        # seeds in the r11 integer encoding (parts P1, P2 -> 2k+1)
+        ranks = graphmod.personalized_pagerank(None, [3, 5], max_iter=3, weighted=handle)
         plan = _plan(ranks)
     assert "INSET" in plan.upper() or " IN (" in plan  # literal membership test
     assert plan.count("SortMergeJoin") == 0

@@ -30,6 +30,16 @@ _DISABLE_CHECKPOINTS = False
 this module so plan-shape gates can see FULL loop lineage.  Production code
 never flips it -- checkpoints are what keep iterative plans bounded."""
 
+from pyspark import StorageLevel as _SL  # noqa: E402
+
+_HITS_EDGE_STORAGE = _SL.MEMORY_ONLY
+"""Storage level for hits' two edge-table caches (src- and dst-partitioned).
+MEMORY_ONLY, not the default MEMORY_AND_DISK: A/B at the sf1 replay (r11,
+VERDICT r10 item 6) measured 11.8 vs 12.3 s median (cold first sample 13.9
+vs 26.9 s), and the dedup-shingle precedent applies -- an iterative
+edge-table cache is scan-shaped state whose DISK spill competes with the
+shuffle's disk at scale; evicted partitions recompute (CPU) instead."""
+
 
 def _ckpt_level():
     """Storage level for iterative-loop checkpoints, from
@@ -284,7 +294,12 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
             ranks = ranks.transform(_ckpt)
     # seeds with no in-edges never appear as a dst; they still hold reset.
-    seed_df = spark.createDataFrame([(s,) for s in sources], "id string")
+    # Seed type follows the edge id type (see k_hop_distances).
+    from pyspark.sql.types import StructField, StructType
+
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sources], StructType([StructField("id", weighted.schema["src"].dataType)])
+    )
     seed_only = seed_df.join(ranks.select("id"), "id", "left_anti").select("id", F.lit(reset_prob).alias("rank"))
     result = (
         ranks.where(F.col("rank") > 0.0)
@@ -1115,6 +1130,7 @@ def hits(
     quantum: int = 1_000_000,
     k: int = 20,
     num_partitions: int | None = None,
+    decode_id=None,
 ) -> DataFrame:
     """G15: HITS hubs & authorities (Kleinberg 1999) with EXACT-INTEGER
     iterations, so the scores are bit-identical across partition counts
@@ -1164,7 +1180,7 @@ def hits(
         # (guide: share one exchange between same-keyed operations).
         .repartition(n_part, "src")
         .dropDuplicates(["src", "dst"])
-        .cache()
+        .persist(_HITS_EDGE_STORAGE)
     )
     # Second copy partitioned by dst: each round joins e on src (authority
     # update) AND on dst (hub update) -- with only the src-partitioned
@@ -1172,7 +1188,7 @@ def hits(
     # 100x-dominant relation; locally AQE hides it behind a broadcast of
     # the vertex side, but at scale both SMJ sides shuffle).  One extra
     # build-time exchange + cache buys an edge-sized exchange per round.
-    e_dst = e.repartition(n_part, "dst").cache()
+    e_dst = e.repartition(n_part, "dst").persist(_HITS_EDGE_STORAGE)
     q = F.lit(int(quantum)).cast("long")
 
     def renorm(raw: DataFrame, col: str) -> DataFrame:
@@ -1211,6 +1227,14 @@ def hits(
         h = renorm(h_raw, "h_raw")
 
     def topk(scores: DataFrame, col: str, role: str) -> DataFrame:
+        if decode_id is not None:
+            # ``decode_id`` (id Column -> Column) maps an integer-encoded
+            # vertex id back to its contract string BEFORE the top-k, so
+            # the (score desc, id asc) tiebreak and the emitted ids are
+            # byte-identical to a string-id build while the LOOP shuffles
+            # int64 keys (the r11 g4/g8 narrow-id scheme).  Applied to the
+            # vertex-sized score table only -- never inside the loop.
+            scores = scores.select(decode_id(F.col("id")).alias("id"), col)
         cut = scores.orderBy(F.desc(col), "id").limit(k)  # TakeOrdered -- never a global sort
         # The rank window runs over the PRE-LIMITED k rows, so one partition
         # is the design; pmod(col,1) (constant 0, not foldable) keeps
