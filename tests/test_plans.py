@@ -643,6 +643,18 @@ def test_q16_not_in_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_g12_pair_stream_crosses_one_exchange(spark):
+    """g12 (r11): the capped pair stream must cross ONE exchange -- range
+    partitioning on (src, dst) satisfies the dedup aggregate's clustered
+    distribution, so dropDuplicates and the output sort run partition-local
+    after the range exchange.  A reappearing hashpartitioning(src, dst)
+    exchange means the old distinct+orderBy double shuffle regressed."""
+    plan = _plan(entrymod.q_g12(spark, SF))
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln and "partitioning" in ln]
+    assert any("rangepartitioning(src" in ln for ln in ex_lines), ex_lines
+    assert not any("hashpartitioning(src" in ln for ln in ex_lines), ex_lines
+
+
 def test_kcore_semijoins_are_not_broadcast_forced(spark):
     """g13: the removed keyset is vertex-sized, so kcore must NOT hint
     broadcast (the r5 g10 lesson) -- with Spark's own broadcast thresholds
