@@ -36,13 +36,14 @@ def _live_df(spark, sf, name):
             dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, checkpoint=False),
             "live internal plan (checkpoint=False): q_d2 pins eagerly",
         )
-    if name == "d2_ngram_jaccard_pairs_noprefix":
+    if name == "d2_ngram_jaccard_pairs_prefix_prototype":
         docs = load_table(spark, sf, "documents")
         return (
             dedup.ngram_jaccard_pairs(
-                docs, "doc_id", "text", n=3, threshold=0.8, checkpoint=False, prefix_filter=False
+                docs, "doc_id", "text", n=3, threshold=0.8, checkpoint=False, prefix_filter=True
             ),
-            "live internal plan (checkpoint=False, prefix_filter=False): full-index A/B",
+            "live internal plan (checkpoint=False, prefix_filter=True): the fuzz-gated "
+            "prototype, NOT the declared d2 plan (default off -- OPTIMIZATION_r11.md sec 2)",
         )
     if name == "d3_minhash_lsh_pairs":
         docs = load_table(spark, sf, "documents")
